@@ -1,0 +1,72 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine shell: the DuckDB-equivalent "client context" is a thin wrapper
+  * around SparkSession with scale-oriented defaults.
+  *
+  * Reference lifecycle this replaces: parse/bind/optimize/plan/execute
+  * (`/root/reference/src/main/client_context.cpp:471-529`) — all five stages
+  * are delegated to Catalyst; we only pin the session configuration that
+  * makes the semantics line up with the reference (UTC, ANSI) and the
+  * runtime features that matter at 100 TB (AQE, CBO, runtime filters).
+  */
+object EngineSession {
+
+  /** Configs applied whether we create the session or the driver does. */
+  val tunings: Seq[(String, String)] = Seq(
+    // DuckDB defaults to all-cores morsel parallelism
+    // (reference src/parallel/task_scheduler.cpp:306); Spark's equivalent
+    // knob is shuffle partitions ~ cores, with AQE coalescing the rest.
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true",
+    // DuckDB pushes build-side min/max + bloom filters into probe scans
+    // (reference src/optimizer/join_filter_pushdown_optimizer.cpp); Spark's
+    // equivalents are runtime bloom filters + dynamic partition pruning.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+    // type for: read as long, Tables.events converts to µs TimestampType
+    // (documented precision loss, FIXTURES.md).
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Oracle parity: DuckDB errors on overflow / bad casts by default.
+    "spark.sql.ansi.enabled" -> "true",
+    "spark.sql.parquet.aggregatePushdown" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+  )
+
+  def builder(master: String, shufflePartitions: Int = 32): SparkSession.Builder = {
+    val b = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+    tunings.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+  }
+
+  def create(master: String = "local[*]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+    spark
+  }
+
+  /** Idempotent per-session setup usable on a session we didn't build
+    * (the driver's Verify/Bench create their own): runtime confs +
+    * SQL-function registration.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    tunings.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: Throwable => () } // static confs on a live session
+    }
+    graft.functions.Registry.registerAll(spark)
+    spark
+  }
+}

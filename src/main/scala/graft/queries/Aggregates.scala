@@ -1,0 +1,385 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import Q._
+
+/** Aggregation coverage (SURVEY §2.4): grouped/global/distinct/filtered
+  * aggregates, grouping sets, DISTINCT ON, ordered-set & statistical
+  * aggregates. All double reductions go through exact DECIMAL sums or get
+  * rounded, so the duckdb-oracle hash comparison is order-independent.
+  */
+object Aggregates extends Pack {
+
+  // Flagship: TPC-H Q1 shape (reference extension/tpch/dbgen/queries/q01.sql)
+  // exercising scan→filter→hash-agg (partial+final)→sort.
+  q("q1_agg",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${dsumSql(dmulSql("l_extendedprice", "1 - l_discount"))} AS sum_disc_price,
+       |  ${dsumSql(s"${dmulSql("l_extendedprice", "1 - l_discount")} * CAST(1 + l_tax AS DECIMAL(18,6))")} AS sum_charge,
+       |  ${davgSql("l_quantity")} AS avg_qty,
+       |  ${davgSql("l_extendedprice")} AS avg_price,
+       |  ${davgSql("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+    val disc = dmul(col("l_extendedprice"), lit(1) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(disc).as("sum_disc_price"),
+        dsum(disc * (lit(1) + col("l_tax")).cast(S)).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // global (ungrouped) aggregate — reference physical_ungrouped_aggregate.cpp
+  q("q_agg_global",
+    s"""SELECT count(*) AS n, ${dsumSql("l_quantity")} AS total_qty,
+       |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+       |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+       |FROM lineitem""") { (s, dir) =>
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n"),
+      dsum(col("l_quantity")).as("total_qty"),
+      min("l_shipdate").as("first_ship"), max("l_shipdate").as("last_ship"),
+      min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"))
+  }
+
+  // DISTINCT aggregates (reference distinct_aggregate_data.cpp)
+  q("q_agg_distinct",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  // FILTER clause (reference bind_aggregate_expression.cpp)
+  q("q_agg_filter",
+    s"""SELECT o_orderstatus,
+       |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       |  ${dsumSql("o_totalprice")} AS total,
+       |  count(*) FILTER (WHERE year(o_orderdate) = 1997) AS n_1997
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+        dsum(col("o_totalprice")).as("total"),
+        count(when(year(col("o_orderdate")) === 1997, 1)).as("n_1997"))
+      .orderBy("o_orderstatus")
+  }
+
+  // GROUPING SETS + GROUPING() disambiguation (reference bind_select_node.cpp:547)
+  q("q_grouping_sets",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+       |  ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       |ORDER BY g_rf, g_ls, l_returnflag NULLS LAST, l_linestatus NULLS LAST""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY g_rf, g_ls, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)
+  }
+
+  // CUBE (reference grouping_sets_optimizer.cpp)
+  q("q_cube",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+       |  count(*) AS n
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY g_rf, g_ls, l_returnflag NULLS LAST, l_linestatus NULLS LAST""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping("l_returnflag").as("g_rf"), grouping("l_linestatus").as("g_ls"),
+        count(lit(1)).as("n"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+  }
+
+  // ROLLUP
+  q("q_rollup",
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  GROUPING(o_orderstatus) AS g_st, GROUPING(o_orderpriority) AS g_pr,
+       |  ${dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY g_st, g_pr, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(grouping("o_orderstatus").as("g_st"), grouping("o_orderpriority").as("g_pr"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("g_st"), col("g_pr"),
+        col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
+  }
+
+  // DISTINCT (reference plan_distinct.cpp)
+  q("q_distinct",
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // DISTINCT ON with ORDER BY — exact reference semantics (first row per key
+  // by the ORDER BY) via row_number()=1 rewrite (SURVEY §2.4)
+  q("q_distinct_on",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn = 1
+      |ORDER BY o_custkey""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  // string_agg / listagg w/ ORDER BY (reference sorted_aggregate_function.cpp)
+  q("q_string_agg",
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { (s, dir) =>
+    Tables.nation(s, dir)
+      .groupBy("n_regionkey")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+      .orderBy("n_regionkey")
+  }
+
+  // list/array_agg with ORDER BY
+  q("q_list_agg",
+    """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+      |FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey ORDER BY l_orderkey""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 100)
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_list(col("l_linenumber"))).as("lines"))
+      .orderBy("l_orderkey")
+  }
+
+  // arg_min / arg_max (reference minmax.cpp → Spark min_by/max_by)
+  q("q_arg_minmax",
+    """SELECT o_orderstatus,
+      |  arg_max(o_orderkey, o_totalprice) AS best_order,
+      |  arg_min(o_orderkey, o_totalprice) AS worst_order,
+      |  max(o_totalprice) AS best_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+        max(col("o_totalprice")).as("best_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  // bool_and/bool_or/count_if (reference distributive/*.cpp)
+  q("q_bool_agg",
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 0) AS all_pos,
+      |  bool_or(l_discount > 0.09) AS any_big_disc,
+      |  CAST(count_if(l_tax = 0) AS BIGINT) AS n_no_tax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_discount") > 0.09).as("any_big_disc"),
+        count_if(col("l_tax") === 0).as("n_no_tax"))
+      .orderBy("l_returnflag")
+  }
+
+  // bit_and/bit_or/bit_xor
+  q("q_bit_agg",
+    """SELECT l_returnflag,
+      |  bit_and(l_linenumber) AS band, bit_or(l_linenumber) AS bor,
+      |  bit_xor(l_linenumber) AS bxor
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        bit_and(col("l_linenumber")).as("band"),
+        bit_or(col("l_linenumber")).as("bor"),
+        bit_xor(col("l_linenumber")).as("bxor"))
+      .orderBy("l_returnflag")
+  }
+
+  // statistical aggregates (reference algebraic/*.cpp) — rounded: stddev etc.
+  // are not exactly associative, so cross-engine bit-equality needs a tolerance
+  // (1e-6 relative is far above either engine's accumulation error here).
+  q("q_stats_agg",
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |  round(var_pop(l_quantity), 6) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qe,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qe
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_pop(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qe"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qe"))
+      .orderBy("l_returnflag")
+  }
+
+  // skewness / kurtosis — the reference uses raw power sums with sample
+  // bias corrections (skew.cpp:74-77, kurtosis.cpp G2 branch), which is NOT
+  // Spark's population estimator; we reproduce the reference's estimator
+  // exactly from decimal power sums.
+  q("q_skew_kurt",
+    """SELECT l_returnflag,
+      |  round(skewness(l_quantity), 6) AS skew_qty,
+      |  round(kurtosis(l_quantity), 6) AS kurt_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    val x = col("l_quantity")
+    val sums = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x.cast(S)).cast("double").as("s1"),
+        sum((x * x).cast(S)).cast("double").as("s2"),
+        sum((x * x * x).cast(S)).cast("double").as("s3"),
+        sum((x * x * x * x).cast(S)).cast("double").as("s4"))
+    val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
+    val s3 = col("s3"); val s4 = col("s4")
+    val temp = lit(1.0) / n
+    val rawM2 = s2 - s1 * s1 * temp
+    val variance = temp * rawM2
+    val skew = sqrt(n * (n - 1)) / (n - 2) * temp *
+      (s3 - lit(3) * s2 * s1 * temp + lit(2) * pow(s1, 3) * temp * temp) /
+      sqrt(pow(variance, 3))
+    val m4 = temp * (s4 - lit(4) * s3 * s1 * temp +
+      lit(6) * s2 * s1 * s1 * temp * temp - lit(3) * pow(s1, 4) * pow(temp, 3))
+    val kurt = (n - 1) * ((n + 1) * m4 / (variance * variance) - lit(3) * (n - 1)) /
+      ((n - 2) * (n - 3))
+    sums.select(col("l_returnflag"),
+        round(skew, 6).as("skew_qty"), round(kurt, 6).as("kurt_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // regression aggregates (reference regression/*.cpp → Spark regr_*)
+  q("q_regr_agg",
+    """SELECT o_orderstatus,
+      |  round(regr_slope(o_totalprice, o_custkey), 6) AS slope,
+      |  round(regr_intercept(o_totalprice, o_custkey), 4) AS icept,
+      |  round(regr_r2(o_totalprice, o_custkey), 6) AS r2,
+      |  regr_count(o_totalprice, o_custkey) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(regr_slope(col("o_totalprice"), col("o_custkey")), 6).as("slope"),
+        round(regr_intercept(col("o_totalprice"), col("o_custkey")), 4).as("icept"),
+        round(regr_r2(col("o_totalprice"), col("o_custkey")), 6).as("r2"),
+        regr_count(col("o_totalprice"), col("o_custkey")).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ordered-set / holistic: median, quantiles (reference holistic/*.cpp)
+  q("q_quantiles",
+    """SELECT l_returnflag,
+      |  median(l_quantity) AS med_qty,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  quantile_disc(l_quantity, 0.5) AS med_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS med_qty,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q75,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  // mode (reference holistic/mode.cpp)
+  q("q_mode",
+    """SELECT l_returnflag, mode(l_linenumber) AS mode_line
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(mode(col("l_linenumber")).as("mode_line"))
+      .orderBy("l_returnflag")
+  }
+
+  // approx_count_distinct (HLL — reference hyperloglog.cpp): sketches differ
+  // across engines by design → rows-only check; exactness covered by
+  // q_agg_distinct.
+  qRowsOnly("q_approx_count_distinct") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  // approx_top_k (reference holistic/approx_top_k.cpp) — exact re-rank so the
+  // result is deterministic: top-k frequent event types.
+  q("q_top_k_frequent",
+    """SELECT event_type, count(*) AS n FROM events
+      |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(3)
+  }
+
+  // histogram (reference nested/histogram.cpp) — binned variant as rows
+  // (map-typed results hash differently across engines; the row form is the
+  // scale-friendly shape anyway)
+  q("q_histogram",
+    s"""SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bucket, count(*) AS n
+       |FROM lineitem GROUP BY 1 ORDER BY bucket""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(floor(col("l_quantity") / 10).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  // entropy (reference distributive/entropy.cpp) — no native Spark; computed
+  // as -Σ p·log2(p) over group counts (two-level aggregation, still one shuffle)
+  q("q_entropy",
+    """SELECT l_returnflag, round(entropy(l_linenumber), 6) AS ent
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linenumber")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy("l_returnflag")))
+    counts
+      .groupBy("l_returnflag")
+      .agg(round(-sum((col("cnt") / col("total")) * log2(col("cnt") / col("total"))), 6).as("ent"))
+      .orderBy("l_returnflag")
+  }
+}

@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import Q._
+
+/** Scan / filter / join / sort / limit / set-op coverage
+  * (SURVEY §2.1, §2.2, §2.3, §2.6, §2.7).
+  */
+object Relational extends Pack {
+
+  // ---- scans (2.1) --------------------------------------------------------
+
+  // PhysicalTableScan w/ pushed filter + projection
+  // (reference src/execution/operator/scan/physical_table_scan.cpp)
+  q("q_scan_pushdown",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |WHERE l_quantity < 3 AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") < 3 && col("l_shipdate") >= ts("1997-01-01"))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // range/generate_series table function (reference src/function/table/range.cpp:390)
+  q("q_range_series",
+    """SELECT r.range AS id, r.range * 2 AS doubled FROM range(1, 101) r ORDER BY id""") { (s, _) =>
+    s.range(1, 101).toDF("id")
+      .withColumn("doubled", col("id") * 2)
+      .orderBy("id")
+  }
+
+  // ---- joins (2.3) --------------------------------------------------------
+
+  // inner hash join (reference src/execution/operator/join/physical_hash_join.cpp)
+  q("q_join_inner",
+    """SELECT o_orderkey, c_name, o_totalprice FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 400000
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    val c = Tables.customer(s, dir)
+    // dimension side broadcast: no shuffle of the fact table
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // left outer join + group (JoinType::LEFT, join_type.hpp:20)
+  q("q_join_left",
+    """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""") { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(count(o("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  // right outer join (JoinType::RIGHT)
+  q("q_join_right",
+    """SELECT n_name, count(c_custkey) AS n_cust
+      |FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""") { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    c.join(n, c("c_nationkey") === n("n_nationkey"), "right")
+      .groupBy(n("n_name"))
+      .agg(count(c("c_custkey")).as("n_cust"))
+      .orderBy("n_name")
+  }
+
+  // full outer join (JoinType::OUTER)
+  q("q_join_full",
+    """SELECT a.c_custkey AS big_cust, b.c_custkey AS poor_cust
+      |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) a
+      |FULL JOIN (SELECT c_custkey FROM customer WHERE c_acctbal < -500) b
+      |  ON a.c_custkey = b.c_custkey
+      |ORDER BY big_cust NULLS LAST, poor_cust NULLS LAST""") { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val a = c.filter(col("c_acctbal") > 9000).select(col("c_custkey").as("big_cust"))
+    val b = c.filter(col("c_acctbal") < -500).select(col("c_custkey").as("poor_cust"))
+    a.join(b, a("big_cust") === b("poor_cust"), "full")
+      .orderBy(col("big_cust").asc_nulls_last, col("poor_cust").asc_nulls_last)
+  }
+
+  // LEFT SEMI (EXISTS) — JoinType::SEMI, join_type.hpp:24
+  q("q_join_semi",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // LEFT ANTI (NOT EXISTS) — JoinType::ANTI, join_type.hpp:25
+  q("q_join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""") { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // cross product (reference physical_cross_product.cpp)
+  q("q_join_cross",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""") { (s, dir) =>
+    Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+  }
+
+  // non-equi / range predicate join (reference piecewise merge join / IEJoin,
+  // physical_piecewise_merge_join.cpp, physical_iejoin.cpp) — Spark plans
+  // broadcast nested-loop; kept small-side-broadcast by construction.
+  q("q_join_range",
+    """SELECT s.s_suppkey, count(*) AS n_cheaper
+      |FROM supplier s JOIN customer c
+      |  ON c.c_acctbal < s.s_acctbal AND c.c_nationkey <> s.s_nationkey
+      |GROUP BY s.s_suppkey ORDER BY s.s_suppkey""") { (s, dir) =>
+    val sup = Tables.supplier(s, dir)
+    val c = Tables.customer(s, dir)
+    c.join(broadcast(sup),
+        c("c_acctbal") < sup("s_acctbal") && c("c_nationkey") =!= sup("s_nationkey"))
+      .groupBy(sup("s_suppkey"))
+      .agg(count(lit(1)).as("n_cheaper"))
+      .orderBy("s_suppkey")
+  }
+
+  // IN / NOT IN (null-aware) subqueries → Catalyst ExistenceJoin ≈ MARK join
+  // (reference join_type.hpp:26, plan_subquery.cpp)
+  q("q_in_subquery",
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      |ORDER BY p_partkey""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT p_partkey, p_name FROM part
+            |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+            |ORDER BY p_partkey""".stripMargin)
+  }
+
+  q("q_scalar_subquery",
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      |ORDER BY c_custkey""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT c_custkey, c_acctbal FROM customer
+            |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+            |ORDER BY c_custkey""".stripMargin)
+  }
+
+  // correlated scalar subquery → SINGLE join (reference join_type.hpp:28)
+  q("q_correlated_scalar",
+    """SELECT o_orderkey,
+      |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |   FROM lineitem WHERE l_orderkey = o_orderkey) AS order_revenue
+      |FROM orders WHERE o_totalprice > 450000 ORDER BY o_orderkey""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT o_orderkey,
+            |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+            |   FROM lineitem WHERE l_orderkey = o_orderkey) AS order_revenue
+            |FROM orders WHERE o_totalprice > 450000 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // ---- sort / limit / top-k (2.6) ----------------------------------------
+
+  // TopN: ORDER BY + LIMIT → TakeOrderedAndProject (reference physical_top_n.cpp)
+  q("q_topn",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // LIMIT + OFFSET (reference physical_limit.cpp)
+  q("q_limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(5)
+      .limit(10)
+  }
+
+  // multi-key sort w/ NULLS FIRST/LAST + collation-style ordering
+  q("q_orderby_nulls",
+    """SELECT c_custkey,
+      |       CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      |FROM customer
+      |ORDER BY bal DESC NULLS FIRST, c_custkey LIMIT 50""") { (s, dir) =>
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal"))
+      .orderBy(col("bal").desc_nulls_first, col("c_custkey"))
+      .limit(50)
+  }
+
+  // TABLESAMPLE (reference physical_reservoir_sample.cpp) — sampling is
+  // inherently nondeterministic across engines → rows-only check.
+  qRowsOnly("q_sample_bernoulli") { (s, dir) =>
+    Tables.lineitem(s, dir).sample(withReplacement = false, fraction = 0.1, seed = 42)
+  }
+
+  // ---- set operations (2.7) ----------------------------------------------
+
+  q("q_union_all",
+    """SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9990
+      |UNION ALL
+      |SELECT s_nationkey AS nk FROM supplier
+      |ORDER BY nk""") { (s, dir) =>
+    Tables.customer(s, dir).filter(col("c_acctbal") > 9990).select(col("c_nationkey").as("nk"))
+      .unionAll(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+  }
+
+  q("q_union_distinct",
+    """SELECT c_nationkey AS nk FROM customer
+      |UNION
+      |SELECT s_nationkey AS nk FROM supplier
+      |ORDER BY nk""") { (s, dir) =>
+    Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+      .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+  }
+
+  // UNION BY NAME (reference plan_setop.cpp:77-85)
+  q("q_union_by_name",
+    """SELECT n_nationkey AS k, n_name AS name FROM nation
+      |UNION ALL BY NAME
+      |SELECT r_name AS name, r_regionkey AS k FROM region
+      |ORDER BY k, name""") { (s, dir) =>
+    val a = Tables.nation(s, dir).select(col("n_nationkey").as("k"), col("n_name").as("name"))
+    val b = Tables.region(s, dir).select(col("r_name").as("name"), col("r_regionkey").as("k"))
+    a.unionByName(b).orderBy("k", "name")
+  }
+
+  q("q_intersect",
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nk FROM supplier
+      |ORDER BY nk""") { (s, dir) =>
+    Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+      .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+  }
+
+  q("q_except",
+    """SELECT c_nationkey AS nk FROM customer
+      |EXCEPT
+      |SELECT s_nationkey AS nk FROM supplier
+      |ORDER BY nk""") { (s, dir) =>
+    Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+  }
+
+  q("q_intersect_all",
+    """SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 49
+      |INTERSECT ALL
+      |SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.09
+      |ORDER BY k""") { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+    l.filter(col("l_quantity") > 49).select(col("l_suppkey").as("k"))
+      .intersectAll(l.filter(col("l_discount") > 0.09).select(col("l_suppkey").as("k")))
+      .orderBy("k")
+  }
+
+  q("q_except_all",
+    """SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 49
+      |EXCEPT ALL
+      |SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.09
+      |ORDER BY k""") { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+    l.filter(col("l_quantity") > 49).select(col("l_suppkey").as("k"))
+      .exceptAll(l.filter(col("l_discount") > 0.09).select(col("l_suppkey").as("k")))
+      .orderBy("k")
+  }
+
+  // materialized CTE, referenced twice (reference physical_cte.cpp)
+  q("q_cte_reuse",
+    """WITH big AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000)
+      |SELECT a.o_custkey, count(*) AS n,
+      |  (SELECT count(*) FROM big) AS total_big
+      |FROM big a GROUP BY a.o_custkey ORDER BY a.o_custkey""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH big AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000)
+        |SELECT a.o_custkey, count(*) AS n,
+        |  (SELECT count(*) FROM big) AS total_big
+        |FROM big a GROUP BY a.o_custkey ORDER BY a.o_custkey""".stripMargin)
+  }
+
+  // recursive CTE (reference physical_recursive_cte.cpp) — driver-side
+  // fixpoint loop, see graft.operators.RecursiveCTE
+  q("q_recursive_cte",
+    """WITH RECURSIVE t(n) AS (
+      |  SELECT 1 AS n
+      |  UNION ALL
+      |  SELECT n + 1 FROM t WHERE n < 50
+      |) SELECT n, n * n AS sq FROM t ORDER BY n""") { (s, _) =>
+    import s.implicits._
+    val base = Seq(1L).toDF("n")
+    val result = graft.operators.RecursiveCTE.unionAllFixpoint(
+      base,
+      frontier => frontier.filter(col("n") < 50).select((col("n") + 1).as("n")))
+    result.withColumn("sq", col("n") * col("n")).orderBy("n")
+  }
+
+  // positional join (reference physical_positional_join.cpp)
+  q("q_join_positional",
+    """SELECT a.r_name, b.n_name
+      |FROM (SELECT r_name FROM region ORDER BY r_regionkey) a
+      |POSITIONAL JOIN (SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 5) b
+      |ORDER BY r_name, n_name""") { (s, dir) =>
+    val a = Tables.region(s, dir).orderBy("r_regionkey").select("r_name")
+    val b = Tables.nation(s, dir).orderBy("n_nationkey").limit(5).select("n_name")
+    graft.operators.PositionalJoin(a, b).orderBy("r_name", "n_name")
+  }
+
+  // AS-OF join (reference physical_asof_join.cpp) — for each 'view' event,
+  // the latest preceding 'click' of the same user.
+  q("q_join_asof",
+    """WITH clicks AS (
+      |  SELECT user_id, ts, max(value) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+      |), views AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+      |)
+      |SELECT v.event_id, v.user_id, c.click_value
+      |FROM views v ASOF LEFT JOIN clicks c
+      |  ON v.user_id = c.user_id AND v.ts >= c.ts
+      |ORDER BY v.event_id""") { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    graft.operators.AsOfJoin
+      .backward(views, clicks, "user_id", "ts", "ts", Seq("click_value"))
+      .select("event_id", "user_id", "click_value")
+      .orderBy("event_id")
+  }
+}

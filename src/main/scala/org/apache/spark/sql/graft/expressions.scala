@@ -1,0 +1,234 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst-internal expressions for the graft engine.
+  *
+  * This package lives under `org.apache.spark.sql` to reach Spark's
+  * `private[sql]` extension surface (AbstractDataType, ExpressionUtils) —
+  * the standard pattern for Spark extension libraries. Public DSL wrappers
+  * are re-exported from `graft.functions`.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+// ---------------------------------------------------------------------------
+// Vector math over ArrayType(FloatType) embeddings.
+//
+// Capability parity with the reference's list vector functions
+// (/root/reference/extension/core_functions/scalar/list/
+//  list_cosine_similarity.cpp, list_distance.cpp, list_inner_product.cpp),
+// re-expressed as codegen'd Catalyst expressions: the generated Java loop
+// stays inside whole-stage codegen — no boxing, no UDF serialization. This
+// is the hot path of the ANN / near-dup operators at 100 TB scale.
+// Accumulation in double (the reference promotes to the widest type too).
+// ---------------------------------------------------------------------------
+
+abstract class BinaryVectorExpression extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  protected def compute(a: ArrayData, b: ArrayData, n: Int): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    compute(a, b, math.min(a.numElements(), b.numElements()))
+  }
+
+  protected def loopCode(a: String, b: String, n: String, result: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${loopCode(a, b, n, ev.value.toString)}
+       """.stripMargin
+    })
+}
+
+/** Inner product: reference list_inner_product. */
+case class VecDot(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "vec_dot"
+  protected def compute(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+  protected def loopCode(a: String, b: String, n: String, result: String): String = {
+    val acc = s"${result}_acc"
+    s"""double $acc = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  $acc += (double)$a.getFloat(i) * (double)$b.getFloat(i);
+       |}
+       |$result = $acc;""".stripMargin
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity: reference list_cosine_similarity. */
+case class VecCosine(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "vec_cosine_similarity"
+  protected def compute(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+  protected def loopCode(a: String, b: String, n: String, result: String): String = {
+    val dot = s"${result}_dot"; val na = s"${result}_na"; val nb = s"${result}_nb"
+    s"""double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  double x = (double)$a.getFloat(i); double y = (double)$b.getFloat(i);
+       |  $dot += x * y; $na += x * x; $nb += y * y;
+       |}
+       |$result = $dot / java.lang.Math.sqrt($na * $nb);""".stripMargin
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Euclidean (L2) distance: reference list_distance. */
+case class VecL2(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "vec_l2_distance"
+  protected def compute(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+  protected def loopCode(a: String, b: String, n: String, result: String): String = {
+    val acc = s"${result}_acc"
+    s"""double $acc = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  double d = (double)$a.getFloat(i) - (double)$b.getFloat(i);
+       |  $acc += d * d;
+       |}
+       |$result = java.lang.Math.sqrt($acc);""".stripMargin
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of one vector. */
+case class VecNorm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "vec_norm"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var acc = 0.0; var i = 0
+    while (i < a.numElements()) {
+      val x = a.getFloat(i).toDouble; acc += x * x; i += 1
+    }
+    math.sqrt(acc)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val acc = ctx.freshName("acc")
+      s"""double $acc = 0.0;
+         |for (int i = 0; i < $a.numElements(); i++) {
+         |  double x = (double)$a.getFloat(i); $acc += x * x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+// ---------------------------------------------------------------------------
+// String similarity — kernels live in graft.functions.StringSim; codegen is
+// a static call so whole-stage codegen spans are preserved.
+// Reference: extension/core_functions/scalar/string/{jaccard,jaro_winkler,
+// damerau_levenshtein,hamming}.cpp
+// ---------------------------------------------------------------------------
+
+abstract class StaticStringSimExpr extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def nullIntolerant: Boolean = true
+  protected def method: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $method($a, $b);")
+}
+
+case class JaroWinkler(left: Expression, right: Expression) extends StaticStringSimExpr {
+  override def prettyName: String = "jaro_winkler"
+  override def dataType: DataType = DoubleType
+  protected def method: String = "graft.functions.StringSim.jaroWinkler"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.StringSim.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class DamerauLevenshtein(left: Expression, right: Expression) extends StaticStringSimExpr {
+  override def prettyName: String = "damerau_levenshtein"
+  override def dataType: DataType = LongType
+  protected def method: String = "graft.functions.StringSim.damerauLevenshtein"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.StringSim.damerauLevenshtein(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class JaccardChars(left: Expression, right: Expression) extends StaticStringSimExpr {
+  override def prettyName: String = "jaccard_sim"
+  override def dataType: DataType = DoubleType
+  protected def method: String = "graft.functions.StringSim.jaccard"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.StringSim.jaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Hamming distance; null on unequal lengths (the reference errors — we go
+  * null-safe for pipeline use).
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "hamming_distance"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input); val b = right.eval(input)
+    if (a == null || b == null) null
+    else graft.functions.StringSim.hamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val la = left.genCode(ctx); val ra = right.genCode(ctx)
+    val boxed = ctx.freshName("boxed")
+    ev.copy(code =
+      code"""
+         |${la.code}
+         |${ra.code}
+         |boolean ${ev.isNull} = true;
+         |long ${ev.value} = -1L;
+         |if (!${la.isNull} && !${ra.isNull}) {
+         |  java.lang.Long $boxed = graft.functions.StringSim.hamming(${la.value}, ${ra.value});
+         |  if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+         |}
+       """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
