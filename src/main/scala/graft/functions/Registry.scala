@@ -31,6 +31,8 @@ object Registry {
     f2("damerau_levenshtein", DamerauLevenshtein(_, _))
     f2("hamming_distance", HammingDistance(_, _))
     f2("jaccard_sim", JaccardChars(_, _))
+    f2("gcd", Gcd(_, _))
+    f2("lcm", Lcm(_, _))
     registered = true
   }
 }

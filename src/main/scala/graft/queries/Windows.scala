@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import Q._
+
+/** Window-function coverage (SURVEY §2.5; reference
+  * src/execution/operator/aggregate/physical_window.cpp + src/function/window/).
+  * All window evaluation shuffles once on the partition key — same
+  * asymptotics as the reference's hash-partitioned window executor.
+  */
+object Windows extends Pack {
+
+  // ranking family: row_number/rank/dense_rank/percent_rank/cume_dist/ntile
+  q("q_window_ranking",
+    """SELECT c_custkey, c_mktsegment,
+      |  row_number() OVER w AS rn,
+      |  rank() OVER w AS rk,
+      |  dense_rank() OVER w AS drk,
+      |  round(percent_rank() OVER w, 6) AS prk,
+      |  round(cume_dist() OVER w, 6) AS cd,
+      |  ntile(4) OVER w AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, rn""") { (s, dir) =>
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_mktsegment"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        round(percent_rank().over(w), 6).as("prk"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  // lag / lead with defaults and offsets
+  q("q_window_lag_lead",
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_totalprice) OVER w AS prev_price,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  lag(o_totalprice, 2, -1.0) OVER w AS prev2_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        lag(col("o_totalprice"), 2, -1.0).over(w).as("prev2_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // aggregate over ROWS frame (running totals) — reference window_segment_tree.cpp
+  q("q_window_running",
+    s"""SELECT o_custkey, o_orderkey,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+       |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+       |FROM orders ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(S)).over(w).cast("double").as("running_total"),
+        count(lit(1)).over(w).as("n_so_far"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // sliding ROWS frame with bounded preceding/following
+  q("q_window_sliding",
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+       |    OVER w AS DOUBLE) /
+       |  (count(*) OVER w) AS avg5
+       |FROM lineitem WHERE l_suppkey <= 3
+       |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+       |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+       |ORDER BY l_suppkey, l_orderkey, l_linenumber""") { (s, dir) =>
+    val w = Window.partitionBy("l_suppkey").orderBy(col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-2, 2)
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 3)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        (sum(col("l_quantity").cast(S)).over(w).cast("double") /
+          count(lit(1)).over(w)).as("avg5"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  // RANGE frame with numeric bounds
+  q("q_window_range_frame",
+    """SELECT c_custkey, c_acctbal,
+      |  count(*) OVER (ORDER BY c_acctbal RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS n_near
+      |FROM customer ORDER BY c_custkey""") { (s, dir) =>
+    val w = Window.orderBy(col("c_acctbal")).rangeBetween(-100, 100)
+    Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_acctbal"),
+        count(lit(1)).over(w).as("n_near"))
+      .orderBy("c_custkey")
+  }
+
+  // first_value / last_value / nth_value over frames
+  q("q_window_value_fns",
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_ok,
+      |  last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+      |  nth_value(o_orderkey, 2) OVER w AS second_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(wFull).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // lag IGNORE NULLS (reference WindowBoundary + ignore_nulls)
+  q("q_window_ignore_nulls",
+    """SELECT event_id, user_id,
+      |  lag(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_purchase_value
+      |FROM events ORDER BY event_id""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        lag(when(col("event_type") === "purchase", col("value")), 1, null, ignoreNulls = true)
+          .over(w).as("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  // row_number()<=k window-group-limit path (reference topn_window elimination,
+  // optimizer.cpp:418-421 ↔ Spark 3.5 WindowGroupLimit)
+  q("q_window_top2_per_group",
+    """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer) t WHERE rn <= 2
+      |ORDER BY c_mktsegment, c_custkey""") { (s, dir) =>
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  // aggregate OVER () (global window, streaming fast path in the reference —
+  // physical_streaming_window.cpp)
+  q("q_window_global",
+    s"""SELECT o_orderkey,
+       |  round(o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER () AS DOUBLE), 9) AS price_share
+       |FROM orders WHERE o_totalprice > 400000 ORDER BY o_orderkey""") { (s, dir) =>
+    val w = Window.partitionBy()
+    Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") / sum(col("o_totalprice").cast(S)).over(w).cast("double"), 9)
+          .as("price_share"))
+      .orderBy("o_orderkey")
+  }
+
+  // fill() gap-interpolation (reference src/function/window/
+  // window_value_function.cpp — DuckDB-specific `fill` window fn) —
+  // rewritten as last/next non-null + linear interpolation. The oracle
+  // DuckDB (1.0.0) predates fill(), so the oracle spells out the same
+  // interpolation independently.
+  q("q_window_fill",
+    """WITH base AS (
+      |  SELECT event_id, CASE WHEN event_type <> 'error' THEN value END AS v
+      |  FROM events WHERE user_id = 1
+      |), marked AS (
+      |  SELECT event_id, v,
+      |    last_value(v IGNORE NULLS) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS)
+      |      OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+      |    first_value(v IGNORE NULLS) OVER (ORDER BY event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS)
+      |      OVER (ORDER BY event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nk
+      |  FROM base)
+      |SELECT event_id,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pv IS NULL THEN nv
+      |       WHEN nv IS NULL THEN pv
+      |       ELSE pv + (nv - pv) * (event_id - pk) / (nk - pk) END AS filled_value
+      |FROM marked ORDER BY event_id""") { (s, dir) =>
+    // DuckDB fill(): linear interpolation between the previous and next
+    // non-null values along the ORDER BY key (event_id), extrapolating at
+    // the edges to the nearest value.
+    val base = Tables.events(s, dir)
+      .filter(col("user_id") === 1)
+      .select(col("event_id"),
+        when(col("event_type") =!= "error", col("value")).as("v"))
+    val wAll = Window.orderBy("event_id")
+    val wPrev = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pk", last(when(col("v").isNotNull, col("event_id")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nk", first(when(col("v").isNotNull, col("event_id")), ignoreNulls = true).over(wNext))
+      .select(col("event_id"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("event_id") - col("pk")) / (col("nk") - col("pk")))
+          .as("filled_value"))
+      .orderBy("event_id")
+  }
+}

@@ -199,6 +199,53 @@ case class JaccardChars(left: Expression, right: Expression) extends StaticStrin
     copy(left = l, right = r)
 }
 
+/** gcd/lcm on BIGINT — reference extension/core_functions/scalar/math
+  * (GreatestCommonDivisorFun/LeastCommonMultipleFun); Spark has no native
+  * equivalent.
+  */
+case class Gcd(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "gcd"
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Gcd.compute(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.Gcd.compute($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object Gcd {
+  def compute(a: Long, b: Long): Long = {
+    var x = math.abs(a); var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+}
+
+case class Lcm(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "lcm"
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Lcm.compute(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.Lcm.compute($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object Lcm {
+  def compute(a: Long, b: Long): Long =
+    if (a == 0 || b == 0) 0L else math.abs(a / Gcd.compute(a, b) * b)
+}
+
 /** Hamming distance; null on unequal lengths (the reference errors — we go
   * null-safe for pipeline use).
   */
