@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY §7 M4; exact + MinHash-LSH + n-gram Jaccard; SimHash lives in
+  * [[Simhash]]).
+  *
+  * Design for 100 TB: every step is a hash-partitioned shuffle on a
+  * signature/band key — never an all-pairs comparison. The LSH band join
+  * only materializes pairs inside small buckets; mega-buckets are dropped
+  * with a per-bucket cap (the standard guard against degenerate shingles —
+  * one viral boilerplate string otherwise yields O(n²) pairs in a single
+  * bucket).
+  *
+  * The md5 hash family keeps signatures engine-portable (the duckdb oracle
+  * computes identical signatures); for throughput-critical runs swap to
+  * xxhash64 — same topology, cheaper hash.
+  *
+  * Dynamic-start `substring` inside lambdas is not expressible in the
+  * Column DSL, so the shingle kernels are built with SQL `expr` over a
+  * column name.
+  */
+object Dedup {
+
+  /** Character k-shingle set (distinct) of a text column. */
+  def shingleSet(textCol: String, k: Int = 8): Column =
+    expr(s"""array_distinct(transform(
+            |  sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
+            |  i -> substring($textCol, i, $k)))""".stripMargin)
+
+  /** One md5 minhash with integer seed: min over shingles of md5(shingle||seed). */
+  def minhash(textCol: String, seed: Int, k: Int = 8): Column =
+    expr(s"""array_min(transform(
+            |  sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
+            |  i -> md5(concat(substring($textCol, i, $k), '$seed'))))""".stripMargin)
+
+  /** Adds band_1..band_b signature columns: b bands of r minhashes each. */
+  def withBands(df: DataFrame, textCol: String, bands: Int, rowsPerBand: Int,
+      k: Int = 8): DataFrame =
+    (1 to bands).foldLeft(df) { (d, b) =>
+      val hs = (1 to rowsPerBand).map(r => minhash(textCol, (b - 1) * rowsPerBand + r, k))
+      d.withColumn(s"band_$b", md5(concat(hs: _*)))
+    }
+
+  /** LSH candidate pairs (id_a < id_b), bucket-capped, deduped across bands. */
+  def lshCandidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 2, rowsPerBand: Int = 4, k: Int = 8,
+      maxBucket: Int = 100): DataFrame = {
+    val sig = withBands(docs.select(idCol, textCol), textCol, bands, rowsPerBand, k)
+    val perBand = (1 to bands).map { b =>
+      val bd = sig.select(col(idCol).as("id"), col(s"band_$b").as("bucket"))
+      val small = bd.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket)
+        .select("bucket")
+      val inb = bd.join(small, "bucket")
+      inb.as("a").join(inb.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    }
+    perBand.reduce(_ unionAll _).distinct()
+  }
+
+  /** Exact Jaccard over distinct character-k-shingle sets of two texts
+    * (columns must be plain names valid in SQL scope).
+    */
+  def shingleJaccard(textColA: String, textColB: String, k: Int = 8): Column = {
+    def sset(c: String) =
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(length($c) - ${k - 1}, 1)),
+         |  i -> substring($c, i, $k)))""".stripMargin
+    expr(s"""CAST(size(array_intersect(${sset(textColA)}, ${sset(textColB)})) AS DOUBLE) /
+            |size(array_union(${sset(textColA)}, ${sset(textColB)}))""".stripMargin)
+  }
+
+  /** Word n-gram Jaccard between two text columns. */
+  def wordNgramJaccard(textColA: String, textColB: String, n: Int = 1): Column = {
+    def grams(c: String) =
+      if (n == 1) s"array_distinct(split(lower($c), '\\\\s+'))"
+      else
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(split(lower($c), '\\\\s+')) - ${n - 1}, 1)),
+           |  i -> array_join(slice(split(lower($c), '\\\\s+'), i, $n), ' ')))""".stripMargin
+    expr(s"""CAST(size(array_intersect(${grams(textColA)}, ${grams(textColB)})) AS DOUBLE) /
+            |size(array_union(${grams(textColA)}, ${grams(textColB)}))""".stripMargin)
+  }
+
+  /** Exact duplicate groups by normalized content hash — one shuffle. */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(lower(trim(col(textCol)))))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+}

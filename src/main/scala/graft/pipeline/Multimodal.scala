@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode/feature-extraction as partition-local batch functions.
+  *
+  * The actual image/audio decode is STUBBED (`fakeDecode`) — the codec
+  * libraries are not in this container — but everything Spark-side is real
+  * and tested: schema, partitioning, batch iteration shape, feature
+  * schema. Swapping `fakeDecode` for a real JNI/codec call changes no
+  * plan topology.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("format", StringType, nullable = true))), nullable = true)))
+
+  /** Synthesize a media table from the documents fixture (payload = utf8
+    * bytes standing in for an encoded image).
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("modality"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (pmod(col("doc_id"), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"),
+        lit("fake/rgb8").as("format")).as("meta"))
+
+  /** STUB decode: a real implementation would decode `payload` with an
+    * image codec; this deterministic fake derives "pixel stats" from the
+    * bytes so the distributed plumbing is exercised end-to-end.
+    */
+  private def fakeDecode(payload: Array[Byte], w: Int, h: Int): (Double, Double, Long) = {
+    if (payload == null || payload.isEmpty) return (0.0, 0.0, 0L)
+    var sum = 0L; var i = 0
+    while (i < payload.length) { sum += (payload(i) & 0xff); i += 1 }
+    val mean = sum.toDouble / payload.length
+    var varAcc = 0.0; i = 0
+    while (i < payload.length) {
+      val d = (payload(i) & 0xff) - mean; varAcc += d * d; i += 1
+    }
+    (mean, math.sqrt(varAcc / payload.length), w.toLong * h)
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("mean_intensity", DoubleType, nullable = true),
+    StructField("std_intensity", DoubleType, nullable = true),
+    StructField("n_pixels", LongType, nullable = true)))
+
+  /** Feature extraction as a partition-local batch pass (the `mapInPandas`
+    * equivalent in Scala): one decoder instance per partition, rows
+    * streamed through it — the shape a real codec needs (expensive init
+    * amortized per partition, not per row).
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "modality", "payload", "meta.width", "meta.height")
+      .rdd.mapPartitions { rows =>
+        // per-partition decoder init would go here
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (mean, std, pixels) = fakeDecode(payload,
+            r.getAs[Int]("width"), r.getAs[Int]("height"))
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
+            if (payload == null) 0L else payload.length.toLong, mean, std, pixels)
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Scale shape: queries are the SMALL side (broadcast — zero shuffle of the
+  * corpus); per-query top-k is a WindowGroupLimit (rank ≤ k pushes the
+  * limit into the shuffle). Brute force is the exact baseline; the
+  * hyperplane-LSH variant buckets the corpus once (linear scan per bucket)
+  * and re-ranks exactly inside matched buckets — the standard
+  * recall/throughput trade for billion-row corpora.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for every query row: broadcast(queries) ⋈ corpus. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      // round before ranking so cross-engine float noise can't flip ties;
+      // ties broken deterministically by corpus_id
+      .select(col("query_id"), col("corpus_id"),
+        round(vec_cosine(col("cvec"), col("qvec")), roundTo).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos_sim", "rk")
+  }
+
+  /** Deterministic random hyperplanes: plane p, dim d → ±1 from md5 parity.
+    * Portable across engines and runs (no RNG state).
+    */
+  private def planeSign(p: Int, d: Int): Double =
+    if (java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"plane:$p:$d").substring(0, 8), 16) % 2 == 0) 1.0 else -1.0
+
+  /** Hyperplane-LSH bucket code (SimHash for cosine): `planes`-bit code per
+    * row. Rows sharing a code are near-neighbors with high probability.
+    */
+  def withLshBucket(
+      df: DataFrame, vecCol: String, dims: Int, planes: Int = 8): DataFrame = {
+    val code = (0 until planes).map { p =>
+      val signs = (0 until dims).map(d => planeSign(p, d))
+      val proj = (0 until dims).map { d =>
+        element_at(col(vecCol), d + 1).cast("double") * lit(signs(d))
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("lsh_bucket", code)
+  }
+
+  /** Approximate top-k: candidates from matching LSH buckets, exact cosine
+    * re-rank inside. Recall < 1 by construction (standard ANN trade).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planes: Int = 8): DataFrame = {
+    val c = withLshBucket(corpus, vecCol, dims, planes)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"), col("lsh_bucket"))
+    val q = withLshBucket(queries, vecCol, dims, planes)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("lsh_bucket"))
+    val scored = c.join(broadcast(q), Seq("lsh_bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(vec_cosine(col("cvec"), col("qvec")), 5).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos_sim", "rk")
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, via LSH
+    * buckets (never all-pairs).
+    */
+  def nearDupPairs(
+      df: DataFrame, threshold: Double, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planes: Int = 6): DataFrame = {
+    val b = withLshBucket(df, vecCol, dims, planes)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.lsh_bucket") === col("b.lsh_bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(vec_cosine(col("a.v"), col("b.v")), 5).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: language ID
+  * (stopword-ratio heuristic), quality scoring, token counting, document
+  * fingerprinting. All pure column expressions — fully codegen'd, no UDFs,
+  * trivially distributed.
+  */
+object TextAnalysis {
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "es", "por"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
+
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** BPE-ish subword count: alpha runs, digit runs, single symbols. */
+  def bpeTokenCount(textCol: String): Column =
+    expr(s"CAST(size(regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT)")
+
+  /** Fraction of tokens found in `words`. */
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val lits = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(lits, t))).cast("double") /
+      size(tokens(text))
+  }
+
+  /** Heuristic language ID: argmax stopword ratio over the known languages,
+    * fixed priority on ties, 'und' (undetermined) when nothing matches.
+    */
+  def languageId(text: Column): Column = {
+    val langs = Seq("en", "de", "es", "fr") // tie-break priority
+    val ratios = langs.map(l => l -> stopwordRatio(text, stopwords(l)))
+    val best = ratios.map(_._2).reduce((a, b) => greatest(a, b))
+    langs.foldRight(lit("und"): Column) { case (l, els) =>
+      when(ratios.find(_._1 == l).get._2 >= best && best > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Ratio of non (ascii-alnum/space) characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(lower(text), lit("[^a-z0-9 ]"), lit(""))))
+      .cast("double") / length(text)
+
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, lit("\\s+"), lit(""))).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: length fitness + lexical diversity
+    * + low punctuation + stopword presence (the usual pretraining filters,
+    * cf. C4/Gopher-style heuristics — public recipes).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenScore = least(nTok.cast("double") / 64.0, lit(1.0))
+    val diversity = size(array_distinct(tokens(text))).cast("double") / nTok
+    val punct = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stop = least(stopwordRatio(text, stopwords("en")) * 5.0, lit(1.0))
+    round((lenScore + diversity + punct + stop) / 4.0, 6)
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set (classic "fingerprint" clustering key).
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
+}

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Q._
+
+/** LLM training-data pipeline operators (SURVEY §7 M4 + builder brief):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
+  * similarity search (brute-force + LSH), text analysis, multimodal
+  * plumbing, sessionization, tumbling-window analytics.
+  */
+object Pipeline extends Pack {
+
+  // exact dedup: one shuffle on the content hash
+  q("q_dedup_exact",
+    """SELECT md5(lower(trim(text))) AS content_hash,
+      |  min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""") { (s, dir) =>
+    Dedup.exactDuplicates(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("content_hash")
+  }
+
+  private def duckMinhash(seed: Int): String =
+    s"""list_min(list_transform(generate_series(1, greatest(length(text)-7, 1)),
+       |  i -> md5(concat(substring(text, i, 8), '$seed'))))""".stripMargin
+  private def duckBand(b: Int): String =
+    s"md5(concat(${(1 to 4).map(r => duckMinhash((b - 1) * 4 + r)).mkString(", ")}))"
+
+  // MinHash signatures: 8 hashes → 2 bands of 4 (shingle k=8)
+  q("q_dedup_minhash_sig",
+    s"""SELECT doc_id, ${duckBand(1)} AS band_1, ${duckBand(2)} AS band_2
+       |FROM documents ORDER BY doc_id""") { (s, dir) =>
+    Dedup.withBands(Tables.documents(s, dir).select("doc_id", "text"), "text", 2, 4)
+      .select("doc_id", "band_1", "band_2")
+      .orderBy("doc_id")
+  }
+
+  // LSH candidate pairs + exact shingle-Jaccard verification
+  q("q_dedup_minhash_pairs",
+    s"""WITH sig AS (
+       |  SELECT doc_id, text, ${duckBand(1)} AS band_1, ${duckBand(2)} AS band_2
+       |  FROM documents),
+       |b1 AS (SELECT band_1 AS bucket FROM sig GROUP BY 1 HAVING count(*) <= 100),
+       |b2 AS (SELECT band_2 AS bucket FROM sig GROUP BY 1 HAVING count(*) <= 100),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a JOIN sig b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id
+       |  JOIN b1 ON b1.bucket = a.band_1
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM sig a JOIN sig b ON a.band_2 = b.band_2 AND a.doc_id < b.doc_id
+       |  JOIN b2 ON b2.bucket = a.band_2),
+       |txt AS (SELECT doc_id, list_distinct(list_transform(
+       |  generate_series(1, greatest(length(text)-7, 1)),
+       |  i -> substring(text, i, 8))) AS sh FROM documents)
+       |SELECT p.id_a, p.id_b,
+       |  round(CAST(len(list_filter(ta.sh, x -> list_contains(tb.sh, x))) AS DOUBLE) /
+       |        len(list_distinct(list_concat(ta.sh, tb.sh))), 6) AS jaccard
+       |FROM pairs p JOIN txt ta ON ta.doc_id = p.id_a JOIN txt tb ON tb.doc_id = p.id_b
+       |ORDER BY id_a, id_b""") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", bands = 2, rowsPerBand = 4)
+    val withTexts = pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+    withTexts
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.shingleJaccard("text_a", "text_b"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // word-level n-gram Jaccard between consecutive documents
+  q("q_dedup_ngram_jaccard",
+    """WITH t AS (SELECT doc_id,
+      |  list_distinct(string_split_regex(lower(text), '\s+')) AS w FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.w, b.w))), 6) AS jac
+      |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |ORDER BY id_a""") { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.wordNgramJaccard("text_a", "text_b", 1), 6).as("jac"))
+      .orderBy("id_a")
+  }
+
+  // SimHash near-dup sketch (custom expression; not SQL-expressible in the
+  // oracle → rows-only; exactness covered by SimhashSpec)
+  qRowsOnly("q_dedup_simhash") { (s, dir) =>
+    import graft.functions.TextHash
+    val w = Window.orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextHash.simhash(TextAnalysis.tokens(col("text"))).as("sh"))
+      .withColumn("hamming_to_next",
+        bit_count(col("sh").bitwiseXOR(lead(col("sh"), 1).over(w))))
+      .orderBy("doc_id")
+  }
+
+  // embedding near-dup pairs via hyperplane LSH buckets (never all-pairs)
+  qRowsOnly("q_dedup_embedding") { (s, dir) =>
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.2,
+        dims = 64, planes = 6)
+      .orderBy("id_a", "id_b")
+  }
+
+  // exact brute-force cosine top-k (queries broadcast; WindowGroupLimit)
+  q("q_sim_topk",
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, corpus_id,
+      |    round(list_cosine_similarity(cv, qv), 5) AS cos_sim
+      |  FROM c CROSS JOIN q WHERE corpus_id <> query_id),
+      |ranked AS (SELECT *, row_number() OVER (
+      |  PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rk FROM scored)
+      |SELECT query_id, corpus_id, cos_sim, rk FROM ranked WHERE rk <= 10
+      |ORDER BY query_id, rk""") { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rk")
+  }
+
+  // approximate top-k via hyperplane LSH + exact re-rank (recall<1 by design)
+  qRowsOnly("q_sim_topk_lsh") { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 10, dims = 64, planes = 4)
+      .orderBy("query_id", "rk")
+  }
+
+  private val duckToks = "string_split_regex(lower(text), '\\s+')"
+  private def duckRatio(words: Seq[String]): String =
+    s"""(CAST(len(list_filter($duckToks,
+       |  t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t))) AS DOUBLE)
+       |  / len($duckToks))""".stripMargin
+
+  // heuristic language ID: stopword-ratio argmax
+  q("q_text_langid", {
+    val rs = Seq("en", "de", "es", "fr").map(l => l -> duckRatio(TextAnalysis.stopwords(l)))
+    val best = s"greatest(${rs.map(_._2).mkString(", ")})"
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  CASE ${rs.map { case (l, r) => s"WHEN $r >= $best AND $best > 0 THEN '$l'" }
+            .mkString(" ")}
+       |  ELSE 'und' END AS predicted_lang,
+       |  round(${rs.head._2}, 6) AS en_ratio
+       |FROM documents ORDER BY doc_id"""
+  }) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextAnalysis.languageId(col("text")).as("predicted_lang"),
+        round(TextAnalysis.stopwordRatio(col("text"), TextAnalysis.stopwords("en")), 6)
+          .as("en_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // quality scoring (C4/Gopher-style heuristics)
+  q("q_text_quality", {
+    val nTok = s"len($duckToks)"
+    val punct =
+      s"""(CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         | / length(text))""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST($nTok AS BIGINT) AS n_tokens,
+       |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nTok, 6) AS avg_word_len,
+       |  round($punct, 6) AS punct_ratio,
+       |  round((least($nTok / 64.0, 1.0)
+       |    + CAST(len(list_distinct($duckToks)) AS DOUBLE) / $nTok
+       |    + (1.0 - least($punct * 5.0, 1.0))
+       |    + least(${duckRatio(TextAnalysis.stopwords("en"))} * 5.0, 1.0)) / 4.0, 6) AS quality
+       |FROM documents ORDER BY doc_id"""
+  }) { (s, dir) =>
+    val t = col("text")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        round(TextAnalysis.avgWordLen(t), 6).as("avg_word_len"),
+        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+        TextAnalysis.qualityScore(t).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // token counting: whitespace + BPE-ish subword regex
+  q("q_text_tokens",
+    s"""SELECT doc_id,
+       |  CAST(len($duckToks) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeTokenCount("lower(text)").as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // order-insensitive document fingerprint
+  q("q_text_fingerprint",
+    s"""SELECT doc_id,
+       |  md5(array_to_string(list_sort(list_distinct($duckToks)), ' ')) AS fp
+       |FROM documents ORDER BY doc_id""") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // multimodal plumbing (decode STUBBED — see graft.pipeline.Multimodal)
+  qRowsOnly("q_multimodal_features") { (s, dir) =>
+    Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, dir)))
+      .orderBy("media_id")
+  }
+
+  // sessionization: 30-min-gap sessions per user (exact epoch-µs arithmetic)
+  q("q_sessionize",
+    """WITH flags AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      |             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |sess AS (SELECT user_id, event_id,
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM flags)
+      |SELECT user_id, session_id, count(*) AS n_events
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // tumbling-window analytics in batch form (SURVEY §2.10: the reference has
+  // no event-time streaming; time_bucket ↔ window())
+  q("q_stream_tumbling",
+    s"""SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket,
+       |  event_type, count(*) AS n, ${dsumSql("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("win.start").as("bucket"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("bucket", "event_type")
+  }
+}

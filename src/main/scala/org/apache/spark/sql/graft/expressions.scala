@@ -199,6 +199,23 @@ case class JaccardChars(left: Expression, right: Expression) extends StaticStrin
     copy(left = l, right = r)
 }
 
+/** 64-bit SimHash over a token array (Charikar 2002, the standard
+  * near-dup sketch): per-token md5 → 64-bit hash, bitwise majority vote.
+  * Kernel in graft.functions.TextHash; codegen is a static call.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "simhash64"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.TextHash.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.simhash64($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** gcd/lcm on BIGINT — reference extension/core_functions/scalar/math
   * (GreatestCommonDivisorFun/LeastCommonMultipleFun); Spark has no native
   * equivalent.
