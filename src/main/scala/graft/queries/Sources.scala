@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import Q._
+
+/** Source/sink formats and reshaping operators (SURVEY §2.1, §2.2):
+  * CSV/JSON write→read round-trips (COPY TO ↔ df.write, read_csv/read_json
+  * ↔ spark.read), filename/glob metadata, UNNEST, PIVOT/UNPIVOT, SUMMARIZE.
+  *
+  * Round-trip queries restrict themselves to string/int columns so the
+  * text-format serialization is bit-stable; the oracle reads the same
+  * parquet source directly.
+  */
+object Sources extends Pack {
+
+  private def tmp(name: String): String = {
+    val d = s"/tmp/graft_io/$name"
+    d
+  }
+
+  // COPY TO csv + read_csv with header/schema inference
+  // (reference src/function/table/read_csv.cpp + copy_csv.cpp)
+  q("q_csv_roundtrip",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+    val out = tmp("nation_csv")
+    Tables.nation(s, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true").option("inferSchema", "true").csv(out)
+      .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
+      .orderBy("n_nationkey")
+  }
+
+  // COPY TO json + read_json (NDJSON) — reference extension/json/read_json.cpp
+  q("q_json_roundtrip",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_custkey <= 50 ORDER BY c_custkey""") { (s, dir) =>
+    val out = tmp("customer_json")
+    Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 50)
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .write.mode("overwrite").json(out)
+    s.read.json(out)
+      .select(col("c_custkey").cast("bigint"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  // partitioned parquet write (PhysicalCopyToFile PARTITION_BY) + partition-
+  // pruned read back via hive-style discovery
+  q("q_partitioned_write",
+    """SELECT o_orderstatus, count(*) AS n FROM orders
+      |WHERE o_orderstatus = 'F' GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+    val out = tmp("orders_part")
+    Tables.orders(s, dir)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    // the filter prunes to the o_orderstatus=F directory — no full scan
+    s.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  // filename() / glob multi-file read (reference src/common/multi_file/)
+  q("q_filename_glob",
+    """SELECT CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+      |  + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+      |  + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
+      |  + (SELECT count(*) FROM lineitem) + (SELECT count(*) FROM events)
+      |  + (SELECT count(*) FROM documents) + (SELECT count(*) FROM embeddings)
+      |  AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_files""") { (s, dir) =>
+    // glob over the fixture dir; one row count + file count via metadata col
+    s.read.option("mergeSchema", "true").parquet(
+        Tables.names.map(n => s"$dir/$n.parquet"): _*)
+      .select(input_file_name().as("path"))
+      .select(element_at(split(col("path"), "/"), -1).as("fname"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("fname")).as("n_files"))
+  }
+
+  // UNNEST aligned lists (reference physical_unnest.cpp — multiple unnests
+  // stay row-aligned; Spark: posexplode + element_at)
+  q("q_unnest",
+    """SELECT vec_id, u.pos, u.val FROM (
+      |  SELECT vec_id, unnest(array_slice(embedding, 1, 4)) AS val,
+      |         unnest(generate_series(1, 4)) AS pos
+      |  FROM embeddings WHERE vec_id < 20) u
+      |ORDER BY vec_id, pos""") { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
+      .select(col("vec_id"), (col("pos") + 1).cast("bigint").as("pos"), col("col").as("val"))
+      .orderBy("vec_id", "pos")
+  }
+
+  // PIVOT (reference physical_pivot.cpp + bind_pivot.cpp)
+  q("q_pivot",
+    s"""SELECT l_returnflag,
+       |  ${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+       |  ${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus")
+      .agg(dsum(col("l_quantity")))
+      .orderBy("l_returnflag")
+  }
+
+  // UNPIVOT (reference bind_pivot.cpp unpivot path ↔ Spark stack())
+  q("q_unpivot",
+    """SELECT c_custkey, attr, val FROM (
+      |  SELECT c_custkey, c_acctbal AS balance, CAST(c_nationkey AS DOUBLE) AS nation
+      |  FROM customer WHERE c_custkey <= 50)
+      |UNPIVOT (val FOR attr IN (balance, nation))
+      |ORDER BY c_custkey, attr""") { (s, dir) =>
+    Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 50)
+      .select(col("c_custkey"),
+        expr("stack(2, 'balance', c_acctbal, 'nation', CAST(c_nationkey AS DOUBLE)) AS (attr, val)"))
+      .orderBy("c_custkey", "attr")
+  }
+
+  // SUMMARIZE-style per-column stats (reference bind_summarize.cpp)
+  q("q_summarize",
+    s"""SELECT 'l_quantity' AS col_name,
+       |  count(*) AS n, CAST(count(DISTINCT l_quantity) AS BIGINT) AS approx_unique,
+       |  min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+       |  ${davgSql("l_quantity")} AS avg_v
+       |FROM lineitem
+       |UNION ALL
+       |SELECT 'l_extendedprice', count(*), CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+       |  min(l_extendedprice), max(l_extendedprice), ${davgSql("l_extendedprice")}
+       |FROM lineitem
+       |ORDER BY col_name""") { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    def one(c: String) = li.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col(c)).as("approx_unique"),
+      min(col(c)).as("min_v"), max(col(c)).as("max_v"),
+      davg(col(c)).as("avg_v")).withColumn("col_name", lit(c))
+      .select("col_name", "n", "approx_unique", "min_v", "max_v", "avg_v")
+    one("l_quantity").unionAll(one("l_extendedprice")).orderBy("col_name")
+  }
+}
