@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+  import graft.functions.{StringFunctions => SF, VectorFunctions => VF}
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect().head.getAs[T](0)
+
+  test("vec_dot/cosine/l2/norm match scala reference (codegen path)") {
+    import spark.implicits._
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val df = Seq((a, b)).toDF("a", "b")
+    val dot = one[Double](df.select(VF.vec_dot(col("a"), col("b"))))
+    val cos = one[Double](df.select(VF.vec_cosine(col("a"), col("b"))))
+    val l2 = one[Double](df.select(VF.vec_l2(col("a"), col("b"))))
+    val nrm = one[Double](df.select(VF.vec_norm(col("a"))))
+    val refDot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    assert(math.abs(dot - refDot) < 1e-12)
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    assert(math.abs(cos - refDot / (na * nb)) < 1e-12)
+    assert(math.abs(l2 - math.sqrt(a.zip(b).map { case (x, y) =>
+      val d = x.toDouble - y; d * d }.sum)) < 1e-12)
+    assert(math.abs(nrm - na) < 1e-12)
+  }
+
+  test("vec expressions null-propagate and handle interpreted path") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(df.select(VF.vec_dot(col("a"), col("b"))).collect().head.isNullAt(0))
+    // interpreted (non-codegen) path via eval on filter
+    val r = df.filter(VF.vec_norm(col("a")) > 0).count()
+    assert(r == 1)
+  }
+
+  test("string similarity known values") {
+    import spark.implicits._
+    val df = Seq(("martha", "marhta"), ("kitten", "sitting"), ("ca", "abc"))
+      .toDF("a", "b")
+    val rows = df.select(
+      SF.jaro_winkler(col("a"), col("b")).as("jw"),
+      SF.damerau_levenshtein(col("a"), col("b")).as("dl"),
+      SF.hamming_distance(col("a"), col("b")).as("ham"),
+      SF.jaccard_sim(col("a"), col("b")).as("jac")).collect()
+    // martha/marhta: classic JW = 0.9611
+    assert(math.abs(rows(0).getAs[Double]("jw") - 0.9611111111111111) < 1e-9)
+    assert(rows(0).getAs[Long]("dl") == 1) // one transposition
+    assert(rows(0).getAs[Long]("ham") == 2)
+    // kitten/sitting: DL = 3
+    assert(rows(1).getAs[Long]("dl") == 3)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("ham"))) // unequal length
+    // ca/abc: unrestricted DL = 2 (OSA would give 3)
+    assert(rows(2).getAs[Long]("dl") == 2)
+  }
+
+  test("jaccard is byte-set based like the reference") {
+    import spark.implicits._
+    val df = Seq(("aab", "ab"), ("abc", "xyz")).toDF("a", "b")
+    val r = df.select(SF.jaccard_sim(col("a"), col("b"))).collect()
+    assert(r(0).getDouble(0) == 1.0) // {a,b} vs {a,b}
+    assert(r(1).getDouble(0) == 0.0)
+  }
+
+  test("gcd/lcm properties") {
+    import spark.implicits._
+    // property check with scalacheck generators, driven manually
+    val gen = org.scalacheck.Gen.chooseNum(Int.MinValue + 1, Int.MaxValue)
+    val seed = org.scalacheck.rng.Seed(42L)
+    val params = org.scalacheck.Gen.Parameters.default
+    var s = seed
+    (1 to 200).foreach { _ =>
+      val a = gen.pureApply(params, s).toLong; s = s.next
+      val b = gen.pureApply(params, s).toLong; s = s.next
+      val g = org.apache.spark.sql.graft.Gcd.compute(a, b)
+      if (a != 0 || b != 0) assert(g > 0 && a % g == 0 && b % g == 0)
+      else assert(g == 0)
+    }
+    val df = Seq((12L, 18L)).toDF("a", "b")
+    val r = df.select(expr("gcd(a, b)"), expr("lcm(a, b)")).collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 36)
+  }
+
+  test("simhash: identical token sets collide, disjoint sets differ") {
+    import spark.implicits._
+    import graft.functions.TextHash
+    val df = Seq(
+      ("a", Seq("spark", "query", "engine")),
+      ("b", Seq("engine", "spark", "query")), // order-insensitive
+      ("c", Seq("totally", "different", "words", "here", "now"))).toDF("id", "toks")
+    val out = df.select(col("id"), TextHash.simhash(col("toks")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == out("b"))
+    assert(out("a") != out("c"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, PositionalJoin, RecursiveCTE}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+
+  test("as-of join picks nearest predecessor per key") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 5L, "e3"), (1L, 3L, "e4"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 5L, 100.0), (1L, 20L, 200.0), (2L, 6L, 300.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("v"))
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)).toMap
+    assert(out("e1") == Some(100.0)) // t=10 → rt=5
+    assert(out("e2") == Some(200.0)) // t=25 → rt=20
+    assert(out("e3") == None)        // t=5 < first rt=6
+    assert(out("e4") == None)        // t=3, nothing before
+  }
+
+  test("as-of join <= vs < at equal timestamps") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e")).toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 1.0)).toDF("k", "rt", "v")
+    val le = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("v"))
+    assert(le.collect().head.getAs[Double]("v") == 1.0)
+    val lt = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("v"), strict = true)
+    assert(lt.collect().head.isNullAt(lt.columns.indexOf("v")))
+  }
+
+  test("positional join aligns by row order and pads with nulls") {
+    import spark.implicits._
+    val a = Seq("x", "y", "z").toDF("a")
+    val b = Seq(1, 2).toDF("b")
+    val rows = PositionalJoin(a.orderBy("a"), b.orderBy("b")).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(0) == "x" && rows(0).getInt(1) == 1)
+    assert(rows(2).getString(0) == "z" && rows(2).isNullAt(1))
+  }
+
+  test("recursive CTE union fixpoint: transitive closure") {
+    import spark.implicits._
+    // edges of a small DAG: 1→2→3→4, 2→5
+    val edges = Seq((1, 2), (2, 3), (3, 4), (2, 5)).toDF("src", "dst")
+    val base = edges.select(col("src"), col("dst"))
+    val closure = RecursiveCTE.unionFixpoint(base, frontier =>
+      frontier.as("f").join(edges.as("e"), col("f.dst") === col("e.src"))
+        .select(col("f.src"), col("e.dst")))
+    val pairs = closure.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((1, 2), (2, 3), (3, 4), (2, 5),
+      (1, 3), (2, 4), (1, 4), (1, 5), (2, 5), (1, 5)))
+  }
+
+  test("recursive CTE union-all fixpoint: series generation") {
+    import spark.implicits._
+    val out = RecursiveCTE.unionAllFixpoint(Seq(1L).toDF("n"),
+      f => f.filter(col("n") < 10).select((col("n") + 1).as("n")))
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L))
+  }
+}

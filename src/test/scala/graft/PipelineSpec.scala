@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+
+  test("exact dedup groups identical normalized texts") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello World "), (2L, "hello world"), (3L, "unrelated text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keeper") == 1L)
+  }
+
+  test("minhash LSH finds a true near-duplicate pair") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val other = (1 to 12).map(i => s"completely unrelated document number $i with its own content")
+    val docs = (Seq((1L, t1), (2L, t2)) ++ other.zipWithIndex.map {
+      case (t, i) => (10L + i, t) }).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    // jaccard verification of the found pair is high
+    val j = docs.as("a").filter(col("a.doc_id") === 1)
+      .crossJoin(docs.as("b").filter(col("b.doc_id") === 2))
+      .select(Dedup.shingleJaccard("a.text", "b.text"))
+      .collect().head.getDouble(0)
+    assert(j > 0.6)
+  }
+
+  test("mega-buckets are dropped by the cap") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, "identical text shared by everyone here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", maxBucket = 10)
+    assert(pairs.count() == 0) // one bucket of 30 > cap → dropped
+  }
+
+  test("brute-force top-k: self-similar vector ranks first") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => i.toFloat)
+    val near = base.clone(); near(0) += 0.01f
+    val vecs = Seq((0L, base), (1L, near), (2L, Array.fill(8)(-1.0f)),
+      (3L, Array.tabulate(8)(i => (7 - i).toFloat))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+      .collect()
+    assert(top.head.getAs[Long]("corpus_id") == 1L) // the near-copy wins
+    assert(top.head.getAs[Double]("cos_sim") > 0.999)
+  }
+
+  test("LSH top-k returns a subset consistent with brute force scores") {
+    val e = graft.engine.Tables.embeddings(spark, GraftTest.sf)
+    val q = e.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(e, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val approx = Similarity.lshTopK(e, q, 10, dims = 64, planes = 4).collect()
+    assert(approx.nonEmpty)
+    // every approx score matches the exact score for that pair
+    val exactScores = exact.map { case (a, b, s) => (a, b) -> s }.toMap
+    approx.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactScores.get(key).foreach(s => assert(math.abs(s - r.getDouble(2)) < 1e-9))
+    }
+  }
+
+  test("language id picks the language with most stopwords") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog sat on a mat in the sun"),
+      (2L, "der hund und die katze sind nicht mit dem ball"),
+      (3L, "el perro y la casa de los gatos en un lugar"),
+      (4L, "zzz qqq xxx www")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.languageId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de")
+    assert(out(3L) == "es"); assert(out(4L) == "und")
+  }
+
+  test("quality score is in [0,1] and penalizes junk") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far into the hills " * 4),
+      (2L, "@@@ ### !!! $$$ %%% ^^^ &&&")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.qualityScore(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(v => v >= 0 && v <= 1))
+    assert(out(1L) > out(2L))
+  }
+
+  test("multimodal feature extraction: deterministic stub stats") {
+    import spark.implicits._
+    val docs = Seq((7L, "abcd", "en", "src", 4L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs)).collect().head
+    assert(feats.getAs[Long]("n_bytes") == 4L)
+    val mean = Seq('a', 'b', 'c', 'd').map(_.toInt).sum / 4.0
+    assert(math.abs(feats.getAs[Double]("mean_intensity") - mean) < 1e-12)
+    assert(feats.getAs[Long]("n_pixels") ==
+      ((7 % 640) + 1).toLong * ((7 % 480) + 1))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+
+  /** The streaming file source wants a directory — stage the fixture file. */
+  lazy val eventsDir: String = {
+    val dir = java.nio.file.Paths.get("/tmp/graft_stream/events")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${GraftTest.sf}/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming tumbling agg equals the batch run of the same transform") {
+    val batch = graft.engine.Tables.events(spark, GraftTest.sf)
+    val expected = EventStream.tumblingAgg(batch).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.tumblingAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("tumbling_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("sliding window rate over a stream produces per-user windows") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.slidingRate(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sliding_out")
+    assert(got.count() > 0)
+    // each event lands in exactly width/slide = 2 windows
+    val batch = graft.engine.Tables.events(spark, GraftTest.sf)
+    assert(got.agg(sum("n_events")).collect().head.getLong(0) == 2 * batch.count())
+  }
+}
