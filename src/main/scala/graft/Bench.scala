@@ -1,24 +1,66 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR, 1 warmup + N timed runs each (reference protocol,
+  * benchmark/README.md:15-33), full materialization through the noop sink
+  * (count() alone can short-circuit scans), prints ONE JSON line.
+  */
 object Bench {
+
+  /** Representative slice of SURVEY §2: scan, agg, joins, window, setop,
+    * sort/limit, recursive CTE, as-of, sessionization, dedup/similarity/
+    * text pipeline.
+    */
+  val headline: Seq[String] = Seq(
+    "q_scan_pushdown", "q1_agg", "q_agg_distinct", "q_grouping_sets",
+    "q3_top_revenue", "q5_region_revenue",
+    "q_join_inner", "q_join_semi", "q_join_asof",
+    "q_window_ranking", "q_window_running", "q_distinct_on",
+    "q_topn", "q_union_all",
+    "q_recursive_cte", "q_sessionize", "q_stream_tumbling",
+    "q_dedup_exact", "q_dedup_minhash_sig", "q_sim_topk",
+    "q_text_quality", "q_text_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_TIMED_RUNS", "3").toInt
+    val spark = graft.engine.EngineSession
+      .builder(s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    graft.engine.EngineSession.configure(spark)
+
+    val qs = SparkEntry.queries
+    val names = headline.filter(qs.contains) ++
+      (if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) qs.keys.toSeq.sorted.diff(headline)
+       else Nil)
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = names.map { name =>
+      val t =
+        try {
+          runOnce(name) // warmup (codegen + JIT + file listing)
+          val times = (1 to timedRuns).map(_ => runOnce(name)).sorted
+          times(times.length / 2) // median
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
+      name -> t
+    }
+
+    val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

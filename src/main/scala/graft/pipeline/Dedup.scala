@@ -30,24 +30,45 @@ object Dedup {
             |  sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
             |  i -> substring($textCol, i, $k)))""".stripMargin)
 
-  /** One md5 minhash with integer seed: min over shingles of md5(shingle||seed). */
-  def minhash(textCol: String, seed: Int, k: Int = 8): Column =
-    expr(s"""array_min(transform(
-            |  sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
-            |  i -> md5(concat(substring($textCol, i, $k), '$seed'))))""".stripMargin)
+  /** Deterministic 60-bit XOR masks deriving the minhash family from ONE
+    * base hash per shingle (md5 runs once per shingle, not once per hash
+    * function — 8× fewer digest calls than the naive md5(shingle||seed)
+    * family at identical LSH quality).
+    */
+  def mask(i: Int): Long = java.lang.Long.parseLong(
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(s"graft-minhash-$i").substring(0, 15), 16)
+
+  /** 60-bit base hash per k-shingle: first 15 hex chars of md5. */
+  def shingleBases(textCol: String, k: Int = 8): Column =
+    expr(s"""transform(
+            |  transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
+            |            i -> substring($textCol, i, $k)),
+            |  s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))""".stripMargin)
+
+  /** Minhash i over a precomputed base-hash array column. */
+  def minhashFromBases(basesCol: String, i: Int): Column =
+    expr(s"array_min(transform($basesCol, b -> b ^ ${mask(i)}L))")
 
   /** Adds band_1..band_b signature columns: b bands of r minhashes each. */
   def withBands(df: DataFrame, textCol: String, bands: Int, rowsPerBand: Int,
-      k: Int = 8): DataFrame =
-    (1 to bands).foldLeft(df) { (d, b) =>
-      val hs = (1 to rowsPerBand).map(r => minhash(textCol, (b - 1) * rowsPerBand + r, k))
-      d.withColumn(s"band_$b", md5(concat(hs: _*)))
+      k: Int = 8): DataFrame = {
+    val withBases = df.withColumn("_bases", shingleBases(textCol, k))
+    val banded = (1 to bands).foldLeft(withBases) { (d, b) =>
+      val hs = (1 to rowsPerBand).map(r =>
+        minhashFromBases("_bases", (b - 1) * rowsPerBand + r))
+      d.withColumn(s"band_$b", md5(concat_ws("-", hs: _*).cast("binary")))
     }
+    banded.drop("_bases")
+  }
 
-  /** LSH candidate pairs (id_a < id_b), bucket-capped, deduped across bands. */
+  /** LSH candidate pairs (id_a < id_b), bucket-capped, deduped across bands.
+    * Default 4 bands x 2 rows: detect prob 1-(1-J^2)^4 — 98% at J=0.8,
+    * the high-recall shape for near-dup detection (verification prunes
+    * false positives downstream).
+    */
   def lshCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
-      bands: Int = 2, rowsPerBand: Int = 4, k: Int = 8,
+      bands: Int = 4, rowsPerBand: Int = 2, k: Int = 8,
       maxBucket: Int = 100): DataFrame = {
     val sig = withBands(docs.select(idCol, textCol), textCol, bands, rowsPerBand, k)
     val perBand = (1 to bands).map { b =>

@@ -22,16 +22,23 @@ object Pipeline extends Pack {
       .orderBy("content_hash")
   }
 
-  private def duckMinhash(seed: Int): String =
-    s"""list_min(list_transform(generate_series(1, greatest(length(text)-7, 1)),
-       |  i -> md5(concat(substring(text, i, 8), '$seed'))))""".stripMargin
+  // mirrors Dedup.shingleBases/minhashFromBases: ONE md5 per shingle,
+  // minhash family derived by XOR masks
+  private val duckBases =
+    """list_transform(
+      |  list_transform(generate_series(1, greatest(length(text)-7, 1)),
+      |                 i -> substring(text, i, 8)),
+      |  s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))""".stripMargin
+  private def duckMinhash(i: Int): String =
+    s"list_min(list_transform(bases, b -> xor(b, ${graft.pipeline.Dedup.mask(i)})))"
   private def duckBand(b: Int): String =
-    s"md5(concat(${(1 to 4).map(r => duckMinhash((b - 1) * 4 + r)).mkString(", ")}))"
+    s"md5(concat_ws('-', ${(1 to 4).map(r => duckMinhash((b - 1) * 4 + r)).mkString(", ")}))"
 
   // MinHash signatures: 8 hashes → 2 bands of 4 (shingle k=8)
   q("q_dedup_minhash_sig",
-    s"""SELECT doc_id, ${duckBand(1)} AS band_1, ${duckBand(2)} AS band_2
-       |FROM documents ORDER BY doc_id""") { (s, dir) =>
+    s"""WITH base AS (SELECT doc_id, $duckBases AS bases FROM documents)
+       |SELECT doc_id, ${duckBand(1)} AS band_1, ${duckBand(2)} AS band_2
+       |FROM base ORDER BY doc_id""") { (s, dir) =>
     Dedup.withBands(Tables.documents(s, dir).select("doc_id", "text"), "text", 2, 4)
       .select("doc_id", "band_1", "band_2")
       .orderBy("doc_id")
@@ -39,9 +46,10 @@ object Pipeline extends Pack {
 
   // LSH candidate pairs + exact shingle-Jaccard verification
   q("q_dedup_minhash_pairs",
-    s"""WITH sig AS (
-       |  SELECT doc_id, text, ${duckBand(1)} AS band_1, ${duckBand(2)} AS band_2
-       |  FROM documents),
+    s"""WITH base AS (SELECT doc_id, $duckBases AS bases FROM documents),
+       |sig AS (
+       |  SELECT doc_id, ${duckBand(1)} AS band_1, ${duckBand(2)} AS band_2
+       |  FROM base),
        |b1 AS (SELECT band_1 AS bucket FROM sig GROUP BY 1 HAVING count(*) <= 100),
        |b2 AS (SELECT band_2 AS bucket FROM sig GROUP BY 1 HAVING count(*) <= 100),
        |pairs AS (

@@ -173,6 +173,66 @@ object Relational extends Pack {
             |FROM orders WHERE o_totalprice > 450000 ORDER BY o_orderkey""".stripMargin)
   }
 
+  // TPC-H Q3 shape (reference extension/tpch/dbgen/queries/q03.sql):
+  // 3-way join, filter both sides of the date, group, top-10 by revenue.
+  // The two dimension-side filters cut before the fact join; AQE picks
+  // broadcast for the filtered customer side.
+  q("q3_top_revenue",
+    s"""SELECT o_orderkey,
+       |  ${dsumSql(dmulSql("l_extendedprice", "1 - l_discount"))} AS revenue,
+       |  o_orderdate, o_orderpriority
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-03-15'
+       |  AND l_shipdate > TIMESTAMP '1998-03-15'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey LIMIT 10""") { (s, dir) =>
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1998-03-15"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1998-03-15"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(o("o_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+      .agg(dsum(dmul(col("l_extendedprice"), lit(1) - col("l_discount"))).as("revenue"))
+      .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // TPC-H Q5 shape (reference q05.sql): 6-way snowflake join; all
+  // dimensions broadcast, single shuffle for the final group-by.
+  q("q5_region_revenue",
+    s"""SELECT n_name,
+       |  ${dsumSql(dmulSql("l_extendedprice", "1 - l_discount"))} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""") { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    val l = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup),
+        l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(dsum(dmul(col("l_extendedprice"), lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   // ---- sort / limit / top-k (2.6) ----------------------------------------
 
   // TopN: ORDER BY + LIMIT → TakeOrderedAndProject (reference physical_top_n.cpp)

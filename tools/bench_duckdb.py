@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""DuckDB-side benchmark of the oracle SQL for the headline queries —
+the comparison baseline for BENCH (1 warmup + 3 timed, median).
+Usage: bench_duckdb.py <sfdir> <verify_outdir_with_oracle_json> [q1,q2,...]
+"""
+import duckdb, json, sys, time, statistics
+
+HEADLINE = ["q_scan_pushdown", "q1_agg", "q_agg_distinct", "q_grouping_sets",
+            "q3_top_revenue", "q5_region_revenue", "q_join_inner", "q_join_semi",
+            "q_join_asof", "q_window_ranking", "q_window_running", "q_distinct_on",
+            "q_topn", "q_union_all", "q_recursive_cte", "q_sessionize",
+            "q_stream_tumbling", "q_dedup_exact", "q_dedup_minhash_sig",
+            "q_sim_topk", "q_text_quality", "q_text_fingerprint"]
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+sf = sys.argv[1]
+out = sys.argv[2]
+names = sys.argv[3].split(",") if len(sys.argv) > 3 else HEADLINE
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+res = {}
+for n in names:
+    if n not in oracle:
+        continue
+    sql = oracle[n]
+    try:
+        con.execute(sql).fetchall()  # warmup
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            ts.append(time.time() - t0)
+        res[n] = statistics.median(ts)
+    except Exception as e:
+        res[n] = -1.0
+        print(f"[bench_duckdb] {n} failed: {e}", file=sys.stderr)
+print(json.dumps({"metric": "duckdb_total",
+                  "value": sum(v for v in res.values() if v >= 0),
+                  "unit": "sec", "queries": res, "sf": sf}))
