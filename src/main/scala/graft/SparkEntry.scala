@@ -11,7 +11,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[Pack] = Seq(Relational, Aggregates, Windows, Functions, Pipeline, Sources)
+  private val packs: Seq[Pack] =
+    Seq(Relational, Aggregates, Windows, Functions, Pipeline, Sources, Conformance)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

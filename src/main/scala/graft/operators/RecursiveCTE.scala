@@ -1,39 +1,75 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Recursive CTE fixpoint — the reference's `PhysicalRecursiveCTE`
   * (`/root/reference/src/execution/operator/set/physical_recursive_cte.cpp`).
-  * Spark has no native fixpoint operator, so the loop runs on the driver:
-  * each iteration is a distributed job over the frontier only (semi-naive
-  * evaluation for UNION mode), with periodic localCheckpoint to truncate
-  * the ever-growing lineage — without it the plan tree grows linearly in
-  * iterations and planning time explodes at scale.
+  * Spark has no native fixpoint operator, so the loop runs on the driver.
+  *
+  * Driver-loop recursion pays a fixed per-job cost (scheduling + a fresh
+  * codegen compile for every new plan), which dominates when iterations
+  * are many and frontiers small. Both modes therefore **batch** `batchSize`
+  * lazily-composed steps into ONE materialized job: the batch union is
+  * localCheckpoint'ed (truncating lineage, so plan depth stays bounded by
+  * the batch size rather than total iterations), a `_step` tag recovers
+  * the last frontier from the checkpointed data, and the emptiness test
+  * runs on already-materialized partitions. `step` of an empty frontier
+  * must be empty (true for any composition of filters/joins/projections),
+  * so overshooting the fixpoint inside a batch adds no rows.
   */
 object RecursiveCTE {
+
+  private val STEP = "_graft_step"
+
+  /** Lazily compose up to `batchSize` steps, tag each with its index,
+    * union, and materialize once. Returns the checkpointed tagged union.
+    *
+    * The union is coalesced back to the frontier's partition count before
+    * the checkpoint — otherwise each batch multiplies partitions by
+    * `batchSize` (union concatenates them) and the count compounds
+    * exponentially across batches. Shuffle-bearing steps re-partition
+    * themselves anyway; this only bounds the narrow-union layout.
+    */
+  private def runBatch(
+      frontier: DataFrame, step: DataFrame => DataFrame, batchSize: Int): DataFrame = {
+    val steps = Iterator.iterate(step(frontier))(step).take(batchSize).toSeq
+    val target = math.max(frontier.rdd.getNumPartitions, 1)
+    steps.zipWithIndex
+      .map { case (d, i) => d.withColumn(STEP, lit(i)) }
+      .reduce(_ unionAll _)
+      .coalesce(target)
+      .localCheckpoint() // ONE job; lineage truncated
+  }
 
   /** UNION mode (distinct accumulate, stop when no NEW rows). */
   def unionFixpoint(
       base: DataFrame,
       step: DataFrame => DataFrame,
       maxIterations: Int = 1000,
-      checkpointEvery: Int = 8): DataFrame = {
+      batchSize: Int = 8): DataFrame = {
     var acc = base.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = acc
-    var i = 0
+    var iters = 0
     var done = false
-    while (!done && i < maxIterations) {
-      // semi-naive: only expand the NEW rows from the last round
-      var next = step(frontier).distinct().exceptAll(acc).distinct()
-      if (i % checkpointEvery == checkpointEvery - 1) next = next.localCheckpoint()
-      next = next.persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.isEmpty) done = true
+    while (!done && iters < maxIterations) {
+      val b = math.min(batchSize, maxIterations - iters)
+      val batch = runBatch(frontier, step, b)
+      // rows first seen in this batch (semi-naive at batch granularity:
+      // in-batch steps expand each other directly; only batch novelties
+      // join against the accumulator)
+      val fresh = batch.drop(STEP).distinct().exceptAll(acc)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (fresh.isEmpty) done = true
       else {
-        acc = acc.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
-        frontier = next
+        val prevAcc = acc
+        acc = acc.unionAll(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+        // next frontier: the last step's novel rows (earlier steps were
+        // already expanded inside the batch)
+        frontier = batch.filter(col(STEP) === b - 1).drop(STEP).except(prevAcc)
       }
-      i += 1
+      iters += b
     }
     acc
   }
@@ -43,21 +79,20 @@ object RecursiveCTE {
       base: DataFrame,
       step: DataFrame => DataFrame,
       maxIterations: Int = 1000,
-      checkpointEvery: Int = 8): DataFrame = {
-    var acc = base.persist(StorageLevel.MEMORY_AND_DISK)
+      batchSize: Int = 8): DataFrame = {
+    var acc = base
     var frontier = base
-    var i = 0
+    var iters = 0
     var done = false
-    while (!done && i < maxIterations) {
-      var next = step(frontier)
-      if (i % checkpointEvery == checkpointEvery - 1) next = next.localCheckpoint()
-      next = next.persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.isEmpty) done = true
+    while (!done && iters < maxIterations) {
+      val b = math.min(batchSize, maxIterations - iters)
+      val batch = runBatch(frontier, step, b)
+      if (batch.isEmpty) done = true
       else {
-        acc = acc.unionAll(next)
-        frontier = next
+        acc = acc.unionAll(batch.drop(STEP))
+        frontier = batch.filter(col(STEP) === b - 1).drop(STEP)
       }
-      i += 1
+      iters += b
     }
     acc
   }

@@ -35,8 +35,7 @@ object Dedup {
     * function — 8× fewer digest calls than the naive md5(shingle||seed)
     * family at identical LSH quality).
     */
-  def mask(i: Int): Long = java.lang.Long.parseLong(
-    org.apache.commons.codec.digest.DigestUtils.md5Hex(s"graft-minhash-$i").substring(0, 15), 16)
+  def mask(i: Int): Long = graft.functions.TextHash.mask(i)
 
   /** 60-bit base hash per k-shingle: first 15 hex chars of md5. */
   def shingleBases(textCol: String, k: Int = 8): Column =
@@ -49,16 +48,23 @@ object Dedup {
   def minhashFromBases(basesCol: String, i: Int): Column =
     expr(s"array_min(transform($basesCol, b -> b ^ ${mask(i)}L))")
 
-  /** Adds band_1..band_b signature columns: b bands of r minhashes each. */
+  /** Adds band_1..band_b signature columns: b bands of r minhashes each.
+    * The signature comes from the one-pass MinhashSignature expression
+    * (same md5+XOR family as [[shingleBases]]/[[minhashFromBases]], which
+    * remain as the SQL-expressible reference implementation the spec
+    * cross-checks against).
+    */
   def withBands(df: DataFrame, textCol: String, bands: Int, rowsPerBand: Int,
       k: Int = 8): DataFrame = {
-    val withBases = df.withColumn("_bases", shingleBases(textCol, k))
-    val banded = (1 to bands).foldLeft(withBases) { (d, b) =>
+    val n = bands * rowsPerBand
+    val withSig = df.withColumn("_sig",
+      graft.functions.TextHash.minhashSignature(col(textCol), k, n))
+    val banded = (1 to bands).foldLeft(withSig) { (d, b) =>
       val hs = (1 to rowsPerBand).map(r =>
-        minhashFromBases("_bases", (b - 1) * rowsPerBand + r))
+        element_at(col("_sig"), (b - 1) * rowsPerBand + r))
       d.withColumn(s"band_$b", md5(concat_ws("-", hs: _*).cast("binary")))
     }
-    banded.drop("_bases")
+    banded.drop("_sig")
   }
 
   /** LSH candidate pairs (id_a < id_b), bucket-capped, deduped across bands.

@@ -13,32 +13,40 @@ object Aggregates extends Pack {
 
   // Flagship: TPC-H Q1 shape (reference extension/tpch/dbgen/queries/q01.sql)
   // exercising scan→filter→hash-agg (partial+final)→sort.
+  //
+  // All money/qty columns are exact 2-decimal fixed-point, so the sums run
+  // on scaled BIGINT mantissas (Q.fx / fsum — the reference's
+  // sum_no_overflow statistics trick): price_c×(100-disc_c) is the exact
+  // disc-price mantissa at 1e-4, ×(100+tax_c) the charge at 1e-6.
+  // Headroom at sf0.1: ≤1e11/row × 6e5 rows = 6e16 « 2^63.
   q("q1_agg",
     s"""SELECT l_returnflag, l_linestatus,
-       |  ${dsumSql("l_quantity")} AS sum_qty,
-       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
-       |  ${dsumSql(dmulSql("l_extendedprice", "1 - l_discount"))} AS sum_disc_price,
-       |  ${dsumSql(s"${dmulSql("l_extendedprice", "1 - l_discount")} * CAST(1 + l_tax AS DECIMAL(18,6))")} AS sum_charge,
-       |  ${davgSql("l_quantity")} AS avg_qty,
-       |  ${davgSql("l_extendedprice")} AS avg_price,
-       |  ${davgSql("l_discount")} AS avg_disc,
+       |  ${fsumSql("l_quantity", 2)} AS sum_qty,
+       |  ${fsumSql("l_extendedprice", 2)} AS sum_base_price,
+       |  (CAST(sum(${fxSql("l_extendedprice", 2)} * (100 - ${fxSql("l_discount", 2)})) AS DOUBLE) / 10000.0) AS sum_disc_price,
+       |  (CAST(sum(${fxSql("l_extendedprice", 2)} * (100 - ${fxSql("l_discount", 2)}) * (100 + ${fxSql("l_tax", 2)})) AS DOUBLE) / 1000000.0) AS sum_charge,
+       |  ${favgSql("l_quantity", 2)} AS avg_qty,
+       |  ${favgSql("l_extendedprice", 2)} AS avg_price,
+       |  ${favgSql("l_discount", 2)} AS avg_disc,
        |  count(*) AS count_order
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
-    val disc = dmul(col("l_extendedprice"), lit(1) - col("l_discount"))
+    val priceC = fx(col("l_extendedprice"), 2)
+    val discC = lit(100) - fx(col("l_discount"), 2)
+    val taxC = lit(100) + fx(col("l_tax"), 2)
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= ts("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(disc).as("sum_disc_price"),
-        dsum(disc * (lit(1) + col("l_tax")).cast(S)).as("sum_charge"),
-        davg(col("l_quantity")).as("avg_qty"),
-        davg(col("l_extendedprice")).as("avg_price"),
-        davg(col("l_discount")).as("avg_disc"),
+        fsum(col("l_quantity"), 2).as("sum_qty"),
+        fsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        (sum(priceC * discC).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(priceC * discC * taxC).cast("double") / 1000000.0).as("sum_charge"),
+        favg(col("l_quantity"), 2).as("avg_qty"),
+        favg(col("l_extendedprice"), 2).as("avg_price"),
+        favg(col("l_discount"), 2).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -92,16 +100,26 @@ object Aggregates extends Pack {
   q("q_grouping_sets",
     s"""SELECT l_returnflag, l_linestatus,
        |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
-       |  ${dsumSql("l_quantity")} AS sum_qty
+       |  ${fsumSql("l_quantity", 2)} AS sum_qty
        |FROM lineitem
        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
        |ORDER BY g_rf, g_ls, l_returnflag NULLS LAST, l_linestatus NULLS LAST""") { (s, dir) =>
+    // Pre-aggregate on the full key set, then expand the TINY aggregate
+    // into the grouping sets (sum of exact decimal partial sums = total
+    // sum). This is the reference's grouping-sets optimization
+    // (src/optimizer/grouping_sets_optimizer.cpp): without it Spark's
+    // Expand multiplies the FACT table by the number of sets before the
+    // shuffle; with it the expand runs over a handful of rows.
     Tables.registerAll(s, dir)
     s.sql(
-      s"""SELECT l_returnflag, l_linestatus,
+      s"""WITH base AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |    sum(${fxSql("l_quantity", 2)}) AS psum
+         |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+         |SELECT l_returnflag, l_linestatus,
          |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
-         |  ${dsumSql("l_quantity")} AS sum_qty
-         |FROM lineitem
+         |  (CAST(sum(psum) AS DOUBLE) / 100.0) AS sum_qty
+         |FROM base
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          |ORDER BY g_rf, g_ls, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)
   }

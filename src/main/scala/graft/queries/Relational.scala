@@ -173,13 +173,22 @@ object Relational extends Pack {
             |FROM orders WHERE o_totalprice > 450000 ORDER BY o_orderkey""".stripMargin)
   }
 
+  // Exact fixed-point revenue sum(l_extendedprice*(1-l_discount)): 2-dp
+  // mantissas price_c×(100-disc_c) accumulate in BIGINT (units 1e-4) —
+  // see Q's fixed-point notes; ≤1e11/row keeps sf-scale sums « 2^63.
+  private val revenueSql =
+    s"(CAST(sum(${fxSql("l_extendedprice", 2)} * (100 - ${fxSql("l_discount", 2)})) AS DOUBLE) / 10000.0)"
+  private def revenueAgg =
+    sum(fx(col("l_extendedprice"), 2) * (lit(100) - fx(col("l_discount"), 2)))
+      .cast("double") / 10000.0
+
   // TPC-H Q3 shape (reference extension/tpch/dbgen/queries/q03.sql):
   // 3-way join, filter both sides of the date, group, top-10 by revenue.
   // The two dimension-side filters cut before the fact join; AQE picks
   // broadcast for the filtered customer side.
   q("q3_top_revenue",
     s"""SELECT o_orderkey,
-       |  ${dsumSql(dmulSql("l_extendedprice", "1 - l_discount"))} AS revenue,
+       |  ${revenueSql} AS revenue,
        |  o_orderdate, o_orderpriority
        |FROM customer JOIN orders ON c_custkey = o_custkey
        |JOIN lineitem ON l_orderkey = o_orderkey
@@ -194,7 +203,7 @@ object Relational extends Pack {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(o("o_orderkey"), o("o_orderdate"), o("o_orderpriority"))
-      .agg(dsum(dmul(col("l_extendedprice"), lit(1) - col("l_discount"))).as("revenue"))
+      .agg(revenueAgg.as("revenue"))
       .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -204,7 +213,7 @@ object Relational extends Pack {
   // dimensions broadcast, single shuffle for the final group-by.
   q("q5_region_revenue",
     s"""SELECT n_name,
-       |  ${dsumSql(dmulSql("l_extendedprice", "1 - l_discount"))} AS revenue
+       |  ${revenueSql} AS revenue
        |FROM customer
        |JOIN orders ON c_custkey = o_custkey
        |JOIN lineitem ON l_orderkey = o_orderkey
@@ -229,7 +238,7 @@ object Relational extends Pack {
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(n("n_name"))
-      .agg(dsum(dmul(col("l_extendedprice"), lit(1) - col("l_discount"))).as("revenue"))
+      .agg(revenueAgg.as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 

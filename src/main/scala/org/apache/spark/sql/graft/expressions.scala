@@ -216,6 +216,28 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Full MinHash signature of a text column in ONE pass: per k-shingle
+  * 60-bit md5 base hash, n minhashes derived by XOR masks (same family as
+  * graft.pipeline.Dedup's SQL formulation, which the DuckDB oracle
+  * mirrors — results are bit-identical). Replaces a transform/md5/conv/
+  * substring expression chain whose interpreted per-shingle evaluation
+  * dominated the dedup benchmark; the kernel is a tight Java loop with a
+  * reused digest (graft.functions.TextHash.minhashSignature).
+  */
+case class MinhashSignature(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "minhash_signature"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.TextHash.minhashSignature(v.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.minhashSignature($a, $k, $numHashes);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** gcd/lcm on BIGINT — reference extension/core_functions/scalar/math
   * (GreatestCommonDivisorFun/LeastCommonMultipleFun); Spark has no native
   * equivalent.

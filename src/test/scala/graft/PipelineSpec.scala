@@ -17,6 +17,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("keeper") == 1L)
   }
 
+  test("minhash signature expression is bit-identical to the SQL formulation") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, "short"), (4L, "exactly8"), (5L, "unicode éèê çà test"))
+      .toDF("doc_id", "text")
+    val viaExpr = docs
+      .select($"doc_id", graft.functions.TextHash.minhashSignature(col("text"), 8, 8).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val viaSql = docs
+      .withColumn("_bases", Dedup.shingleBases("text", 8))
+      .select($"doc_id",
+        array((1 to 8).map(i => Dedup.minhashFromBases("_bases", i)): _*).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(viaExpr == viaSql)
+  }
+
   test("minhash LSH finds a true near-duplicate pair") {
     import spark.implicits._
     val t1 = "the quick brown fox jumps over the lazy dog again and again today"
