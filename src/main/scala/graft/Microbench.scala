@@ -14,13 +14,38 @@ object Microbench {
     spark.sparkContext.setLogLevel("WARN")
     graft.engine.EngineSession.configure(spark)
     graft.engine.Tables.registerAll(spark, sfDir)
-    args.drop(1).foreach { sql =>
-      val times = (1 to 4).map { _ =>
-        val t0 = System.nanoTime()
-        spark.sql(sql).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
+    args.drop(1).foreach { arg =>
+      // "explain:<query-name>" prints the formatted plan of a SparkEntry
+      // query; "q:<query-name>" times it; anything else is timed as SQL.
+      if (arg == "scanab") {
+        // A/B: original single-row-group file vs re-encoded store layout
+        def time(mk: () => org.apache.spark.sql.DataFrame, label: String): Unit = {
+          val ts = (1 to 5).map { _ =>
+            val t0 = System.nanoTime()
+            mk().filter("l_quantity < 3")
+              .groupBy("l_returnflag").agg(org.apache.spark.sql.functions.sum("l_extendedprice"))
+              .write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scanab] $label min=${ts.drop(1).min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+        }
+        time(() => spark.read.parquet(s"$sfDir/lineitem.parquet"), "original ")
+        time(() => graft.engine.Tables.lineitem(spark, sfDir), "reencoded")
+      } else if (arg.startsWith("explain:")) {
+        val df = SparkEntry.queries(arg.stripPrefix("explain:"))(spark, sfDir)
+        println(s"==== ${arg} ====")
+        df.explain("formatted")
+      } else {
+        val mk: () => org.apache.spark.sql.DataFrame =
+          if (arg.startsWith("q:")) () => SparkEntry.queries(arg.stripPrefix("q:"))(spark, sfDir)
+          else () => spark.sql(arg)
+        val times = (1 to 4).map { _ =>
+          val t0 = System.nanoTime()
+          mk().write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[micro] ${times.drop(1).min}%.3f s (first ${times.head}%.3f)  $arg")
       }
-      println(f"[micro] ${times.drop(1).min}%.3f s (first ${times.head}%.3f)  $sql")
     }
     spark.stop()
   }

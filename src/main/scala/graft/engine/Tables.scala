@@ -16,17 +16,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") {
-      // ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it arrives as
-      // epoch-nanos LongType. Convert to Spark's native µs timestamp
-      // (integer DIV — the ns epoch exceeds double's 2^53 mantissa).
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    } else df
-  }
+  /** Loaded-plan cache: `spark.read.parquet` pays a driver-side file
+    * listing + footer/schema read every call (~30-50 ms), and SQL-based
+    * queries register all ten fixtures — uncached that alone costs ~0.4 s
+    * per query. DataFrames are immutable plans, so reuse per
+    * (session, dir, table) is safe.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), _ => {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") {
+        // ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it arrives as
+        // epoch-nanos LongType. Convert to Spark's native µs timestamp
+        // (integer DIV — the ns epoch exceeds double's 2^53 mantissa).
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      } else df
+    })
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

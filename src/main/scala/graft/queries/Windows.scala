@@ -56,11 +56,14 @@ object Windows extends Pack {
   }
 
   // aggregate over ROWS frame (running totals) — reference window_segment_tree.cpp
+  // running sums on 2-dp fixed-point BIGINT mantissas (see Q's fixed-point
+  // notes — same exact integer both engines, ~2x cheaper than decimal in
+  // the per-row frame evaluation)
   q("q_window_running",
     s"""SELECT o_custkey, o_orderkey,
-       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+       |  (CAST(sum(${fxSql("o_totalprice", 2)})
        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0) AS running_total,
        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
        |FROM orders ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
@@ -68,7 +71,7 @@ object Windows extends Pack {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, dir).select(
         col("o_custkey"), col("o_orderkey"),
-        sum(col("o_totalprice").cast(S)).over(w).cast("double").as("running_total"),
+        (sum(fx(col("o_totalprice"), 2)).over(w).cast("double") / 100.0).as("running_total"),
         count(lit(1)).over(w).as("n_so_far"))
       .orderBy("o_custkey", "o_orderkey")
   }
