@@ -33,6 +33,8 @@ object Registry {
     f2("jaccard_sim", JaccardChars(_, _))
     f2("gcd", Gcd(_, _))
     f2("lcm", Lcm(_, _))
+    f1("strip_accents", StripAccents(_))
+    f1("nfc_normalize", NfcNormalize(_))
     registered = true
   }
 }

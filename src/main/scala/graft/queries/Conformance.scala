@@ -121,6 +121,40 @@ object Conformance extends Pack {
       .orderBy("n_regionkey")
   }
 
+  // ---- §2.8: string/unicode/path/format gaps -----------------------------
+  // strip_accents + nfc_normalize are custom Catalyst expressions
+  // (reference src/function/scalar/string); printf ↔ format_string uses
+  // identical %-formatting; fmt-style format('{}') rewrites to concat;
+  // parse_filename/dirpath/path rebuild the reference's path splitting
+  // from split/filter/regexp primitives. (url_encode/uuidv7 are absent
+  // from the reference build — no parity target.)
+  q("q_fn_string2",
+    """SELECT s_suppkey,
+      |  strip_accents(s_name) AS plain,
+      |  nfc_normalize(s_name) AS nfc,
+      |  printf('%05d|%s|%.2f', CAST(s_suppkey AS INTEGER), s_name, s_acctbal) AS pf,
+      |  format('{}-{}', s_suppkey, s_nationkey) AS fmtted,
+      |  bin(s_suppkey + 5) AS b, hex(s_suppkey + 5) AS h,
+      |  parse_filename(concat('/data/region_', s_nationkey, '/supplier_', s_suppkey, '.parquet')) AS fname,
+      |  parse_dirpath(concat('/data/region_', s_nationkey, '/supplier_', s_suppkey, '.parquet')) AS dpath,
+      |  parse_path(concat('/data/region_', s_nationkey, '/supplier_', s_suppkey, '.parquet')) AS parts
+      |FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+    val path = concat(lit("/data/region_"), col("s_nationkey"),
+      lit("/supplier_"), col("s_suppkey"), lit(".parquet"))
+    Tables.supplier(s, dir).select(
+        col("s_suppkey"),
+        expr("strip_accents(s_name)").as("plain"),
+        expr("nfc_normalize(s_name)").as("nfc"),
+        format_string("%05d|%s|%.2f",
+          col("s_suppkey").cast("int"), col("s_name"), col("s_acctbal")).as("pf"),
+        concat(col("s_suppkey"), lit("-"), col("s_nationkey")).as("fmtted"),
+        bin(col("s_suppkey") + 5).as("b"), hex(col("s_suppkey") + 5).as("h"),
+        element_at(split(path, "/"), -1).as("fname"),
+        regexp_replace(path, "/[^/]*$", "").as("dpath"),
+        concat(array(lit("/")), filter(split(path, "/"), x => x =!= "")).as("parts"))
+      .orderBy("s_suppkey")
+  }
+
   // ---- §2.1: whole-file reads (read_text / read_blob) --------------------
   // Engine writes a deterministic single text file then reads it whole;
   // oracle rebuilds the identical content relationally.

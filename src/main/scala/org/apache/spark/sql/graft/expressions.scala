@@ -216,6 +216,44 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Unicode helpers — reference src/function/scalar/string (strip_accents,
+  * nfc_normalize): NFD-decompose + drop combining marks, and NFC
+  * normalization. Spark has no native equivalents.
+  */
+case class StripAccents(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "strip_accents"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(StripAccents.strip(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  org.apache.spark.sql.graft.StripAccents.strip($a.toString()));""".stripMargin)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+object StripAccents {
+  def strip(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}", "")
+}
+
+case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "nfc_normalize"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($a.toString(), java.text.Normalizer.Form.NFC));""".stripMargin)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Full MinHash signature of a text column in ONE pass: per k-shingle
   * 60-bit md5 base hash, n minhashes derived by XOR masks (same family as
   * graft.pipeline.Dedup's SQL formulation, which the DuckDB oracle
