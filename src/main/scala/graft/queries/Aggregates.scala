@@ -51,6 +51,23 @@ object Aggregates extends Pack {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  // TPC-H Q6 shape (reference q06.sql): pure filter + ungrouped sum —
+  // the forecast-revenue microbenchmark. All three filters push to the
+  // scan; revenue = exact sum of price_c*disc_c mantissas (units 1e-4).
+  q("q6_forecast_revenue",
+    s"""SELECT (CAST(sum(${fxSql("l_extendedprice", 2)} * ${fxSql("l_discount", 2)}) AS DOUBLE) / 10000.0) AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum(fx(col("l_extendedprice"), 2) * fx(col("l_discount"), 2))
+        .cast("double") / 10000.0).as("revenue"))
+  }
+
   // global (ungrouped) aggregate — reference physical_ungrouped_aggregate.cpp
   q("q_agg_global",
     s"""SELECT count(*) AS n, ${dsumSql("l_quantity")} AS total_qty,

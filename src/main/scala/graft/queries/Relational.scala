@@ -242,6 +242,66 @@ object Relational extends Pack {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  // TPC-H Q10 shape (reference q10.sql): returned items by customer, 4-way
+  // join, top-20 by revenue. Only the date-sliced orders and the R-flagged
+  // lineitems reach the join; nation broadcasts.
+  q("q10_returned_items",
+    s"""SELECT c_custkey, c_name, ${revenueSql} AS revenue, c_acctbal, n_name
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""") { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-10-01") && col("o_orderdate") < ts("1997-01-01"))
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val n = Tables.nation(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(c("c_custkey"), c("c_name"), c("c_acctbal"), n("n_name"))
+      .agg(revenueAgg.as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // TPC-H Q18 shape (reference q18.sql): large-quantity orders via a
+  // grouped HAVING semi-join back onto the fact table. The inner aggregate
+  // and the outer join share the l_orderkey shuffle partitioning.
+  q("q18_large_orders",
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  ${fsumSql("l_quantity", 2)} AS total_qty
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem
+       |  GROUP BY l_orderkey HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 20000)
+       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""") { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val big = l.groupBy("l_orderkey")
+      .agg(sum(fx(col("l_quantity"), 2)).as("q"))
+      .filter(col("q") > 20000)
+      .select(col("l_orderkey").as("big_orderkey"))
+    l.join(big, l("l_orderkey") === big("big_orderkey"), "left_semi")
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(c("c_name"), c("c_custkey"), o("o_orderkey"), o("o_orderdate"), o("o_totalprice"))
+      .agg(fsum(col("l_quantity"), 2).as("total_qty"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   // ---- sort / limit / top-k (2.6) ----------------------------------------
 
   // TopN: ORDER BY + LIMIT → TakeOrderedAndProject (reference physical_top_n.cpp)
