@@ -47,14 +47,17 @@ abstract class BinaryVectorExpression extends BinaryExpression with ExpectsInput
     compute(a, b, math.min(a.numElements(), b.numElements()))
   }
 
-  protected def loopCode(a: String, b: String, n: String, result: String): String
+  // all loop locals come from freshName: Janino rejects a variable name
+  // reused by sibling expression snippets in the same generated method
+  protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String,
+      result: String): String
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${loopCode(a, b, n, ev.value.toString)}
+         |${loopCode(ctx, a, b, n, ev.value.toString)}
        """.stripMargin
     })
 }
@@ -67,11 +70,12 @@ case class VecDot(left: Expression, right: Expression) extends BinaryVectorExpre
     while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     acc
   }
-  protected def loopCode(a: String, b: String, n: String, result: String): String = {
-    val acc = s"${result}_acc"
+  protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String,
+      result: String): String = {
+    val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
     s"""double $acc = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  $acc += (double)$a.getFloat(i) * (double)$b.getFloat(i);
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
        |}
        |$result = $acc;""".stripMargin
   }
@@ -90,12 +94,15 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryVectorEx
     }
     dot / math.sqrt(na * nb)
   }
-  protected def loopCode(a: String, b: String, n: String, result: String): String = {
-    val dot = s"${result}_dot"; val na = s"${result}_na"; val nb = s"${result}_nb"
+  protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String,
+      result: String): String = {
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
     s"""double $dot = 0.0, $na = 0.0, $nb = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double x = (double)$a.getFloat(i); double y = (double)$b.getFloat(i);
-       |  $dot += x * y; $na += x * x; $nb += y * y;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = (double)$a.getFloat($i); double $y = (double)$b.getFloat($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
        |$result = $dot / java.lang.Math.sqrt($na * $nb);""".stripMargin
   }
@@ -114,12 +121,14 @@ case class VecL2(left: Expression, right: Expression) extends BinaryVectorExpres
     }
     math.sqrt(acc)
   }
-  protected def loopCode(a: String, b: String, n: String, result: String): String = {
-    val acc = s"${result}_acc"
+  protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String,
+      result: String): String = {
+    val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
     s"""double $acc = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double d = (double)$a.getFloat(i) - (double)$b.getFloat(i);
-       |  $acc += d * d;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = (double)$a.getFloat($i) - (double)$b.getFloat($i);
+       |  $acc += $d * $d;
        |}
        |$result = java.lang.Math.sqrt($acc);""".stripMargin
   }
@@ -143,10 +152,11 @@ case class VecNorm(child: Expression) extends UnaryExpression with ExpectsInputT
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val acc = ctx.freshName("acc")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
       s"""double $acc = 0.0;
-         |for (int i = 0; i < $a.numElements(); i++) {
-         |  double x = (double)$a.getFloat(i); $acc += x * x;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $x = (double)$a.getFloat($i); $acc += $x * $x;
          |}
          |${ev.value} = java.lang.Math.sqrt($acc);""".stripMargin
     })
