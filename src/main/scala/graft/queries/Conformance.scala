@@ -155,6 +155,20 @@ object Conformance extends Pack {
       .orderBy("s_suppkey")
   }
 
+  // ---- §2.4: approx_top_k sketch aggregate -------------------------------
+  // Space-saving Aggregator (functions/ApproxTopK.scala): bounded O(m)
+  // partial state per partition instead of shuffling every distinct key.
+  // Sketch contents are merge-order-dependent → rows-only; the retention
+  // guarantee is spec-tested (PipelineSpec).
+  qRowsOnly("q_approx_top_k") { (s, dir) =>
+    val topk = graft.functions.ApproxTopK.udafFor(5)
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_suppkey").cast("string").as("sk"))
+      .groupBy("l_returnflag")
+      .agg(topk(col("sk")).as("top_suppliers"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- §2.1: whole-file reads (read_text / read_blob) --------------------
   // Engine writes a deterministic single text file then reads it whole;
   // oracle rebuilds the identical content relationally.

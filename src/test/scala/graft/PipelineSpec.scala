@@ -7,6 +7,22 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 class PipelineSpec extends AnyFunSuite {
   lazy val spark = GraftTest.spark
 
+  test("approx_top_k retains true heavy hitters across partitioned merges") {
+    import spark.implicits._
+    // zipf-ish: key i appears ~1000/i times; heavy hitters 1..5 dominate
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"key_$i"))
+    val df = spark.createDataset(scala.util.Random.shuffle(rows)).repartition(8).toDF("k")
+    val topk = graft.functions.ApproxTopK.udafFor(5)
+    val out = df.agg(topk($"k").as("top")).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+    val keys = out.map(_.getString(0))
+    // space-saving guarantee: every key with count > N/m must be present
+    assert(Set("key_1", "key_2", "key_3").subsetOf(keys.toSet), s"got $keys")
+    // counts overestimate by at most err, and key_1's exact count survives
+    val k1 = out.find(_.getString(0) == "key_1").get
+    assert(k1.getLong(1) >= 1000 && k1.getLong(1) <= 1000 + k1.getLong(2))
+  }
+
   test("exact dedup groups identical normalized texts") {
     import spark.implicits._
     val docs = Seq((1L, "Hello World "), (2L, "hello world"), (3L, "unrelated text"))
