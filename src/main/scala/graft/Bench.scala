@@ -26,7 +26,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_TIMED_RUNS", "3").toInt
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_TIMED_RUNS", "5").toInt
     val spark = graft.engine.EngineSession
       .builder(s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
