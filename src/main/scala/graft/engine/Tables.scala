@@ -49,6 +49,20 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Scatter a small-but-compute-heavy input across all cores. A single
+    * parquet row group scans as ONE task, so per-row CPU-bound stages
+    * (minhash signatures, text metrics) would otherwise run
+    * single-threaded no matter the cluster; one tiny round-robin shuffle
+    * buys full parallelism for the expensive expression that follows.
+    * Use ONLY before compute-bound stages — scan-bound queries would pay
+    * the shuffle for nothing. Measured at sf0.1: the exchange barrier +
+    * task startup COSTS more than it saves below ~1s of single-task
+    * compute, so none of the fixture queries use it; it is the tool for
+    * genuinely heavy single-split inputs (e.g. one large document shard).
+    */
+  def scatter(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Register every fixture as a temp view so spark.sql(...) can be used. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
