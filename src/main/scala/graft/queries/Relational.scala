@@ -302,6 +302,74 @@ object Relational extends Pack {
       .limit(100)
   }
 
+  // TPC-H Q4 shape (reference q04.sql, adapted to the fixture's columns):
+  // correlated EXISTS → left-semi join on l_orderkey; the probe side is
+  // date-sliced before the join.
+  q("q4_priority_check",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT o_orderpriority, count(*) AS order_count
+            |FROM orders
+            |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            |  AND o_orderdate < TIMESTAMP '1997-01-01'
+            |  AND EXISTS (
+            |    SELECT 1 FROM lineitem
+            |    WHERE l_orderkey = o_orderkey
+            |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  // TPC-H Q12 shape (reference q12.sql): join + CASE-bucketed counts.
+  q("q12_priority_buckets",
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(isHigh, 1).otherwise(0)).cast("bigint").as("high_line_count"),
+        sum(when(!isHigh, 1).otherwise(0)).cast("bigint").as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  // TPC-H Q14 shape (reference q14.sql): promo revenue share — broadcast
+  // part join, conditional/total fixed-point sums in one pass.
+  q("q14_promo_revenue",
+    s"""SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+       |    THEN ${fxSql("l_extendedprice", 2)} * (100 - ${fxSql("l_discount", 2)})
+       |    ELSE 0 END) AS DOUBLE)
+       |  / CAST(sum(${fxSql("l_extendedprice", 2)} * (100 - ${fxSql("l_discount", 2)})) AS DOUBLE), 6) AS promo_share_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+       |  AND l_shipdate < TIMESTAMP '1997-10-01'""") { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-09-01") && col("l_shipdate") < ts("1997-10-01"))
+    val p = Tables.part(s, dir)
+    val rev = fx(col("l_extendedprice"), 2) * (lit(100) - fx(col("l_discount"), 2))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg(round(lit(100.0) *
+          sum(when(col("p_type").like("PROMO%"), rev).otherwise(0)).cast("double") /
+          sum(rev).cast("double"), 6).as("promo_share_pct"))
+  }
+
   // ---- sort / limit / top-k (2.6) ----------------------------------------
 
   // TopN: ORDER BY + LIMIT → TakeOrderedAndProject (reference physical_top_n.cpp)
