@@ -155,6 +155,22 @@ object Conformance extends Pack {
       .orderBy("s_suppkey")
   }
 
+  // ---- §3.2: PREPARE/EXECUTE (typed parameters) --------------------------
+  // The reference's prepared statements (client_context.cpp:535-579) map
+  // to Spark's named-parameter SQL: the statement is planned with
+  // placeholders and executed with bound literals.
+  q("q_prepared_params",
+    """SELECT o_orderstatus, count(*) AS n
+      |FROM orders WHERE o_totalprice > 400000 AND o_orderstatus = 'F'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders WHERE o_totalprice > :minPrice AND o_orderstatus = :status
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      Map("minPrice" -> 400000, "status" -> "F"))
+  }
+
   // ---- §2.4: approx_top_k sketch aggregate -------------------------------
   // Space-saving Aggregator (functions/ApproxTopK.scala): bounded O(m)
   // partial state per partition instead of shuffling every distinct key.
