@@ -61,6 +61,42 @@ object Multimodal {
     StructField("std_intensity", DoubleType, nullable = true),
     StructField("n_pixels", LongType, nullable = true)))
 
+  /** Resize: STUB re-encode to the target box — deterministic payload
+    * truncation/padding standing in for a scaler; meta is updated for
+    * real. A real scaler swaps only the lambda body; plan shape (narrow
+    * map, no shuffle) is what matters at scale.
+    */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      least(lit(maxW) / col("meta.width"), lit(maxH) / col("meta.height")))
+    media.select(
+      col("media_id"), col("modality"),
+      // stub: proportionally truncate the byte payload
+      expr(s"substring(payload, 1, greatest(1, CAST(length(payload) * " +
+        s"least(1.0, least($maxW / meta.width, $maxH / meta.height)) AS INT)))")
+        .as("payload"),
+      struct(
+        ceil(col("meta.width") * scale).cast("int").as("width"),
+        ceil(col("meta.height") * scale).cast("int").as("height"),
+        col("meta.format").as("format")).as("meta"))
+  }
+
+  /** Frame sampling: one row per sampled frame (video → k frames). STUB
+    * slices the payload into k equal chunks; a real demuxer emits decoded
+    * frames. posexplode keeps (media, frame_no) alignment; downstream
+    * per-frame operators inherit the natural partitioning.
+    */
+  def sampleFrames(media: DataFrame, k: Int): DataFrame =
+    media
+      .select(col("media_id"), col("meta"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${k - 1}),
+             |  i -> substring(payload,
+             |                 1 + i * greatest(1, length(payload) DIV $k),
+             |                 greatest(1, length(payload) DIV $k)))""".stripMargin)))
+      .select(col("media_id"), col("pos").cast("int").as("frame_no"),
+        col("col").as("frame_payload"), col("meta"))
+
   /** Feature extraction as a partition-local batch pass (the `mapInPandas`
     * equivalent in Scala): one decoder instance per partition, rows
     * streamed through it — the shape a real codec needs (expensive init

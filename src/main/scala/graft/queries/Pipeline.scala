@@ -221,6 +221,17 @@ object Pipeline extends Pack {
       .orderBy("media_id")
   }
 
+  // resize + frame-sample stages: narrow maps + posexplode, no shuffle
+  qRowsOnly("q_multimodal_frames") { (s, dir) =>
+    val media = Multimodal.resize(
+      Multimodal.fromDocuments(Tables.documents(s, dir)), maxW = 320, maxH = 240)
+    Multimodal.sampleFrames(media, k = 4)
+      .select(col("media_id"), col("frame_no"),
+        length(col("frame_payload")).as("frame_bytes"),
+        col("meta.width"), col("meta.height"))
+      .orderBy("media_id", "frame_no")
+  }
+
   // sessionization: 30-min-gap sessions per user (exact epoch-µs arithmetic)
   q("q_sessionize",
     """WITH flags AS (
