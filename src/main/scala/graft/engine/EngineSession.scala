@@ -20,6 +20,12 @@ object EngineSession {
     // knob is shuffle partitions ~ cores, with AQE coalescing the rest.
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // size-based coalescing (not parallelism-first): small shuffles
+    // collapse to few right-sized reducers instead of fanning out to the
+    // full partition count — the documented production recommendation
+    // (neutral at sf0.1 where shuffles are tiny either way; matters when
+    // selective stages run on a real cluster)
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.cbo.enabled" -> "true",
     "spark.sql.cbo.joinReorder.enabled" -> "true",
