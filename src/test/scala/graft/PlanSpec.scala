@@ -61,6 +61,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("minhash_signature"), s"SQL-chain minhash still in plan:\n$p")
   }
 
+  test("bucketed join reads co-located buckets — no join-side shuffle") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, GraftTest.sf)
+    val p = df.queryExecution.executedPlan.toString
+    // allowed exchanges: the groupBy and the final sort; the merge join
+    // itself must consume the bucketed scans without repartitioning
+    assert(p.contains("SortMergeJoin"), s"no merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join still shuffles lineitem:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles orders:\n$p")
+  }
+
   test("whole-stage codegen covers the Q1 hot path") {
     // under AQE codegen stages exist only in the FINAL executed plan,
     // rendered as "*(n)" span markers
