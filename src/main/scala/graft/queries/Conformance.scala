@@ -167,9 +167,9 @@ object Conformance extends Pack {
       |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
-    bucketedPair(s, dir)
-    val o = s.table("g_orders_bkt")
-    val l = s.table("g_lineitem_bkt")
+    val (oName, lName) = bucketedPair(s, dir)
+    val o = s.table(oName)
+    val l = s.table(lName)
     // merge hint = the fact-to-fact shape bucketing exists for (at fixture
     // scale Spark would broadcast the small side and bypass the buckets)
     l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
@@ -181,22 +181,27 @@ object Conformance extends Pack {
   }
 
   /** One-time bucketed write of orders+lineitem on the join key (8
-    * buckets), idempotent per (session, dir).
+    * buckets), idempotent per (session, dir). Table names and paths are
+    * keyed by the fixture dir so scale factors (and concurrent JVMs)
+    * never collide.
     */
-  def bucketedPair(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+  def bucketedPair(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
     synchronized {
-      val marker = s"graft_bkt_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (oName, lName) = (s"g_orders_bkt_$key", s"g_lineitem_bkt_$key")
+      val marker = s"graft_bkt_$key"
       if (!s.conf.getOption(marker).contains("done")) {
         Tables.orders(s, dir).write.mode("overwrite")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"/tmp/graft_warehouse/orders_bkt")
-          .saveAsTable("g_orders_bkt")
+          .option("path", s"/tmp/graft_warehouse/$key/orders_bkt")
+          .saveAsTable(oName)
         Tables.lineitem(s, dir).write.mode("overwrite")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"/tmp/graft_warehouse/lineitem_bkt")
-          .saveAsTable("g_lineitem_bkt")
+          .option("path", s"/tmp/graft_warehouse/$key/lineitem_bkt")
+          .saveAsTable(lName)
         s.conf.set(marker, "done")
       }
+      (oName, lName)
     }
 
   // ---- §3.2: PREPARE/EXECUTE (typed parameters) --------------------------
