@@ -155,6 +155,38 @@ object Conformance extends Pack {
       .orderBy("s_suppkey")
   }
 
+  // ---- §2.6: case-insensitive collation ordering -------------------------
+  // reference collation_binding.cpp (NOCASE) ↔ Spark 4 UTF8_LCASE
+  // collation; tie-broken on the key so both engines produce one order.
+  q("q_orderby_collate",
+    """SELECT CASE WHEN n_nationkey % 2 = 0 THEN lower(n_name) ELSE n_name END AS mixed,
+      |  n_nationkey
+      |FROM nation
+      |ORDER BY mixed COLLATE NOCASE, n_nationkey""") { (s, dir) =>
+    Tables.nation(s, dir)
+      .select(
+        when(col("n_nationkey") % 2 === 0, lower(col("n_name")))
+          .otherwise(col("n_name")).as("mixed"),
+        col("n_nationkey"))
+      .orderBy(expr("collate(mixed, 'UTF8_LCASE')"), col("n_nationkey"))
+  }
+
+  // ---- §2.4: bitstring_agg ------------------------------------------------
+  // reference distributive/bitstring_agg.cpp: set-bit positions over a
+  // bounded int domain. Spark rebuild: '1'/'0' per domain position from
+  // the collected distinct set (rendered as VARCHAR both sides).
+  q("q_bitstring_agg",
+    """SELECT n_regionkey, CAST(bitstring_agg(n_nationkey % 8, 0, 7) AS VARCHAR) AS bits
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { (s, dir) =>
+    Tables.nation(s, dir)
+      .groupBy("n_regionkey")
+      .agg(collect_set(col("n_nationkey") % 8).as("vs"))
+      .select(col("n_regionkey"),
+        expr("concat_ws('', transform(sequence(0, 7), i -> CASE WHEN array_contains(vs, CAST(i AS BIGINT)) THEN '1' ELSE '0' END))")
+          .as("bits"))
+      .orderBy("n_regionkey")
+  }
+
   // ---- bucketed co-located join (shuffle elimination) --------------------
   // The 100 TB fact-to-fact join strategy: both tables bucketed on the
   // join key at write time → every subsequent join on that key reads
