@@ -65,14 +65,22 @@ object EngineSession {
 
   /** Idempotent per-session setup usable on a session we didn't build
     * (the driver's Verify/Bench create their own): runtime confs +
-    * SQL-function registration.
+    * SQL-function registration. A conf marker makes repeat calls free —
+    * every query entry point calls configure, and re-registering functions
+    * per query costs real time and floods the log with
+    * "function replaced" WARNs.
     */
+  private val MARKER = "spark.graft.configured"
+
   def configure(spark: SparkSession): SparkSession = {
-    tunings.foreach { case (k, v) =>
-      try spark.conf.set(k, v)
-      catch { case _: Throwable => () } // static confs on a live session
+    if (spark.conf.getOption(MARKER).isEmpty) {
+      tunings.foreach { case (k, v) =>
+        try spark.conf.set(k, v)
+        catch { case _: Throwable => () } // static confs on a live session
+      }
+      graft.functions.Registry.registerAll(spark)
+      spark.conf.set(MARKER, "true")
     }
-    graft.functions.Registry.registerAll(spark)
     spark
   }
 }

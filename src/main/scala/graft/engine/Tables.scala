@@ -21,12 +21,27 @@ object Tables {
     * queries register all ten fixtures — uncached that alone costs ~0.4 s
     * per query. DataFrames are immutable plans, so reuse per
     * (session, dir, table) is safe.
+    *
+    * Sessions are WEAK keys: a DataFrame strongly references its session,
+    * so a strong (session, …) key would pin every session (and its plans)
+    * for the life of the JVM — long-lived multi-session services would
+    * leak. A stopped-and-dropped session's entries become collectable as
+    * soon as the caller's DataFrames do.
     */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, dir, name), _ => {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events") {
         // ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it arrives as
@@ -37,6 +52,7 @@ object Tables {
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
       } else df
     })
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -43,7 +43,13 @@ object RecursiveCTE {
       .localCheckpoint() // ONE job; lineage truncated
   }
 
-  /** UNION mode (distinct accumulate, stop when no NEW rows). */
+  /** UNION mode (distinct accumulate, stop when no NEW rows).
+    *
+    * Non-convergence within `maxIterations` raises — the reference never
+    * silently truncates a recursive CTE (physical_recursive_cte.cpp loops
+    * to actual fixpoint); returning a partial result would be a wrong
+    * answer, not a degraded one.
+    */
   def unionFixpoint(
       base: DataFrame,
       step: DataFrame => DataFrame,
@@ -53,6 +59,7 @@ object RecursiveCTE {
     var frontier = acc
     var iters = 0
     var done = false
+    val retired = scala.collection.mutable.ListBuffer[DataFrame]()
     while (!done && iters < maxIterations) {
       val b = math.min(batchSize, maxIterations - iters)
       val batch = runBatch(frontier, step, b)
@@ -61,39 +68,63 @@ object RecursiveCTE {
       // join against the accumulator)
       val fresh = batch.drop(STEP).distinct().exceptAll(acc)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (fresh.isEmpty) done = true
+      if (fresh.isEmpty) { fresh.unpersist(); done = true }
       else {
         val prevAcc = acc
         acc = acc.unionAll(fresh).persist(StorageLevel.MEMORY_AND_DISK)
         // next frontier: the last step's novel rows (earlier steps were
         // already expanded inside the batch)
         frontier = batch.filter(col(STEP) === b - 1).drop(STEP).except(prevAcc)
+        // prevAcc/fresh back the new acc's lineage until it materializes;
+        // retire them after the emptiness check of the NEXT round (by which
+        // point acc has been computed at least once)
+        retired += prevAcc; retired += fresh
       }
       iters += b
     }
+    if (!done && !step(frontier).isEmpty)
+      throw new IllegalStateException(
+        s"recursive CTE did not converge within $maxIterations iterations")
+    acc.count() // materialize before releasing lineage backers
+    retired.foreach(_.unpersist())
     acc
   }
 
-  /** UNION ALL mode (append every round's rows, stop when a round is empty). */
+  /** UNION ALL mode (append every round's rows, stop when a round is empty).
+    *
+    * Batch size grows geometrically (8 → 16 → 32): deep recursions pay
+    * O(log n) driver round-trips instead of O(n/8), while shallow ones
+    * never analyze a plan wider than their actual depth. Overshooting the
+    * fixpoint inside a batch is free — `step` of an empty frontier is
+    * empty — and the stop test reads only the LAST step of the
+    * checkpointed batch, so the fixpoint is detected in the same round it
+    * occurs. Like the reference, non-convergence raises rather than
+    * silently truncating (physical_recursive_cte.cpp loops to fixpoint).
+    */
   def unionAllFixpoint(
       base: DataFrame,
       step: DataFrame => DataFrame,
       maxIterations: Int = 1000,
-      batchSize: Int = 8): DataFrame = {
+      batchSize: Int = 8,
+      maxBatchSize: Int = 32): DataFrame = {
     var acc = base
     var frontier = base
     var iters = 0
+    var b = batchSize
     var done = false
     while (!done && iters < maxIterations) {
-      val b = math.min(batchSize, maxIterations - iters)
-      val batch = runBatch(frontier, step, b)
-      if (batch.isEmpty) done = true
-      else {
-        acc = acc.unionAll(batch.drop(STEP))
-        frontier = batch.filter(col(STEP) === b - 1).drop(STEP)
-      }
-      iters += b
+      val k = math.min(b, maxIterations - iters)
+      val batch = runBatch(frontier, step, k)
+      val last = batch.filter(col(STEP) === k - 1).drop(STEP)
+      acc = acc.unionAll(batch.drop(STEP))
+      frontier = last
+      iters += k
+      if (last.isEmpty) done = true
+      else b = math.min(b * 2, maxBatchSize)
     }
+    if (!done && !step(frontier).isEmpty)
+      throw new IllegalStateException(
+        s"recursive CTE did not converge within $maxIterations iterations")
     acc
   }
 }

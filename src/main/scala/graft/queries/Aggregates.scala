@@ -97,9 +97,13 @@ object Aggregates extends Pack {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
     val li = Tables.lineitem(s, dir)
     val total = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-    val supp = li.select("l_returnflag", "l_suppkey").distinct()
+    // count(DISTINCT x) ignores NULL x: filter before the dedup so the
+    // rewrite keeps aggregate null semantics (reference count_distinct)
+    val supp = li.select("l_returnflag", "l_suppkey")
+      .filter(col("l_suppkey").isNotNull).distinct()
       .groupBy("l_returnflag").agg(count(lit(1)).as("n_supp"))
-    val part = li.select("l_returnflag", "l_partkey").distinct()
+    val part = li.select("l_returnflag", "l_partkey")
+      .filter(col("l_partkey").isNotNull).distinct()
       .groupBy("l_returnflag").agg(count(lit(1)).as("n_part"))
     total.join(supp, "l_returnflag").join(part, "l_returnflag")
       .select("l_returnflag", "n_supp", "n_part", "n")
@@ -219,13 +223,17 @@ object Aggregates extends Pack {
   }
 
   // list/array_agg with ORDER BY
+  // list() output serialized to a ','-joined string: the driver's checker
+  // can't sort rows on array-typed cells.
   q("q_list_agg",
-    """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+    """SELECT l_orderkey,
+      |  array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS lines
       |FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey ORDER BY l_orderkey""") { (s, dir) =>
     Tables.lineitem(s, dir)
       .filter(col("l_orderkey") < 100)
       .groupBy("l_orderkey")
-      .agg(array_sort(collect_list(col("l_linenumber"))).as("lines"))
+      .agg(array_join(transform(array_sort(collect_list(col("l_linenumber"))),
+        _.cast("string")), ",").as("lines"))
       .orderBy("l_orderkey")
   }
 

@@ -137,7 +137,7 @@ object Conformance extends Pack {
       |  bin(s_suppkey + 5) AS b, hex(s_suppkey + 5) AS h,
       |  parse_filename(concat('/data/region_', s_nationkey, '/supplier_', s_suppkey, '.parquet')) AS fname,
       |  parse_dirpath(concat('/data/region_', s_nationkey, '/supplier_', s_suppkey, '.parquet')) AS dpath,
-      |  parse_path(concat('/data/region_', s_nationkey, '/supplier_', s_suppkey, '.parquet')) AS parts
+      |  array_to_string(parse_path(concat('/data/region_', s_nationkey, '/supplier_', s_suppkey, '.parquet')), ',') AS parts
       |FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
     val path = concat(lit("/data/region_"), col("s_nationkey"),
       lit("/supplier_"), col("s_suppkey"), lit(".parquet"))
@@ -151,7 +151,8 @@ object Conformance extends Pack {
         bin(col("s_suppkey") + 5).as("b"), hex(col("s_suppkey") + 5).as("h"),
         element_at(split(path, "/"), -1).as("fname"),
         regexp_replace(path, "/[^/]*$", "").as("dpath"),
-        concat(array(lit("/")), filter(split(path, "/"), x => x =!= "")).as("parts"))
+        array_join(concat(array(lit("/")), filter(split(path, "/"), x => x =!= "")), ",")
+          .as("parts"))
       .orderBy("s_suppkey")
   }
 
@@ -262,7 +263,8 @@ object Conformance extends Pack {
     Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_suppkey").cast("string").as("sk"))
       .groupBy("l_returnflag")
-      .agg(topk(col("sk")).as("top_suppliers"))
+      // struct-array sketch output serialized for the driver's row sorter
+      .agg(to_json(topk(col("sk"))).as("top_suppliers"))
       .orderBy("l_returnflag")
   }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.{StringFunctions => SF}
@@ -96,10 +97,14 @@ object Functions extends Pack {
       |  round(degrees(l_discount), 9) AS dg,
       |  round(radians(l_quantity), 9) AS rd,
       |  isnan(l_quantity) AS nn,
-      |  isfinite(l_extendedprice) AS fin
+      |  isfinite(l_extendedprice) AS fin,
+      |  isfinite(CASE WHEN l_linenumber = 1 THEN CAST('inf' AS DOUBLE)
+      |                WHEN l_linenumber = 2 THEN CAST('nan' AS DOUBLE)
+      |                ELSE l_extendedprice END) AS fin_edge,
+      |  isinf(CASE WHEN l_linenumber = 1 THEN CAST('-inf' AS DOUBLE)
+      |             ELSE l_extendedprice END) AS inf_edge
       |FROM lineitem WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
-    import graft.functions.Registry
-    Registry.registerAll(s)
+    graft.engine.EngineSession.configure(s)
     Tables.lineitem(s, dir).filter(col("l_orderkey") < 500).select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_quantity") - 25).as("a"),
@@ -122,9 +127,23 @@ object Functions extends Pack {
         round(degrees(col("l_discount")), 9).as("dg"),
         round(radians(col("l_quantity")), 9).as("rd"),
         isnan(col("l_quantity")).as("nn"),
-        lit(true).as("fin"))
+        finite(col("l_extendedprice")).as("fin"),
+        finite(when(col("l_linenumber") === 1, lit(Double.PositiveInfinity))
+          .when(col("l_linenumber") === 2, lit(Double.NaN))
+          .otherwise(col("l_extendedprice"))).as("fin_edge"),
+        infinite(when(col("l_linenumber") === 1, lit(Double.NegativeInfinity))
+          .otherwise(col("l_extendedprice"))).as("inf_edge"))
       .orderBy("l_orderkey", "l_linenumber")
   }
+
+  /** Real finiteness predicates (reference scalar/math isfinite/isinf).
+    * NaN is guarded first: Spark SQL's comparison semantics treat
+    * NaN = NaN as true, so a bare abs(c) != inf would misclassify NaN.
+    */
+  private def finite(c: Column): Column =
+    !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
+  private def infinite(c: Column): Column =
+    !isnan(c) && abs(c) === lit(Double.PositiveInfinity)
 
   // ---- date/time (reference scalar/date, icu ext) --------------------------
   q("q_fn_datetime",
@@ -183,31 +202,44 @@ object Functions extends Pack {
   }
 
   // ---- list / lambda (reference scalar/list, lambda_functions.cpp) --------
+  // Array-valued outputs are serialized to canonical strings (scaled-BIGINT
+  // mantissas joined by ','): the driver's row-sorting checker can't order
+  // array cells, and float→string formatting differs across engines while
+  // round(x·1e5)→BIGINT is bit-identical (float→double cast is exact, both
+  // engines round halves away from zero).
   q("q_fn_list",
     """SELECT vec_id,
       |  len(embedding) AS n,
       |  embedding[1] AS first_el,
-      |  array_slice(embedding, 1, 3) AS first3,
+      |  array_to_string(list_transform(array_slice(embedding, 1, 3),
+      |    x -> CAST(CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS VARCHAR)), ',') AS first3,
       |  list_sort(array_slice(embedding, 1, 4))[1] AS min4,
       |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 5) AS total,
       |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
-      |  list_transform(array_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE) * 2) AS doubled,
+      |  array_to_string(list_transform(array_slice(embedding, 1, 3),
+      |    x -> CAST(CAST(round(CAST(x AS DOUBLE) * 2 * 100000) AS BIGINT) AS VARCHAR)), ',') AS doubled,
       |  list_contains(embedding, embedding[2]) AS has2nd,
-      |  flatten([array_slice(embedding, 1, 2), array_slice(embedding, 3, 4)]) AS flat4
+      |  array_to_string(list_transform(flatten([array_slice(embedding, 1, 2), array_slice(embedding, 3, 4)]),
+      |    x -> CAST(CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS VARCHAR)), ',') AS flat4
       |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""") { (s, dir) =>
+    val mant: Column => Column =
+      x => round(x.cast("double") * 100000).cast("bigint").cast("string")
     Tables.embeddings(s, dir).filter(col("vec_id") < 100).select(
         col("vec_id"),
         size(col("embedding")).cast("bigint").as("n"),
         element_at(col("embedding"), 1).as("first_el"),
-        slice(col("embedding"), 1, 3).as("first3"),
+        array_join(transform(slice(col("embedding"), 1, 3), mant), ",").as("first3"),
         element_at(array_sort(slice(col("embedding"), 1, 4)), 1).as("min4"),
         round(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double")), 5).as("total"),
         size(filter(col("embedding"), _ > 0)).cast("bigint").as("n_pos"),
-        transform(slice(col("embedding"), 1, 3), x => x.cast("double") * 2).as("doubled"),
+        array_join(transform(slice(col("embedding"), 1, 3),
+          x => round(x.cast("double") * 2 * 100000).cast("bigint").cast("string")), ",")
+          .as("doubled"),
         array_contains(col("embedding"), element_at(col("embedding"), 2)).as("has2nd"),
-        flatten(array(slice(col("embedding"), 1, 2), slice(col("embedding"), 3, 2)))
-          .as("flat4"))
+        array_join(transform(
+          flatten(array(slice(col("embedding"), 1, 2), slice(col("embedding"), 3, 2))),
+          mant), ",").as("flat4"))
       .orderBy("vec_id")
   }
 
@@ -258,7 +290,7 @@ object Functions extends Pack {
       |  regexp_matches(p_name, '[0-9]+') AS has_num,
       |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
       |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
-      |  string_split_regex(p_type, '\\s+') AS parts,
+      |  array_to_string(string_split_regex(p_type, '\\s+'), ',') AS parts,
       |  len(string_split_regex(p_type, '\\s+')) AS n_parts
       |FROM part ORDER BY p_partkey""") { (s, dir) =>
     Tables.part(s, dir).select(
@@ -266,7 +298,7 @@ object Functions extends Pack {
         col("p_name").rlike("[0-9]+").as("has_num"),
         regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
         regexp_replace(col("p_name"), lit("[aeiou]"), lit("_")).as("devowel"),
-        split(col("p_type"), "\\s+").as("parts"),
+        array_join(split(col("p_type"), "\\s+"), ",").as("parts"),
         size(split(col("p_type"), "\\s+")).cast("bigint").as("n_parts"))
       .orderBy("p_partkey")
   }

@@ -44,7 +44,8 @@ abstract class BinaryVectorExpression extends BinaryExpression with ExpectsInput
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    compute(a, b, math.min(a.numElements(), b.numElements()))
+    compute(a, b,
+      BinaryVectorExpression.checkedLength(a.numElements(), b.numElements(), prettyName))
   }
 
   // all loop locals come from freshName: Janino rejects a variable name
@@ -56,10 +57,24 @@ abstract class BinaryVectorExpression extends BinaryExpression with ExpectsInput
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = org.apache.spark.sql.graft.BinaryVectorExpression.checkedLength(
+         |  $a.numElements(), $b.numElements(), "$prettyName");
          |${loopCode(ctx, a, b, n, ev.value.toString)}
        """.stripMargin
     })
+}
+
+object BinaryVectorExpression {
+  /** The reference errors on mismatched list sizes
+    * (extension/core_functions/scalar/list/list_cosine_similarity.cpp);
+    * silently truncating to min(len) would turn an upstream dimension bug
+    * into plausible-but-wrong similarity scores.
+    */
+  def checkedLength(na: Int, nb: Int, fn: String): Int = {
+    if (na != nb) throw new IllegalArgumentException(
+      s"$fn: vector length mismatch ($na vs $nb)")
+    na
+  }
 }
 
 /** Inner product: reference list_inner_product. */
@@ -83,7 +98,11 @@ case class VecDot(left: Expression, right: Expression) extends BinaryVectorExpre
     copy(left = l, right = r)
 }
 
-/** Cosine similarity: reference list_cosine_similarity. */
+/** Cosine similarity: reference list_cosine_similarity. If either vector is
+  * all-zero the result is NaN (0/0, matching the reference's double math —
+  * it applies no zero-norm guard either); callers that need a defined value
+  * for zero vectors should wrap with nanvl().
+  */
 case class VecCosine(left: Expression, right: Expression) extends BinaryVectorExpression {
   override def prettyName: String = "vec_cosine_similarity"
   protected def compute(a: ArrayData, b: ArrayData, n: Int): Double = {
