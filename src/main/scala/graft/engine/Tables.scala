@@ -22,25 +22,26 @@ object Tables {
     * per query. DataFrames are immutable plans, so reuse per
     * (session, dir, table) is safe.
     *
-    * Sessions are WEAK keys: a DataFrame strongly references its session,
-    * so a strong (session, …) key would pin every session (and its plans)
-    * for the life of the JVM — long-lived multi-session services would
-    * leak. A stopped-and-dropped session's entries become collectable as
-    * soon as the caller's DataFrames do.
+    * Eviction is EXPLICIT, not weak-key: a cached DataFrame strongly
+    * references its session (`df.sparkSession`), so a WeakHashMap keyed by
+    * session would hold a value→key cycle and never collect anything. A
+    * listener on the session's context clears its entries when the
+    * application ends, so a long-lived JVM hosting successive contexts
+    * does not accumulate dead sessions' plans.
     */
   private val cache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        cache.put(spark, m)
-      }
-      m
-    }
+    val perSession = cache.computeIfAbsent(spark, s => {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          cache.remove(s)
+      })
+      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    })
     perSession.computeIfAbsent((dir, name), _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events") {

@@ -243,25 +243,21 @@ object Tpch extends Pack {
   }
 
   // ---- Q16: supplier count per part attribute (NOT IN + count distinct) --
-  q("q16_supplier_cnt",
+  // NOT IN goes through spark.sql so Catalyst plans its null-aware
+  // broadcast-hash anti join (NULL-poisoning semantics preserved: one NULL
+  // s_suppkey in the subquery would empty the result, exactly like the
+  // reference) — a plain left_anti DataFrame join would silently drop that.
+  private val q16Sql =
     """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
       |  AND p_size IN (1, 4, 7, 10, 15, 23, 31, 40)
       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY p_brand, p_type, p_size
-      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""") { (s, dir) =>
-    val p = Tables.part(s, dir).filter(
-      col("p_brand") =!= "Brand#45" && col("p_type") =!= "MEDIUM" &&
-      col("p_size").isin(1, 4, 7, 10, 15, 23, 31, 40))
-    val badSupp = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
-      .select(col("s_suppkey").as("bad_suppkey"))
-    Tables.lineitem(s, dir)
-      .join(broadcast(badSupp), col("l_suppkey") === col("bad_suppkey"), "left_anti")
-      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
-      .groupBy("p_brand", "p_type", "p_size")
-      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+  q("q16_supplier_cnt", q16Sql) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(q16Sql)
   }
 
   // ---- Q17: small-quantity revenue (correlated AVG subquery) -------------

@@ -55,6 +55,38 @@ class OperatorsSpec extends AnyFunSuite {
       (1, 3), (2, 4), (1, 4), (1, 5), (2, 5), (1, 5)))
   }
 
+  test("recursive CTE cyclic fixpoint at the iteration cap is not an error") {
+    import spark.implicits._
+    // 1→2→1 cycle: closure {12,21,11,22} is complete after ONE productive
+    // round; with maxIterations=1 the loop exits before observing an empty
+    // fresh set, and the boundary must recognize step(frontier) ⊆ acc as
+    // convergence rather than raising.
+    val edges = Seq((1, 2), (2, 1)).toDF("src", "dst")
+    val closure = RecursiveCTE.unionFixpoint(edges, frontier =>
+      frontier.as("f").join(edges.as("e"), col("f.dst") === col("e.src"))
+        .select(col("f.src"), col("e.dst")),
+      maxIterations = 1, batchSize = 1)
+    val pairs = closure.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((1, 2), (2, 1), (1, 1), (2, 2)))
+  }
+
+  test("recursive CTE compiled driver-local path: deep series") {
+    import spark.implicits._
+    val out = RecursiveCTE.unionAllFixpoint(Seq(1L).toDF("n"),
+      f => f.filter(col("n") < 500).select((col("n") + 1).as("n")))
+    val ns = out.collect().map(_.getLong(0)).sorted
+    assert(ns.length == 500 && ns.head == 1L && ns.last == 500L)
+    assert(ns.sum == 500L * 501 / 2)
+  }
+
+  test("recursive CTE non-convergence raises") {
+    import spark.implicits._
+    intercept[IllegalStateException] {
+      RecursiveCTE.unionAllFixpoint(Seq(1L).toDF("n"),
+        f => f.select((col("n") + 1).as("n")), maxIterations = 10).collect()
+    }
+  }
+
   test("recursive CTE union-all fixpoint: series generation") {
     import spark.implicits._
     val out = RecursiveCTE.unionAllFixpoint(Seq(1L).toDF("n"),
