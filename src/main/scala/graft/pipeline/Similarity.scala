@@ -44,11 +44,15 @@ object Similarity {
 
   /** Hyperplane-LSH bucket code (SimHash for cosine): `planes`-bit code per
     * row. Rows sharing a code are near-neighbors with high probability.
+    * `seed` selects an independent plane set (seed 0 keeps the original
+    * plane family) — multiple seeds give the banded/multi-table LSH shape.
     */
   def withLshBucket(
-      df: DataFrame, vecCol: String, dims: Int, planes: Int = 8): DataFrame = {
+      df: DataFrame, vecCol: String, dims: Int, planes: Int = 8,
+      seed: Int = 0): DataFrame = {
     val code = (0 until planes).map { p =>
-      val signs = (0 until dims).map(d => planeSign(p, d))
+      val signs = (0 until dims).map(d =>
+        if (seed == 0) planeSign(p, d) else planeSign(seed * 10007 + p, d))
       val proj = (0 until dims).map { d =>
         element_at(col(vecCol), d + 1).cast("double") * lit(signs(d))
       }.reduce(_ + _)
@@ -78,19 +82,38 @@ object Similarity {
       .select("query_id", "corpus_id", "cos_sim", "rk")
   }
 
-  /** Embedding near-duplicate pairs above a cosine threshold, via LSH
-    * buckets (never all-pairs).
+  /** Embedding near-duplicate pairs above a cosine threshold, via banded
+    * multi-table LSH (never all-pairs). Same scale topology as
+    * `Dedup.lshCandidatePairs`: each of `bands` independent plane sets
+    * buckets the corpus; buckets above `maxBucket` are DROPPED before the
+    * self-join, so no bucket can materialize O(n²) pairs (a mega-bucket of
+    * 10⁷ rows at corpus scale would otherwise emit ~10¹⁴ candidates in one
+    * join — the cap bounds the worst bucket at maxBucket²/2 while the
+    * other bands still recover its genuinely-close pairs with independent
+    * planes). Candidates are deduped across bands BEFORE vectors are
+    * re-joined, so the cosine kernel runs once per distinct pair.
     */
   def nearDupPairs(
       df: DataFrame, threshold: Double, dims: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      planes: Int = 6): DataFrame = {
-    val b = withLshBucket(df, vecCol, dims, planes)
-      .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
-    b.as("a").join(b.as("b"),
-        col("a.lsh_bucket") === col("b.lsh_bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(vec_cosine(col("a.v"), col("b.v")), 5).as("cos_sim"))
+      planes: Int = 8, bands: Int = 3, maxBucket: Int = 200): DataFrame = {
+    val src = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val perBand = (0 until bands).map { band =>
+      val coded = withLshBucket(src, "v", dims, planes, seed = band)
+        .select(col("id"), col("lsh_bucket"))
+      val small = coded.groupBy("lsh_bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket)
+        .select("lsh_bucket")
+      val inb = coded.join(small, "lsh_bucket")
+      inb.as("a").join(inb.as("b"),
+          col("a.lsh_bucket") === col("b.lsh_bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    }
+    perBand.reduce(_ unionAll _).distinct()
+      .join(src.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(src.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(vec_cosine(col("va"), col("vb")), 5).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -42,36 +42,37 @@ object Conformance extends Pack {
   // ---- §2.5: EXCLUDE CURRENT ROW frame rewrite ---------------------------
   // Spark windows have no EXCLUDE (reference window_expression.hpp:34);
   // for distributive aggregates it is full-frame minus the current row.
-  // DECIMAL sum keeps both engines order-independent (see Q).
+  // DECIMAL sum keeps both engines order-independent (see Q). The global
+  // ORDER BY frame runs chunk-parallel (graft.operators.ChunkedWindow) —
+  // a bare Window.orderBy would single-task the whole table.
   q("q_window_exclude",
     """SELECT s_suppkey,
       |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,6)))
       |    OVER (ORDER BY s_suppkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
       |          EXCLUDE CURRENT ROW) AS DOUBLE) AS neighbor_sum
       |FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
-    val w = Window.orderBy("s_suppkey").rowsBetween(-2, 2)
-    Tables.supplier(s, dir).select(
-        col("s_suppkey"),
-        (sum(col("s_acctbal").cast(S)).over(w) - col("s_acctbal").cast(S))
-          .cast("double").as("neighbor_sum"))
-      .orderBy("s_suppkey")
+    graft.operators.ChunkedWindow.boundedFrame(
+        Tables.supplier(s, dir), "s_suppkey", 2, 2) { w =>
+      Seq((sum(col("s_acctbal").cast(S)).over(w) - col("s_acctbal").cast(S))
+        .cast("double").as("neighbor_sum"))
+    }.select("s_suppkey", "neighbor_sum").orderBy("s_suppkey")
   }
 
   // ---- §2.5: DISTINCT aggregate in a window frame ------------------------
   // Spark rejects count(DISTINCT) OVER; rewrite as the cardinality of the
-  // de-duplicated collected frame (exact, frame-local memory only).
+  // de-duplicated collected frame (exact, frame-local memory only). Global
+  // order frame → ChunkedWindow, same as q_window_exclude.
   q("q_window_distinct_count",
     """SELECT s_suppkey,
       |  count(DISTINCT s_nationkey)
       |    OVER (ORDER BY s_suppkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
       |    AS dn
       |FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
-    val w = Window.orderBy("s_suppkey").rowsBetween(-4, 0)
-    Tables.supplier(s, dir).select(
-        col("s_suppkey"),
-        size(array_distinct(collect_list(col("s_nationkey")).over(w)))
-          .cast("bigint").as("dn"))
-      .orderBy("s_suppkey")
+    graft.operators.ChunkedWindow.boundedFrame(
+        Tables.supplier(s, dir), "s_suppkey", 4, 0) { w =>
+      Seq(size(array_distinct(collect_list(col("s_nationkey")).over(w)))
+        .cast("bigint").as("dn"))
+    }.select("s_suppkey", "dn").orderBy("s_suppkey")
   }
 
   // ---- §2.6: LIMIT PERCENT (physical_limit_percent.cpp) ------------------

@@ -161,17 +161,19 @@ object Windows extends Pack {
   }
 
   // aggregate OVER () (global window, streaming fast path in the reference —
-  // physical_streaming_window.cpp)
+  // physical_streaming_window.cpp). A frameless global aggregate needs no
+  // window at all: partial-aggregate to ONE scalar, broadcast it back —
+  // fully parallel, where `Window.partitionBy()` would drag every row
+  // through a single task.
   q("q_window_global",
     s"""SELECT o_orderkey,
        |  round(o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER () AS DOUBLE), 9) AS price_share
        |FROM orders WHERE o_totalprice > 400000 ORDER BY o_orderkey""") { (s, dir) =>
-    val w = Window.partitionBy()
-    Tables.orders(s, dir)
-      .filter(col("o_totalprice") > 400000)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    val total = o.agg(sum(col("o_totalprice").cast(S)).as("_total"))
+    o.crossJoin(broadcast(total))
       .select(col("o_orderkey"),
-        round(col("o_totalprice") / sum(col("o_totalprice").cast(S)).over(w).cast("double"), 9)
-          .as("price_share"))
+        round(col("o_totalprice") / col("_total").cast("double"), 9).as("price_share"))
       .orderBy("o_orderkey")
   }
 

@@ -42,6 +42,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(2).getString(0) == "z" && rows(2).isNullAt(1))
   }
 
+  test("chunked window matches the single-task global window exactly") {
+    import spark.implicits._
+    val df = (1 to 97).map(i => (i.toLong, (i * 37 % 19).toDouble)).toDF("k", "v")
+    val expected = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("k").rowsBetween(-3, 2)
+      df.select(col("k"), sum("v").over(w).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val actual = graft.operators.ChunkedWindow
+      .boundedFrame(df, "k", 3, 2, chunks = 8) { w =>
+        Seq(sum("v").over(w).as("s"))
+      }
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("s")).toMap
+    assert(actual == expected)
+  }
+
   test("recursive CTE union fixpoint: transitive closure") {
     import spark.implicits._
     // edges of a small DAG: 1→2→3→4, 2→5

@@ -75,6 +75,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.count() == 0) // one bucket of 30 > cap → dropped
   }
 
+  test("embedding near-dup: banded LSH caps mega-buckets, still finds true pair") {
+    import spark.implicits._
+    // 20 identical vectors share one bucket in EVERY band (identical input
+    // → identical code whatever the planes) — over the cap, so no O(n²)
+    // pair explosion from them. The genuinely-near distinct pair lives in
+    // a sparse bucket and must survive.
+    val clones = (1L to 20L).map(i => (i, Array(1f, 0f, 0f, 0f)))
+    val nearA = (100L, Array(0f, 1f, 0f, 0f))
+    val nearB = (101L, Array(0f, 1f, 0.01f, 0f))
+    val vecs = (clones ++ Seq(nearA, nearB)).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(vecs, threshold = 0.9, dims = 4, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L)))
+  }
+
   test("brute-force top-k: self-similar vector ranks first") {
     import spark.implicits._
     val base = Array.tabulate(8)(i => i.toFloat)

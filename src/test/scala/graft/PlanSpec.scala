@@ -73,6 +73,30 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join still shuffles orders:\n$p")
   }
 
+  test("global-order window queries never move all rows to one task") {
+    // q_window_global / exclude / distinct_count used to plan an
+    // Exchange SinglePartition via Window.orderBy with no partitionBy —
+    // the rewrites (broadcast global agg; ChunkedWindow) must not.
+    // q_window_global: no Window operator at all — the global sum is a
+    // scalar aggregate broadcast back (its partial→final merge moves 32
+    // one-row partials, not data rows)
+    locally {
+      val df = SparkEntry.queries("q_window_global")(spark, GraftTest.sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"q_window_global still plans a Window:\n$p")
+    }
+    for (name <- Seq("q_window_exclude", "q_window_distinct_count")) {
+      val df = SparkEntry.queries(name)(spark, GraftTest.sf)
+      df.collect() // finalize the AQE plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("hashpartitioning(_chunk"),
+        s"$name window not partitioned by chunk:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name still funnels rows through one task:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the Q1 hot path") {
     // under AQE codegen stages exist only in the FINAL executed plan,
     // rendered as "*(n)" span markers
