@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import Q._
+
+/** TPC-DS sample pack — five query SHAPES from the reference's 99
+  * (`/root/reference/extension/tpcds/dsdgen/queries/{03,07,19,27,42}.sql`),
+  * adapted to the fixture star schema: the snowflake/star topologies,
+  * multi-dimension filters, rollup-with-grouping and ORDER-BY-aggregate
+  * patterns are preserved; store_sales→lineitem, date_dim→orders
+  * (o_orderdate plays d_year/d_moy), item→part, customer_demographics→
+  * customer, promotion→supplier, store/customer_address→nation via the
+  * supplier/customer nationkeys. Money sums use the fixed-point BIGINT
+  * mantissas from Q (exact + order-independent, hash-identical
+  * cross-engine).
+  *
+  * Scale notes: lineitem⋈orders is a key-to-key join of two fact-sized
+  * tables (shuffle on orderkey — never broadcast); part/supplier/nation
+  * are dimension sides and broadcast explicitly.
+  */
+object Tpcds extends Pack {
+
+  // ---- DS Q3: date+item star, ORDER BY year, agg DESC --------------------
+  q("q_ds3_brand_revenue",
+    s"""SELECT year(o_orderdate) AS d_year, p_brand AS brand,
+       |  ${fsumSql("l_extendedprice", 2)} AS sum_agg
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN part ON p_partkey = l_partkey
+       |WHERE p_size = 8 AND month(o_orderdate) = 11
+       |GROUP BY 1, 2
+       |ORDER BY d_year, sum_agg DESC, brand LIMIT 100""") { (s, dir) =>
+    val dated = Tables.orders(s, dir)
+      .filter(month(col("o_orderdate")) === 11)
+      .select("o_orderkey", "o_orderdate")
+    val p = broadcast(Tables.part(s, dir).filter(col("p_size") === 8)
+      .select("p_partkey", "p_brand"))
+    Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_extendedprice")
+      .join(dated, col("o_orderkey") === col("l_orderkey"))
+      .join(p, col("p_partkey") === col("l_partkey"))
+      .groupBy(year(col("o_orderdate")).as("d_year"), col("p_brand").as("brand"))
+      .agg(fsum(col("l_extendedprice"), 2).as("sum_agg"))
+      .orderBy(col("d_year"), col("sum_agg").desc, col("brand"))
+      .limit(100)
+  }
+
+  // ---- DS Q7: four-dimension star with four averages ---------------------
+  // customer_demographics gender/marital/education → c_mktsegment;
+  // promotion channel-OR → supplier acctbal/nation OR.
+  q("q_ds7_item_averages",
+    s"""SELECT p_name,
+       |  ${favgSql("l_quantity", 2)} AS agg1,
+       |  ${favgSql("l_extendedprice", 2)} AS agg2,
+       |  ${favgSql("l_discount", 2)} AS agg3,
+       |  ${favgSql("l_tax", 2)} AS agg4
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND (s_acctbal < 0 OR s_nationkey < 10)
+       |  AND year(o_orderdate) = 1995
+       |GROUP BY p_name
+       |ORDER BY p_name LIMIT 100""") { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .select("o_orderkey", "o_custkey")
+    val c = broadcast(Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
+    val p = broadcast(Tables.part(s, dir).select("p_partkey", "p_name"))
+    val sp = broadcast(Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0 || col("s_nationkey") < 10)
+      .select("s_suppkey"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
+      .join(sp, col("s_suppkey") === col("l_suppkey"))
+      .join(p, col("p_partkey") === col("l_partkey"))
+      .groupBy("p_name")
+      .agg(
+        favg(col("l_quantity"), 2).as("agg1"),
+        favg(col("l_extendedprice"), 2).as("agg2"),
+        favg(col("l_discount"), 2).as("agg3"),
+        favg(col("l_tax"), 2).as("agg4"))
+      .orderBy("p_name")
+      .limit(100)
+  }
+
+  // ---- DS Q19: six-table snowflake with a cross-dimension inequality -----
+  // ca_zip-prefix <> s_zip-prefix → customer nation ≠ supplier nation.
+  q("q_ds19_brand_by_nation_mismatch",
+    s"""SELECT p_brand AS brand, p_type,
+       |  ${fsumSql("l_extendedprice", 2)} AS ext_price
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation cn ON cn.n_nationkey = c_nationkey
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation sn ON sn.n_nationkey = s_nationkey
+       |WHERE p_size = 1
+       |  AND month(o_orderdate) = 11 AND year(o_orderdate) = 1995
+       |  AND cn.n_name <> sn.n_name
+       |GROUP BY p_brand, p_type
+       |ORDER BY ext_price DESC, brand, p_type LIMIT 100""") { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .filter(month(col("o_orderdate")) === 11 && year(col("o_orderdate")) === 1995)
+      .select("o_orderkey", "o_custkey")
+    val n = Tables.nation(s, dir)
+    val c = broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(n.select(col("n_nationkey"), col("n_name").as("cust_nation")),
+        col("n_nationkey") === col("c_nationkey"))
+      .select("c_custkey", "cust_nation"))
+    val sp = broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")),
+        col("snk") === col("s_nationkey"))
+      .select("s_suppkey", "supp_nation"))
+    val p = broadcast(Tables.part(s, dir).filter(col("p_size") === 1)
+      .select("p_partkey", "p_brand", "p_type"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
+      .join(sp, col("s_suppkey") === col("l_suppkey"))
+      .join(p, col("p_partkey") === col("l_partkey"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("p_brand").as("brand"), col("p_type"))
+      .agg(fsum(col("l_extendedprice"), 2).as("ext_price"))
+      .orderBy(col("ext_price").desc, col("brand"), col("p_type"))
+      .limit(100)
+  }
+
+  // ---- DS Q27: rollup over a star, GROUPING() flag -----------------------
+  // GROUP BY ROLLUP(i_item_id, s_state) → ROLLUP(p_brand, n_name); NULLS
+  // FIRST pinned explicitly (Spark's ASC default) in the oracle.
+  q("q_ds27_rollup_averages",
+    s"""SELECT p_brand AS brand, sn.n_name AS supp_nation,
+       |  CAST(grouping(sn.n_name) AS INT) AS g_state,
+       |  ${favgSql("l_quantity", 2)} AS agg1,
+       |  ${favgSql("l_extendedprice", 2)} AS agg2
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation sn ON sn.n_nationkey = s_nationkey
+       |WHERE year(o_orderdate) = 1995 AND p_size <= 5
+       |GROUP BY ROLLUP(p_brand, sn.n_name)
+       |ORDER BY brand NULLS FIRST, supp_nation NULLS FIRST LIMIT 100""") { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .select("o_orderkey")
+    val p = broadcast(Tables.part(s, dir).filter(col("p_size") <= 5)
+      .select("p_partkey", "p_brand"))
+    val sp = broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name").as("supp_nation")),
+        col("n_nationkey") === col("s_nationkey"))
+      .select("s_suppkey", "supp_nation"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(sp, col("s_suppkey") === col("l_suppkey"))
+      .join(p, col("p_partkey") === col("l_partkey"))
+      .withColumnRenamed("p_brand", "brand")
+      .rollup(col("brand"), col("supp_nation"))
+      .agg(
+        grouping(col("supp_nation")).cast("int").as("g_state"),
+        favg(col("l_quantity"), 2).as("agg1"),
+        favg(col("l_extendedprice"), 2).as("agg2"))
+      .orderBy(asc_nulls_first("brand"), asc_nulls_first("supp_nation"))
+      .limit(100)
+  }
+
+  // ---- DS Q42: date+item star grouped by category, ORDER BY agg DESC -----
+  q("q_ds42_category_revenue",
+    s"""SELECT year(o_orderdate) AS d_year, p_type,
+       |  ${fsumSql("l_extendedprice", 2)} AS ext_price
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN part ON p_partkey = l_partkey
+       |WHERE p_size = 1 AND month(o_orderdate) = 11
+       |GROUP BY 1, 2
+       |ORDER BY ext_price DESC, d_year, p_type LIMIT 100""") { (s, dir) =>
+    val dated = Tables.orders(s, dir)
+      .filter(month(col("o_orderdate")) === 11)
+      .select("o_orderkey", "o_orderdate")
+    val p = broadcast(Tables.part(s, dir).filter(col("p_size") === 1)
+      .select("p_partkey", "p_type"))
+    Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_extendedprice")
+      .join(dated, col("o_orderkey") === col("l_orderkey"))
+      .join(p, col("p_partkey") === col("l_partkey"))
+      .groupBy(year(col("o_orderdate")).as("d_year"), col("p_type"))
+      .agg(fsum(col("l_extendedprice"), 2).as("ext_price"))
+      .orderBy(col("ext_price").desc, col("d_year"), col("p_type"))
+      .limit(100)
+  }
+}
