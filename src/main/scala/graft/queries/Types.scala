@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import Q._
+
+/** Type-surface conformance — the SURVEY §1.2 mappings for the reference's
+  * types that Spark lacks natively (`/root/reference/src/include/duckdb/
+  * common/types.hpp:193-258`), each exercised end-to-end against the
+  * DuckDB oracle:
+  *
+  *  - DECIMAL(38,·)  ↔ Spark DecimalType(38,·) — exact wide arithmetic
+  *  - HUGEINT        ↔ DecimalType(38,0) (128-bit integer range)
+  *  - INTERVAL       ↔ timestamp arithmetic (+ INTERVAL, epoch seconds)
+  *  - TIME           ↔ seconds-of-day rendered 'HH:mm:ss' (no Spark TIME)
+  *  - ENUM           ↔ string + explicit definition-order collation
+  *  - UNION          ↔ tagged struct {tag, member…}
+  */
+object Types extends Pack {
+
+  // ---- DECIMAL(38): wide exact arithmetic through the aggregate ----------
+  // (18,6)×(18,6) → (37,12), summed at (38,12), rendered (38,6): every
+  // step stays in exact decimal in BOTH engines — no float on the path.
+  q("q_type_decimal38",
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+      |           CAST((1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS rev38
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,6)") *
+        (lit(1) - col("l_discount")).cast("decimal(18,6)"))
+        .cast("decimal(38,6)").as("rev38"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---- HUGEINT: sums beyond 64-bit range ---------------------------------
+  q("q_type_hugeint",
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_orderkey AS HUGEINT) * 1000000) AS DECIMAL(38,0)) AS big_sum
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_orderkey").cast("decimal(38,0)") * lit(1000000))
+        .cast("decimal(38,0)").as("big_sum"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---- INTERVAL: month addition (end-of-month clamp) + epoch seconds -----
+  q("q_type_interval",
+    """SELECT o_orderkey, o_orderdate + INTERVAL 3 MONTH AS due,
+      |  CAST(epoch(TIMESTAMP '1996-01-01 00:00:00' - o_orderdate) AS DOUBLE) AS age_sec
+      |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"),
+        expr("o_orderdate + INTERVAL '3' MONTH").as("due"),
+        ((unix_micros(ts("1996-01-01 00:00:00")) -
+          unix_micros(col("o_orderdate").cast("timestamp"))) // NTZ→LTZ, UTC session
+          .cast("double") / 1e6).as("age_sec"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---- TIME: time-of-day mapping (Spark has no TIME type) ----------------
+  q("q_type_time",
+    """SELECT event_id,
+      |  CAST(CAST(date_trunc('second', ts) AS TIME) AS VARCHAR) AS tod
+      |FROM events WHERE event_id <= 100 ORDER BY event_id""") { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_id") <= 100)
+      .select(col("event_id"), date_format(col("ts"), "HH:mm:ss").as("tod"))
+      .orderBy("event_id")
+  }
+
+  // ---- ENUM: definition-order collation, not lexicographic ---------------
+  // The enum declares REVERSED priority order; both engines must sort by
+  // member position (5-LOW first), proving the mapping carries ordering.
+  q("q_type_enum",
+    """SELECT o_orderpriority AS priority, count(*) AS n
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY CAST(o_orderpriority AS
+      |  ENUM('5-LOW','4-NOT SPECIFIED','3-MEDIUM','2-HIGH','1-URGENT'))""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(expr(
+        """array_position(
+          |  array('5-LOW','4-NOT SPECIFIED','3-MEDIUM','2-HIGH','1-URGENT'),
+          |  priority)""".stripMargin))
+      .select("priority", "n")
+  }
+
+  // ---- UNION: tagged-struct mapping, tag + per-member extraction ---------
+  q("q_type_union",
+    """WITH u AS (
+      |  SELECT event_id,
+      |    CASE WHEN value > 50 THEN CAST(value AS UNION(num DOUBLE, txt VARCHAR))
+      |         ELSE CAST(event_type AS UNION(num DOUBLE, txt VARCHAR)) END AS uv
+      |  FROM events WHERE event_id <= 100)
+      |SELECT event_id, CAST(union_tag(uv) AS VARCHAR) AS tag,
+      |  union_extract(uv, 'num') AS num_val, union_extract(uv, 'txt') AS txt_val
+      |FROM u ORDER BY event_id""") { (s, dir) =>
+    val uv = when(col("value") > 50, struct(
+        lit("num").as("tag"), col("value").as("num"),
+        lit(null).cast("string").as("txt")))
+      .otherwise(struct(
+        lit("txt").as("tag"), lit(null).cast("double").as("num"),
+        col("event_type").as("txt")))
+    Tables.events(s, dir)
+      .filter(col("event_id") <= 100)
+      .withColumn("uv", uv)
+      .select(col("event_id"), col("uv.tag").as("tag"),
+        col("uv.num").as("num_val"), col("uv.txt").as("txt_val"))
+      .orderBy("event_id")
+  }
+}
