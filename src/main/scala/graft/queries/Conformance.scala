@@ -269,6 +269,32 @@ object Conformance extends Pack {
       .orderBy("l_returnflag")
   }
 
+  // ---- §2.4: lttb downsampling (holistic, reference lttb.cpp) ------------
+  // Exact selection semantics spec-tested (HolisticSpec); per-group series
+  // output is an array of structs → serialized for the driver's row sorter.
+  qRowsOnly("q_lttb") { (s, dir) =>
+    val lttb = graft.functions.Holistic.lttb(20)
+    Tables.events(s, dir)
+      .filter(col("user_id") <= 3)
+      .groupBy("user_id")
+      .agg(to_json(lttb(
+        unix_micros(col("ts").cast("timestamp")).cast("double"),
+        col("value").cast("double"))).as("points_json"))
+      .orderBy("user_id")
+  }
+
+  // ---- §2.4: reservoir_quantile (bounded-state approx quantile) ----------
+  // O(sample) partial state per partition vs exact quantile's full shuffle;
+  // approximate + arrival-order dependent (like the reference's RNG
+  // reservoir) → rows-only, exactness-within-reservoir spec-tested.
+  qRowsOnly("q_reservoir_quantile") { (s, dir) =>
+    val rq = graft.functions.Holistic.reservoirQuantile(0.5, 64)
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(rq(col("l_quantity")).as("rq_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- §2.1: whole-file reads (read_text / read_blob) --------------------
   // Engine writes a deterministic single text file then reads it whole;
   // oracle rebuilds the identical content relationally.
