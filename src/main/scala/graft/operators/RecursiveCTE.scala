@@ -282,6 +282,48 @@ object RecursiveCTE {
     }
   }
 
+  /** USING KEY mode — the reference's keyed recursive CTE
+    * (`WITH RECURSIVE t(…) USING KEY (k)`; physical_recursive_cte.cpp's
+    * key-table variant): the accumulated state holds ONE row per key, each
+    * iteration's output UPSERTS into it (same key → replace, new key →
+    * insert, identical row → no-op), and only actually-changed rows feed
+    * the next frontier. `step` receives BOTH the frontier and the full
+    * key-table state — referencing the accumulated state inside the
+    * recursive part is the feature's point (e.g. shortest path: keep a
+    * candidate only when it improves the stored distance, so cyclic
+    * graphs converge).
+    *
+    * Scale shape: upsert = changed ∪ (state ⟕̸ changed-keys) — two
+    * key-partitioned shuffles per round over state + changed only; the
+    * frontier shrinks to the changed set each round (semi-naive).
+    */
+  def keyedFixpoint(
+      base: DataFrame,
+      step: (DataFrame, DataFrame) => DataFrame,
+      keys: Seq[String],
+      maxIterations: Int = 1000): DataFrame = {
+    var acc = base.dropDuplicates(keys).localCheckpoint()
+    var frontier = acc
+    var iters = 0
+    var done = false
+    while (!done && iters < maxIterations) {
+      val next = step(frontier, acc).dropDuplicates(keys)
+      val changed = next.except(acc).localCheckpoint()
+      if (changed.isEmpty) done = true
+      else {
+        acc = changed
+          .unionAll(acc.join(changed.select(keys.map(col): _*), keys, "left_anti"))
+          .localCheckpoint()
+        frontier = changed
+      }
+      iters += 1
+    }
+    if (!done &&
+        !step(frontier, acc).dropDuplicates(keys).except(acc).isEmpty)
+      nonConverged(maxIterations)
+    acc
+  }
+
   private def distributedUnionAll(
       acc0: DataFrame,
       frontier0: DataFrame,

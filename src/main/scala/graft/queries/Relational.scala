@@ -518,6 +518,36 @@ object Relational extends Pack {
     result.withColumn("sq", col("n") * col("n")).orderBy("n")
   }
 
+  // recursive CTE USING KEY (the reference's keyed recursion: per-key
+  // upsert state the recursive part can read) — shortest path over a
+  // CYCLIC graph, which plain UNION ALL recursion cannot terminate on
+  // without a bound. The oracle (DuckDB 1.0 predates USING KEY) spells
+  // the same answer as a depth-bounded path enumeration + min.
+  q("q_recursive_key",
+    """WITH RECURSIVE edges(src, dst, w) AS (
+      |  SELECT * FROM (VALUES (1,2,1),(2,3,1),(3,1,1),(1,3,5),(3,4,2),(4,5,1),(2,5,7)) t(src,dst,w)
+      |), paths(node, dist) AS (
+      |  SELECT 1, 0
+      |  UNION ALL
+      |  SELECT e.dst, p.dist + e.w FROM paths p JOIN edges e ON e.src = p.node
+      |  WHERE p.dist + e.w <= 10
+      |)
+      |SELECT node, min(dist) AS dist FROM paths GROUP BY node ORDER BY node""") { (s, _) =>
+    import s.implicits._
+    val edges = Seq((1, 2, 1), (2, 3, 1), (3, 1, 1), (1, 3, 5), (3, 4, 2), (4, 5, 1), (2, 5, 7))
+      .toDF("src", "dst", "w")
+    val base = Seq((1, 0)).toDF("node", "dist")
+    graft.operators.RecursiveCTE.keyedFixpoint(base, (frontier, state) => {
+      val cand = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+      cand.join(state.select(col("node").as("sn"), col("dist").as("sd")),
+          col("node") === col("sn"), "left")
+        .filter(col("sd").isNull || col("dist") < col("sd"))
+        .select("node", "dist")
+    }, Seq("node")).orderBy("node")
+  }
+
   // positional join (reference physical_positional_join.cpp)
   q("q_join_positional",
     """SELECT a.r_name, b.n_name

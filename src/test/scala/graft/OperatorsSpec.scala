@@ -103,6 +103,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed fixpoint (USING KEY): shortest path over a cyclic graph") {
+    import spark.implicits._
+    val edges = Seq((1, 2, 1), (2, 3, 1), (3, 1, 1), (1, 3, 5), (3, 4, 2), (4, 5, 1), (2, 5, 7))
+      .toDF("src", "dst", "w")
+    val base = Seq((1, 0)).toDF("node", "dist")
+    val out = RecursiveCTE.keyedFixpoint(base, (frontier, state) => {
+      val cand = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+      cand.join(state.select(col("node").as("sn"), col("dist").as("sd")),
+          col("node") === col("sn"), "left")
+        .filter(col("sd").isNull || col("dist") < col("sd"))
+        .select("node", "dist")
+    }, Seq("node"))
+    val dists = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(dists == Map(1 -> 0, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 5))
+  }
+
   test("recursive CTE union-all fixpoint: series generation") {
     import spark.implicits._
     val out = RecursiveCTE.unionAllFixpoint(Seq(1L).toDF("n"),
