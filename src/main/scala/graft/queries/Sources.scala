@@ -141,4 +141,36 @@ object Sources extends Pack {
       .select("col_name", "n", "approx_unique", "min_v", "max_v", "avg_v")
     one("l_quantity").unionAll(one("l_extendedprice")).orderBy("col_name")
   }
+
+  // CREATE MACRO (reference macro_function.cpp) — registered as a native
+  // Spark SQL function (inlined at analysis, codegens like the raw
+  // expression). The oracle spells the macro body inline, which is exactly
+  // what both engines execute after bind-time expansion.
+  q("q_macro",
+    """SELECT o_orderkey, o_totalprice * (1 + 5 / 100.0) AS adj
+      |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    graft.functions.Macros.create(s,
+      "CREATE OR REPLACE MACRO m_adj(price, pct) AS price * (1 + pct / 100.0)")
+    s.sql(
+      """SELECT o_orderkey, m_adj(o_totalprice, 5) AS adj
+        |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // system-catalog introspection (reference src/function/table/system/*):
+  // column metadata of registered tables, matched against the oracle's
+  // information_schema.columns over the same fixture views.
+  q("q_catalog_columns",
+    """SELECT table_name, column_name, CAST(ordinal_position AS INT) AS pos
+      |FROM information_schema.columns
+      |WHERE table_name IN ('nation', 'region', 'supplier')
+      |ORDER BY table_name, pos""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    import s.implicits._
+    Seq("nation", "region", "supplier").flatMap { t =>
+      s.catalog.listColumns(t).collect().zipWithIndex.map {
+        case (c, i) => (t, c.name, i + 1)
+      }
+    }.toDF("table_name", "column_name", "pos")
+  }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Macros
+
+class MacrosSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+
+  test("CREATE MACRO registers a native SQL function, inlined at analysis") {
+    Macros.create(spark, "CREATE MACRO m_markup(price, pct) AS price * (1 + pct / 100)")
+    val r = spark.sql("SELECT m_markup(200.0, 10.0) AS v").collect().head.getDouble(0)
+    assert(math.abs(r - 220.0) < 1e-9)
+  }
+
+  test("typed macro parameters pass through") {
+    Macros.create(spark, "CREATE MACRO m_shout(s STRING) AS upper(s)")
+    assert(spark.sql("SELECT m_shout('abc') AS v").collect().head.getString(0) == "ABC")
+  }
+
+  test("expand inlines nested macro calls with balanced parens") {
+    Macros.define(spark, "CREATE MACRO m_sq(x) AS x * x")
+    Macros.define(spark, "CREATE MACRO m_hyp(a, b) AS sqrt(m_sq(a) + m_sq(b))")
+    val sql = Macros.expand(spark, "SELECT m_hyp(3, 4) AS h")
+    val r = spark.sql(sql).collect().head.getDouble(0)
+    assert(math.abs(r - 5.0) < 1e-9)
+    assert(!sql.toLowerCase.contains("m_hyp") && !sql.toLowerCase.contains("m_sq"))
+  }
+
+  test("macro names are not substituted inside longer identifiers") {
+    Macros.define(spark, "CREATE MACRO f(x) AS x + 1")
+    val sql = Macros.expand(spark, "SELECT sqrtf(1.0), f(2)")
+    assert(sql.contains("sqrtf(1.0)"))
+  }
+}
