@@ -252,6 +252,9 @@ object Pipeline extends Pack {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
+      // project BEFORE the window: the sort/exchange must not carry the
+      // wide props JSON column through the shuffle
+      .select("user_id", "event_id", "ts")
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||

@@ -17,7 +17,8 @@ class EntrySpec extends AnyFunSuite {
     // approximate / nondeterministic / custom-expression ops only
     assert(rowsOnly.forall(n =>
       n.contains("approx") || n.contains("sample") || n.contains("simhash") ||
-        n.contains("lsh") || n.contains("embedding") || n.contains("multimodal")),
+        n.contains("lsh") || n.contains("embedding") || n.contains("multimodal") ||
+        n.contains("lttb") || n.contains("reservoir")),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
