@@ -63,15 +63,30 @@ object Similarity {
 
   /** Approximate top-k: candidates from matching LSH buckets, exact cosine
     * re-rank inside. Recall < 1 by construction (standard ANN trade).
+    *
+    * Multi-probe: each QUERY also probes every Hamming-distance-1 bucket
+    * (a near-neighbor that lands just across one hyperplane is the common
+    * recall-loss mode) — `planes`+1 probe codes per query row. Probes
+    * expand the broadcast query side only, never the corpus: the corpus
+    * is still bucketed once, scanned once.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
     val c = withLshBucket(corpus, vecCol, dims, planes)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"), col("lsh_bucket"))
-    val q = withLshBucket(queries, vecCol, dims, planes)
+    val q0 = withLshBucket(queries, vecCol, dims, planes)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("lsh_bucket"))
+    val q =
+      if (!multiProbe) q0
+      else {
+        val probes = array(
+          (col("lsh_bucket") +: (0 until planes).map(p =>
+            col("lsh_bucket").bitwiseXOR(lit(1L << p)))): _*)
+        q0.select(col("query_id"), col("qvec"),
+          explode(probes).as("lsh_bucket"))
+      }
     val scored = c.join(broadcast(q), Seq("lsh_bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),

@@ -518,6 +518,30 @@ object Relational extends Pack {
     result.withColumn("sq", col("n") * col("n")).orderBy("n")
   }
 
+  // limited DISTINCT (reference physical_limit + distinct early-out):
+  // dedup feeds a top-N directly — TakeOrderedAndProject over the hash
+  // aggregate, never a full sort of the distinct set.
+  q("q_distinct_limit",
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus LIMIT 3""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus").limit(3)
+  }
+
+  // repeat / repeat_row table fns (reference src/function/table/repeat.cpp):
+  // scalar string repeat + row multiplication via a range cross join.
+  q("q_repeat",
+    """SELECT r_regionkey, copy_i, repeat(r_name, 2) AS doubled
+      |FROM region CROSS JOIN (SELECT range AS copy_i FROM range(3))
+      |ORDER BY r_regionkey, copy_i""") { (s, dir) =>
+    Tables.region(s, dir)
+      .crossJoin(s.range(3).toDF("copy_i"))
+      .select(col("r_regionkey"), col("copy_i"),
+        repeat(col("r_name"), 2).as("doubled"))
+      .orderBy("r_regionkey", "copy_i")
+  }
+
   // recursive CTE USING KEY (the reference's keyed recursion: per-key
   // upsert state the recursive part can read) — shortest path over a
   // CYCLIC graph, which plain UNION ALL recursion cannot terminate on
