@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import Q._
 
-/** TPC-DS sample pack — five query SHAPES from the reference's 99
-  * (`/root/reference/extension/tpcds/dsdgen/queries/{03,07,19,27,42}.sql`),
+/** TPC-DS sample pack — eight query SHAPES from the reference's 99
+  * (`/root/reference/extension/tpcds/dsdgen/queries/
+  * {03,07,19,27,34,42,53,98}.sql`),
   * adapted to the fixture star schema: the snowflake/star topologies,
   * multi-dimension filters, rollup-with-grouping and ORDER-BY-aggregate
   * patterns are preserved; store_sales→lineitem, date_dim→orders
@@ -13,7 +14,8 @@ import Q._
   * customer, promotion→supplier, store/customer_address→nation via the
   * supplier/customer nationkeys. Money sums use the fixed-point BIGINT
   * mantissas from Q (exact + order-independent, hash-identical
-  * cross-engine).
+  * cross-engine). q34/q53/q98 add the HAVING-range join-back,
+  * window-over-aggregate, and ratio-to-total-window planner shapes.
   *
   * Scale notes: lineitem⋈orders is a key-to-key join of two fact-sized
   * tables (shuffle on orderkey — never broadcast); part/supplier/nation
@@ -172,6 +174,97 @@ object Tpcds extends Pack {
         favg(col("l_quantity"), 2).as("agg1"),
         favg(col("l_extendedprice"), 2).as("agg2"))
       .orderBy(asc_nulls_first("brand"), asc_nulls_first("supp_nation"))
+      .limit(100)
+  }
+
+  // ---- DS Q34: HAVING count-range, join back to the customer dim ---------
+  q("q_ds34_bulk_orders",
+    """WITH cnt AS (
+      |  SELECT l_orderkey, count(*) AS n_items
+      |  FROM lineitem GROUP BY l_orderkey HAVING count(*) BETWEEN 6 AND 7
+      |)
+      |SELECT c_custkey, o_orderkey, n_items
+      |FROM cnt JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY c_custkey, o_orderkey LIMIT 100""") { (s, dir) =>
+    val cnt = Tables.lineitem(s, dir).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items").between(6, 7))
+    cnt.join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "o_orderkey", "n_items")
+      .orderBy("c_custkey", "o_orderkey")
+      .limit(100)
+  }
+
+  // ---- DS Q53: window over the aggregate, filter vs the partition avg ----
+  // (manufacturer quarterly sums vs their own average — the window runs
+  // over the TINY aggregate output, not the fact table)
+  q("q_ds53_above_avg_brands",
+    s"""WITH agg AS (
+       |  SELECT p_brand, year(o_orderdate) AS d_year,
+       |    ${fsumSql("l_extendedprice", 2)} AS rev
+       |  FROM lineitem
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN part ON p_partkey = l_partkey
+       |  WHERE p_size <= 10
+       |  GROUP BY 1, 2
+       |)
+       |, win AS (
+       |  SELECT p_brand, d_year, rev,
+       |    CAST(sum(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY p_brand) AS DOUBLE)
+       |      / count(*) OVER (PARTITION BY p_brand) AS brand_avg
+       |  FROM agg
+       |)
+       |SELECT p_brand, d_year, rev, brand_avg FROM win
+       |WHERE rev > 1.1 * brand_avg
+       |ORDER BY p_brand, d_year LIMIT 100""") { (s, dir) =>
+    val p = broadcast(Tables.part(s, dir).filter(col("p_size") <= 10)
+      .select("p_partkey", "p_brand"))
+    val agg = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(p, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), year(col("o_orderdate")).as("d_year"))
+      .agg(fsum(col("l_extendedprice"), 2).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_brand")
+    agg.withColumn("brand_avg",
+        sum(col("rev").cast(S)).over(w).cast("double") / count(lit(1)).over(w))
+      .filter(col("rev") > lit(1.1) * col("brand_avg"))
+      .select("p_brand", "d_year", "rev", "brand_avg")
+      .orderBy("p_brand", "d_year")
+      .limit(100)
+  }
+
+  // ---- DS Q98: ratio-to-total inside a category (window over aggregate) --
+  q("q_ds98_revenue_ratio",
+    s"""WITH agg AS (
+       |  SELECT p_type, p_brand, ${fsumSql("l_extendedprice", 2)} AS rev
+       |  FROM lineitem
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN part ON p_partkey = l_partkey
+       |  WHERE month(o_orderdate) = 11
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p_type, p_brand, rev,
+       |  round(rev * 100.0 / CAST(sum(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY p_type) AS DOUBLE), 6) AS revenueratio
+       |FROM agg ORDER BY p_type, revenueratio, p_brand LIMIT 100""") { (s, dir) =>
+    val p = broadcast(Tables.part(s, dir).select("p_partkey", "p_brand", "p_type"))
+    val o = Tables.orders(s, dir)
+      .filter(month(col("o_orderdate")) === 11).select("o_orderkey")
+    val agg = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(p, col("p_partkey") === col("l_partkey"))
+      .groupBy("p_type", "p_brand")
+      .agg(fsum(col("l_extendedprice"), 2).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_type")
+    agg.withColumn("revenueratio",
+        round(col("rev") * 100.0 / sum(col("rev").cast(S)).over(w).cast("double"), 6))
+      .orderBy("p_type", "revenueratio", "p_brand")
       .limit(100)
   }
 
