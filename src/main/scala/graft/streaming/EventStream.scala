@@ -40,6 +40,47 @@ object EventStream {
       .select(col("win.start").as("bucket"), col("event_type"), col("n"), col("total_value"))
   }
 
+  case class SessEvent(user_id: Long, event_id: Long, ts_us: Long)
+  case class SessState(sessionId: Long, lastTs: Long, n: Long)
+  case class Session(user_id: Long, session_id: Long, n_events: Long)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState` — the custom-
+    * state shape: per-user state carries the open session across
+    * micro-batches; a gap larger than `gapUs` closes the session and emits
+    * it. `flushOpen` emits the still-open trailing session too — correct
+    * for batch frames (the group is complete) and for end-of-stream
+    * flushes; a live stream would leave it false and rely on timeouts.
+    * Batch equivalence with the window-based q_sessionize is spec-tested.
+    */
+  def sessionize(events: DataFrame, gapUs: Long = 1800000000L,
+      flushOpen: Boolean = true): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          // a group's batch arrives unordered; sessionization is inherently
+          // sequential per key, so sort the (bounded per-user) slice
+          val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          for (e <- evs) {
+            if (st.n == 0L || e.ts_us - st.lastTs > gapUs) {
+              if (st.n > 0) out += Session(uid, st.sessionId, st.n)
+              st = SessState(st.sessionId + 1, e.ts_us, 1L)
+            } else st = SessState(st.sessionId, e.ts_us, st.n + 1)
+          }
+          state.update(st)
+          if (flushOpen && st.n > 0) out += Session(uid, st.sessionId, st.n)
+          out.iterator
+      }.toDF()
+  }
+
   /** Sliding-window per-user event rate. */
   def slidingRate(events: DataFrame, width: String = "10 minutes",
       slide: String = "5 minutes"): DataFrame = {

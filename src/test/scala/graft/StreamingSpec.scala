@@ -36,6 +36,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("flatMapGroupsWithState sessionization matches the window-based batch query") {
+    val batch = graft.engine.Tables.events(spark, GraftTest.sf)
+    val expected = SparkEntry.queries("q_sessionize")(spark, GraftTest.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = EventStream.sessionize(batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("sliding window rate over a stream produces per-user windows") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val q = EventStream.slidingRate(stream)
