@@ -133,4 +133,39 @@ class PropertySpec extends AnyFunSuite {
       assert(viaMantissa == reconstructed) // round(x*100) recovers cents exactly
     }
   }
+
+  test("lttb: endpoints pinned, size bound, monotone, subset of input") {
+    import graft.functions.Holistic
+    import graft.functions.Holistic.Pt
+    val series = Gen.zip(
+      Gen.chooseNum(3, 120),
+      Gen.listOfN(150, Gen.chooseNum(-1000.0, 1000.0)))
+    forAll(series) { case (n, ys) =>
+      val pts = ys.zipWithIndex.map { case (y, i) => Pt(i, y) }.toIndexedSeq
+      val out = Holistic.lttbSelect(pts, n)
+      assert(out.length == math.min(pts.length, n))
+      if (pts.nonEmpty && pts.length > n && n >= 2) {
+        assert(out.head == pts.head && out.last == pts.last)
+      }
+      assert(out.map(_.x) == out.map(_.x).sorted)          // order preserved
+      assert(out.forall(pts.contains))                     // no invented points
+    }
+  }
+
+  test("reservoir quantile: exact within capacity, bounded beyond it") {
+    import graft.functions.Holistic
+    val agg = new Holistic.ReservoirQuantileAgg(0.5, 32)
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))) { xs =>
+      val buf = xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+      val q = agg.finish(buf)
+      assert(q >= xs.min && q <= xs.max)                   // always in range
+      if (xs.length <= 32) {
+        val sorted = xs.sorted
+        assert(q == sorted((0.5 * (sorted.length - 1)).toInt)) // exact when held
+      }
+      // merge keeps the reservoir bounded and the observed count exact
+      val merged = agg.merge(buf, buf)
+      assert(merged.sample.length <= 32 && merged.seen == 2L * xs.length)
+    }
+  }
 }
