@@ -46,6 +46,42 @@ object Sources extends Pack {
       .orderBy("c_custkey")
   }
 
+  // CSV dialect edges: values containing the delimiter AND the quote char
+  // round-trip through quoting/escaping (reference read_csv sniffer +
+  // copy_csv quote handling)
+  q("q_csv_quoted",
+    """SELECT n_nationkey, concat(n_name, ',"', n_name, '"') AS tricky
+      |FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+    val out = tmp("nation_quoted_csv")
+    Tables.nation(s, dir)
+      .select(col("n_nationkey"),
+        concat(col("n_name"), lit(",\""), col("n_name"), lit("\"")).as("tricky"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true").option("inferSchema", "true").csv(out)
+      .select(col("n_nationkey").cast("int"), col("tricky"))
+      .orderBy("n_nationkey")
+  }
+
+  // nested parquet: struct-of-(string, array-of-struct) written and read
+  // back, then unnested with dot access — the nested-type round trip the
+  // reference covers with its parquet-testing corpus
+  q("q_nested_parquet",
+    """SELECT r.r_regionkey, n.n_name
+      |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |ORDER BY r.r_regionkey, n.n_name""") { (s, dir) =>
+    val out = tmp("nested_parquet")
+    Tables.nation(s, dir)
+      .groupBy("n_regionkey")
+      .agg(sort_array(collect_list(struct(col("n_name"), col("n_nationkey")))).as("nations"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_regionkey"), struct(col("r_name"), col("nations")).as("info"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .select(col("r_regionkey"), explode(col("info.nations")).as("nat"))
+      .select(col("r_regionkey"), col("nat.n_name").as("n_name"))
+      .orderBy("r_regionkey", "n_name")
+  }
+
   // partitioned parquet write (PhysicalCopyToFile PARTITION_BY) + partition-
   // pruned read back via hive-style discovery
   q("q_partitioned_write",
