@@ -97,6 +97,98 @@ object Similarity {
       .select("query_id", "corpus_id", "cos_sim", "rk")
   }
 
+  // ---- IVF (inverted-file) ANN — the coarse-quantizer scale path ---------
+
+  /** Driver-side Lloyd k-means over a bounded corpus sample (deterministic
+    * init: evenly spaced sample points). The centroid table is tiny
+    * (nCells × dims floats) — it rides along as literals inside the
+    * codegen'd assignment expressions, never shuffled. At 100 TB the
+    * sample is still `sampleN` rows: training cost is constant.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      sampleN: Int = 2048, iters: Int = 8): Array[Array[Float]] = {
+    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "ivf: empty corpus sample")
+    val dims = sample.head.length
+    val k = math.min(nCells, sample.length)
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dims) {
+            val t = v(i) - centroids(c)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dims) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dims)(i => (sums(c)(i) / counts(c)).toFloat))
+    }
+    centroids
+  }
+
+  /** Per-centroid L2 distances as one array column — each element is a
+    * codegen'd `vec_l2` kernel against a literal centroid.
+    */
+  private def cellDistances(vecCol: String, centroids: Array[Array[Float]]) =
+    array(centroids.map(c =>
+      vec_l2(col(vecCol), typedLit(c.toSeq))): _*)
+
+  /** Nearest-cell id (argmin over the distance array; 0-based). */
+  def withIvfCell(
+      df: DataFrame, vecCol: String, centroids: Array[Array[Float]]): DataFrame = {
+    val d = cellDistances(vecCol, centroids)
+    df.withColumn("ivf_cell",
+      (array_position(d, array_min(d)) - 1).cast("int"))
+  }
+
+  /** IVF top-k: corpus bucketed once into nearest-centroid cells; each
+    * query probes its `nProbe` nearest cells (the standard recall lever —
+    * a near neighbor just across a Voronoi boundary sits in an adjacent
+    * cell), exact cosine re-rank inside. Probing expands only the
+    * broadcast query side.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nCells)
+    val c = withIvfCell(corpus, vecCol, centroids)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"), col("ivf_cell"))
+    val qd = cellDistances(vecCol, centroids)
+    val probes = slice(
+      transform(
+        array_sort(arrays_zip(qd.as("d"),
+          sequence(lit(0), lit(centroids.length - 1)).as("c"))),
+        x => x.getField("c")),
+      1, math.min(nProbe, centroids.length))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(probes).as("_cell"))
+      .select(col("query_id"), col("qvec"), col("_cell").cast("int").as("ivf_cell"))
+    val scored = c.join(broadcast(q), Seq("ivf_cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(vec_cosine(col("cvec"), col("qvec")), 5).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos_sim", "rk")
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, via banded
     * multi-table LSH (never all-pairs). Same scale topology as
     * `Dedup.lshCandidatePairs`: each of `bands` independent plane sets

@@ -110,6 +110,14 @@ object Pipeline extends Pack {
   }
 
   // embedding near-dup pairs via hyperplane LSH buckets (never all-pairs)
+  // IVF coarse-quantizer ANN (scale path beside the LSH variant): rows-only
+  // (cell boundaries are centroid-dependent), subset-consistency spec-tested
+  qRowsOnly("q_sim_topk_ivf") { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10, dims = 64)
+      .orderBy("query_id", "rk")
+  }
+
   qRowsOnly("q_dedup_embedding") { (s, dir) =>
     Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.2,
         dims = 64, planes = 6)

@@ -18,7 +18,7 @@ class EntrySpec extends AnyFunSuite {
     assert(rowsOnly.forall(n =>
       n.contains("approx") || n.contains("sample") || n.contains("simhash") ||
         n.contains("lsh") || n.contains("embedding") || n.contains("multimodal") ||
-        n.contains("lttb") || n.contains("reservoir")),
+        n.contains("lttb") || n.contains("reservoir") || n.contains("ivf")),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -117,6 +117,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k: scores consistent with brute force, probes recover neighbors") {
+    val e = graft.engine.Tables.embeddings(spark, GraftTest.sf)
+    val q = e.filter(col("vec_id") < 3)
+    val exactScores = Similarity.bruteForceTopK(e, q, 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val approx = Similarity.ivfTopK(e, q, 10, dims = 64, nCells = 8, nProbe = 3).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactScores.get(key).foreach(s => assert(math.abs(s - r.getDouble(2)) < 1e-9))
+    }
+    // every corpus row lands in exactly one valid cell
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", 8)
+    val cells = Similarity.withIvfCell(e, "embedding", cents)
+      .select("ivf_cell").collect().map(_.getInt(0))
+    assert(cells.length == e.count() && cells.forall(c => c >= 0 && c < cents.length))
+  }
+
   test("language id picks the language with most stopwords") {
     import spark.implicits._
     val df = Seq(
