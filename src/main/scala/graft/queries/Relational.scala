@@ -518,6 +518,23 @@ object Relational extends Pack {
     result.withColumn("sq", col("n") * col("n")).orderBy("n")
   }
 
+  // salted skew join (SURVEY scale technique; AQE covers SMJ skew at
+  // runtime, salting is the explicit plan-level tool): events' power-law
+  // user activity joined to a per-user dimension, hot users spread over 8
+  // salts. Row-identical to the plain join — the oracle IS the plain join.
+  q("q_skew_join",
+    """WITH d AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id)
+      |SELECT e.user_id, count(*) AS n_events, min(d.user_total) AS user_total
+      |FROM events e JOIN d ON e.user_id = d.user_id
+      |GROUP BY e.user_id ORDER BY e.user_id""") { (s, dir) =>
+    val ev = Tables.events(s, dir).select("user_id", "event_id")
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_total"))
+    graft.operators.SkewJoin.salted(ev, dim, "user_id", salts = 8, hotThreshold = 500)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min("user_total").as("user_total"))
+      .orderBy("user_id")
+  }
+
   // limited DISTINCT (reference physical_limit + distinct early-out):
   // dedup feeds a top-N directly — TakeOrderedAndProject over the hash
   // aggregate, never a full sort of the distinct set.

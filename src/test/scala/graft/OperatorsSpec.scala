@@ -42,6 +42,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(2).getString(0) == "z" && rows(2).isNullAt(1))
   }
 
+  test("salted skew join is row-identical to the plain join and spreads hot keys") {
+    import spark.implicits._
+    // one mega-hot key (900 rows of k=1) + a cold tail
+    val left = ((1 to 900).map(i => (1L, i)) ++ (1 to 50).map(i => (i.toLong + 1, i)))
+      .toDF("k", "v")
+    val right = (1L to 51L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = left.join(right, "k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val salted = graft.operators.SkewJoin
+      .salted(left, right, "k", salts = 8, hotThreshold = 100)
+    val got = salted.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(got == plain)
+    // the hot key's left rows were spread across multiple salt values
+    val spread = left.withColumn("_salt",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(
+            org.apache.spark.sql.functions.struct(left.columns.map(col): _*)),
+          org.apache.spark.sql.functions.lit(8)))
+      .filter(col("k") === 1).select("_salt").distinct().count()
+    assert(spread > 1, "hot key not spread across salts")
+  }
+
   test("chunked window matches the single-task global window exactly") {
     import spark.implicits._
     val df = (1 to 97).map(i => (i.toLong, (i * 37 % 19).toDouble)).toDF("k", "v")
