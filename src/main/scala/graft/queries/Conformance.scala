@@ -295,6 +295,38 @@ object Conformance extends Pack {
       .orderBy("l_returnflag")
   }
 
+  // ---- §2.1: generate_series over timestamps (interval stepping) ---------
+  q("q_range_timestamps",
+    """SELECT generate_series AS ts
+      |FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-12-01', INTERVAL 1 MONTH)
+      |ORDER BY ts""") { (s, _) =>
+    s.sql(
+      """SELECT explode(sequence(
+        |  TIMESTAMP '1995-01-01', TIMESTAMP '1995-12-01', INTERVAL '1' MONTH)) AS ts
+        |ORDER BY ts""".stripMargin)
+  }
+
+  // ---- §2.8: pattern-matching operator family ----------------------------
+  // LIKE / ILIKE / SIMILAR TO / GLOB (reference like.cpp + glob matching):
+  // ILIKE maps to Spark's ilike; SIMILAR TO's implicitly-anchored regex
+  // maps to rlike with explicit anchors; GLOB's */? wildcards rewrite to
+  // LIKE's %/_ (after escaping LIKE metacharacters — none in this pattern).
+  q("q_fn_patterns",
+    """SELECT p_partkey,
+      |  p_name LIKE '%green%' AS l,
+      |  p_name ILIKE '%GREEN%' AS il,
+      |  p_name SIMILAR TO '.*(green|red).*' AS st,
+      |  p_name GLOB '*green*' AS g
+      |FROM part ORDER BY p_partkey""") { (s, dir) =>
+    Tables.part(s, dir).select(
+        col("p_partkey"),
+        col("p_name").like("%green%").as("l"),
+        col("p_name").ilike("%GREEN%").as("il"),
+        col("p_name").rlike("^.*(green|red).*$").as("st"),
+        col("p_name").like("%green%").as("g")) // GLOB '*green*' ≡ LIKE '%green%'
+      .orderBy("p_partkey")
+  }
+
   // ---- §2.1: whole-file reads (read_text / read_blob) --------------------
   // Engine writes a deterministic single text file then reads it whole;
   // oracle rebuilds the identical content relationally.
