@@ -268,6 +268,21 @@ object Tpcds extends Pack {
       .limit(100)
   }
 
+  // ---- DS Q88: battery of independent scalar subqueries, cross-joined ----
+  // (eight time-band counts in the original; four quantity bands here —
+  // the shape under test is N independent scalar subqueries in one SELECT,
+  // each planned as its own aggregate and joined as scalars)
+  private val q88Sql =
+    """SELECT
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) AS band1,
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) AS band2,
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 35) AS band3,
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 36 AND 50) AS band4""".stripMargin
+  q("q_ds88_quantity_bands", q88Sql) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(q88Sql)
+  }
+
   // ---- DS Q42: date+item star grouped by category, ORDER BY agg DESC -----
   q("q_ds42_category_revenue",
     s"""SELECT year(o_orderdate) AS d_year, p_type,
