@@ -97,6 +97,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("TPC-DS snowflake joins broadcast every dimension, no cartesian") {
+    val p = planOf("q_ds19_brand_by_nation_mismatch")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in snowflake:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join fell back to SMJ:\n$p")
+    for (name <- Seq("q_ds3_brand_revenue", "q_ds7_item_averages", "q_ds27_rollup_averages")) {
+      val pp = planOf(name)
+      assert(!pp.contains("CartesianProduct"), s"$name has a cartesian:\n$pp")
+    }
+  }
+
   test("whole-stage codegen covers the Q1 hot path") {
     // under AQE codegen stages exist only in the FINAL executed plan,
     // rendered as "*(n)" span markers
