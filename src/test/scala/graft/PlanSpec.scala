@@ -108,6 +108,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned-table join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_dpp/orders_by_status"
+    graft.engine.Tables.orders(spark, GraftTest.sf)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    // the dim must be file-backed: a literal dim constant-folds into a
+    // STATIC partition filter before DPP ever gets a chance
+    val dimDir = "/tmp/graft_dpp/status_dim"
+    spark.createDataFrame(Seq(("F", 1), ("O", 2), ("P", 3)))
+      .toDF("st", "grp").write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    val dim = spark.read.parquet(dimDir).filter(col("grp") === 1)
+    val joined = fact.join(dim, fact("o_orderstatus") === dim("st"))
+      .groupBy("o_orderstatus").count()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$p")
+  }
+
   test("whole-stage codegen covers the Q1 hot path") {
     // under AQE codegen stages exist only in the FINAL executed plan,
     // rendered as "*(n)" span markers
