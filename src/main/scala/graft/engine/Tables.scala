@@ -29,19 +29,11 @@ object Tables {
     * application ends, so a long-lived JVM hosting successive contexts
     * does not accumulate dead sessions' plans.
     */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+  private val cache = graft.functions.SessionScoped(
+    () => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = cache.computeIfAbsent(spark, s => {
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          cache.remove(s)
-      })
-      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-    })
+    val perSession = cache.get(spark)
     perSession.computeIfAbsent((dir, name), _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events") {

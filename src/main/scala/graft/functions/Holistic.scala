@@ -119,16 +119,26 @@ object Holistic {
       }
     }
 
-    // Keep a deterministic `size`-subset of the union, hash-ranked so the
-    // choice is stable regardless of which side each element came from.
+    // WEIGHTED merge: each side contributes slots proportional to how many
+    // rows its sample represents (`seen`), hash-ranked within the side for
+    // determinism. An unweighted union-take would let a 64-row partial
+    // outvote a million-row partial 50/50 and bias the quantile far beyond
+    // the documented tolerance — the reference's reservoir merge weights
+    // the same way.
     override def merge(a: RqBuf, b: RqBuf): RqBuf = {
-      val all = a.sample ++ b.sample
-      val kept =
-        if (all.length <= size) all
-        else all.zipWithIndex
+      val all = a.sample.length + b.sample.length
+      if (all <= size) return RqBuf(a.seen + b.seen, a.sample ++ b.sample)
+      val total = math.max(a.seen + b.seen, 1L)
+      val fromA = math.min(a.sample.length,
+        math.max(size - b.sample.length,
+          math.round(size.toDouble * a.seen / total).toInt))
+      val fromB = size - fromA
+      def pick(s: Vector[Double], n: Int): Vector[Double] =
+        if (s.length <= n) s
+        else s.zipWithIndex
           .sortBy { case (x, i) => mix(java.lang.Double.doubleToLongBits(x), i) }
-          .take(size).map(_._1)
-      RqBuf(a.seen + b.seen, kept)
+          .take(n).map(_._1)
+      RqBuf(a.seen + b.seen, pick(a.sample, fromA) ++ pick(b.sample, fromB))
     }
 
     override def finish(b: RqBuf): java.lang.Double =

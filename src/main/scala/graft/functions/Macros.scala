@@ -17,53 +17,93 @@ import org.apache.spark.sql.SparkSession
   *    call overhead).
   *
   *  - [[expand]] is the bind-time textual inliner for callers that want
-  *    macro expansion without touching the session catalog: balanced-paren
-  *    argument parsing, word-boundary parameter substitution, recursive
-  *    expansion of nested macro calls.
+  *    macro expansion without touching the session catalog:
+  *    quote-aware balanced-paren argument parsing, capture-free two-phase
+  *    parameter substitution, recursive expansion of nested macro calls,
+  *    arity checked like the reference's bind error.
   */
 object Macros {
 
-  private val Ddl =
-    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+(\w+)\s*\(([^)]*)\)\s*AS\s+(.+?)\s*;?\s*""".r
+  private val Head = """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+(\w+)\s*\(""".r
+
+  /** Parse `CREATE MACRO name(params) AS body` with a balanced,
+    * quote-aware scan of the parameter list (a regex `[^)]*` would break
+    * on parenthesized types like `DECIMAL(10,2)`).
+    */
+  private def parseDdl(ddl: String): (String, Seq[String], String) = {
+    val m = Head.findPrefixMatchOf(ddl).getOrElse(
+      throw new IllegalArgumentException(s"not a CREATE MACRO statement: $ddl"))
+    val name = m.group(1)
+    val (params, afterParams) = scanArgs(ddl, m.end) // m.end is just past '('
+    val rest = ddl.substring(afterParams).trim
+    val asRe = """(?is)^AS\s+(.+?)\s*;?\s*$""".r
+    rest match {
+      case asRe(body) => (name, params, body)
+      case _ =>
+        throw new IllegalArgumentException(s"not a CREATE MACRO statement: $ddl")
+    }
+  }
+
+  /** Scan a balanced, quote-aware argument list starting just past the
+    * opening '('; returns (top-level-comma-split args, index past ')').
+    */
+  private def scanArgs(s: String, from: Int): (Seq[String], Int) = {
+    val args = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 1
+    var inQuote = false
+    var i = from
+    var argStart = from
+    while (i < s.length && depth > 0) {
+      val ch = s.charAt(i)
+      if (inQuote) {
+        if (ch == '\'') inQuote = false
+      } else ch match {
+        case '\'' => inQuote = true
+        case '('  => depth += 1
+        case ')'  =>
+          depth -= 1
+          if (depth == 0) args += s.substring(argStart, i).trim
+        case ',' if depth == 1 =>
+          args += s.substring(argStart, i).trim; argStart = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth != 0)
+      throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+    (args.filter(_.nonEmpty).toSeq, i)
+  }
 
   /** Register the macro as a native Spark SQL temporary function. DuckDB
     * macros are untyped; Spark SQL UDF parameters carry a type, so
     * arguments bind as DOUBLE by default or `name TYPE` when the DDL says
     * so (e.g. `CREATE MACRO f(a STRING) AS upper(a)`).
     */
-  def create(spark: SparkSession, ddl: String): Unit = ddl match {
-    case Ddl(name, params, body) =>
-      val ps = params.split(",").map(_.trim).filter(_.nonEmpty).map { p =>
-        if (p.contains(" ")) p else s"$p DOUBLE"
-      }
-      spark.sql(
-        s"CREATE OR REPLACE TEMPORARY FUNCTION $name(${ps.mkString(", ")}) RETURN $body")
-      registry.get(spark).put(macroKey(name), (paramNames(params), body))
-    case _ =>
-      throw new IllegalArgumentException(s"not a CREATE MACRO statement: $ddl")
+  def create(spark: SparkSession, ddl: String): Unit = {
+    val (name, params, body) = parseDdl(ddl)
+    val typed = params.map(p => if (p.contains(" ")) p else s"$p DOUBLE")
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY FUNCTION $name(${typed.mkString(", ")}) RETURN $body")
+    registry.get(spark).put(name.toLowerCase, (params.map(paramName), body))
   }
 
   /** Parse + remember the macro for [[expand]] without registering a
     * session function (pure template).
     */
-  def define(spark: SparkSession, ddl: String): Unit = ddl match {
-    case Ddl(name, params, body) =>
-      registry.get(spark).put(macroKey(name), (paramNames(params), body))
-    case _ =>
-      throw new IllegalArgumentException(s"not a CREATE MACRO statement: $ddl")
+  def define(spark: SparkSession, ddl: String): Unit = {
+    val (name, params, body) = parseDdl(ddl)
+    registry.get(spark).put(name.toLowerCase, (params.map(paramName), body))
   }
 
-  private def paramNames(params: String): Seq[String] =
-    params.split(",").map(_.trim.split("\\s+")(0)).filter(_.nonEmpty).toSeq
+  private def paramName(p: String): String = p.trim.split("\\s+")(0)
 
-  private def macroKey(name: String): String = name.toLowerCase
-
-  private val registry =
-    new ThreadSafeSessionMap[java.util.concurrent.ConcurrentHashMap[String, (Seq[String], String)]](
-      () => new java.util.concurrent.ConcurrentHashMap)
+  private val registry = SessionScoped(
+    () => new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], String)])
 
   /** Inline every known macro call in `sql` (recursively, so macros can
-    * call macros), exactly the reference's bind-time expansion.
+    * call macros), exactly the reference's bind-time expansion. Calls
+    * inside string literals are left alone; arity mismatches raise like
+    * the reference's bind error.
     */
   def expand(spark: SparkSession, sql: String, maxDepth: Int = 16): String = {
     val macros = registry.get(spark)
@@ -83,55 +123,59 @@ object Macros {
 
   private def expandOne(sql: String, name: String, params: Seq[String], body: String): String = {
     val out = new StringBuilder
-    var i = 0
     val lower = sql.toLowerCase
+    var i = 0
+    var inQuote = false
     while (i < sql.length) {
-      val at = lower.indexOf(name + "(", i)
-      val boundaryOk = at >= 0 &&
-        (at == 0 || !Character.isLetterOrDigit(sql.charAt(at - 1)) && sql.charAt(at - 1) != '_')
-      if (at < 0) { out.append(sql.substring(i)); i = sql.length }
-      else if (!boundaryOk) { out.append(sql.substring(i, at + name.length)); i = at + name.length }
-      else {
-        out.append(sql.substring(i, at))
-        // balanced-paren argument scan from the '(' after the name
-        var j = at + name.length + 1
-        var depth = 1
-        val args = scala.collection.mutable.ArrayBuffer[String]()
-        var argStart = j
-        while (j < sql.length && depth > 0) {
-          sql.charAt(j) match {
-            case '(' => depth += 1
-            case ')' =>
-              depth -= 1
-              if (depth == 0) { args += sql.substring(argStart, j).trim }
-            case ',' if depth == 1 =>
-              args += sql.substring(argStart, j).trim; argStart = j + 1
-            case _ =>
-          }
-          j += 1
-        }
-        val substituted = params.zip(args).foldLeft(body) { case (b, (p, a)) =>
+      val ch = sql.charAt(i)
+      if (inQuote) {
+        out.append(ch)
+        if (ch == '\'') inQuote = false
+        i += 1
+      } else if (ch == '\'') {
+        out.append(ch); inQuote = true; i += 1
+      } else if (lower.startsWith(name + "(", i) &&
+          (i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_'))) {
+        val (args, after) = scanArgs(sql, i + name.length + 1)
+        if (args.length != params.length)
+          throw new IllegalArgumentException(
+            s"macro $name expects ${params.length} arguments, got ${args.length}")
+        // two-phase substitution: params -> collision-free placeholders ->
+        // arguments, so an argument containing another parameter's name is
+        // never re-substituted (classic capture bug otherwise)
+        val sep = 1.toChar.toString // a control char cannot occur in SQL text
+        val tagged = params.zipWithIndex.foldLeft(body) { case (b, (p, idx)) =>
           b.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(p)}\\b",
-            java.util.regex.Matcher.quoteReplacement(s"($a)"))
+            java.util.regex.Matcher.quoteReplacement(sep + idx + sep))
+        }
+        val substituted = args.zipWithIndex.foldLeft(tagged) { case (b, (a, idx)) =>
+          b.replace(sep + idx + sep, s"($a)")
         }
         out.append(s"($substituted)")
-        i = j
+        i = after
+      } else {
+        out.append(ch); i += 1
       }
     }
     out.toString
   }
+}
 
-  /** Minimal session-keyed map with listener-based eviction (mirrors
-    * engine.Tables' cache lifetime handling).
-    */
-  private final class ThreadSafeSessionMap[V <: AnyRef](mk: () => V) {
-    private val m = new java.util.concurrent.ConcurrentHashMap[SparkSession, V]()
-    def get(spark: SparkSession): V = m.computeIfAbsent(spark, s => {
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = m.remove(s)
-      })
-      mk()
+/** Session-keyed map with listener-based eviction on application end —
+  * shared lifetime handling for per-session registries (used by Macros;
+  * same pattern as engine.Tables' plan cache).
+  */
+private[graft] final class SessionScoped[V <: AnyRef](mk: () => V) {
+  private val m = new java.util.concurrent.ConcurrentHashMap[SparkSession, V]()
+  def get(spark: SparkSession): V = m.computeIfAbsent(spark, s => {
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = m.remove(s)
     })
-  }
+    mk()
+  })
+}
+
+private[graft] object SessionScoped {
+  def apply[V <: AnyRef](mk: () => V): SessionScoped[V] = new SessionScoped(mk)
 }

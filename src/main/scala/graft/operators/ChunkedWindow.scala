@@ -13,17 +13,24 @@ import org.apache.spark.sql.functions._
   *
   *  1. range-partition on the order column → each chunk holds a contiguous
   *     slice of the global order, all chunks in parallel;
-  *  2. duplicate each chunk's last `before` rows into the NEXT chunk and
+  *  2. merge undersized chunks: per-chunk counts (cheap job over the
+  *     materialized range layout) feed a driver-side greedy merge so every
+  *     chunk holds at least max(before, after) rows — the exactness
+  *     precondition for step 3 (a chunk smaller than the frame could not
+  *     donate enough boundary rows, silently truncating neighbors'
+  *     frames);
+  *  3. duplicate each chunk's last `before` rows into the NEXT chunk and
   *     first `after` rows into the PREVIOUS chunk as ghosts — every real
   *     row's ±(before, after) ROWS frame is then fully present inside its
   *     own chunk;
-  *  3. run the ordinary per-chunk window and drop the ghosts.
+  *  4. run the ordinary per-chunk window and drop the ghosts.
   *
-  * Shuffle cost: one range exchange + one hash exchange of (rows +
-  * `before+after` ghosts per chunk) — versus ALL rows through one task.
-  * The order column must be globally unique (both callers order by a key),
-  * otherwise ties straddling a chunk boundary would make frames ambiguous
-  * — exactly the nondeterminism a global ROWS frame has anyway.
+  * Shuffle cost: one range exchange (materialized once, reused by the
+  * count and the window) + one hash exchange of rows + ghosts — versus
+  * ALL rows through one task. The order column must be globally unique
+  * (both callers order by a key), otherwise ties straddling a chunk
+  * boundary would make frames ambiguous — exactly the nondeterminism a
+  * global ROWS frame has anyway.
   */
 object ChunkedWindow {
 
@@ -37,10 +44,36 @@ object ChunkedWindow {
     val n =
       if (chunks > 0) chunks
       else math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    // the count pass and the window pass each execute this plan;
+    // RangePartitioner's sampling is seeded deterministically, so both
+    // executions see identical partition boundaries (and ids). Recomputing
+    // the exchange costs one extra pass but pins NOTHING in storage — a
+    // checkpoint here would hold the whole input until GC.
     val ranged = df.repartitionByRange(n, col(orderCol))
-      .withColumn("_chunk", spark_partition_id())
+      .withColumn("_pid", spark_partition_id())
+
+    // driver-side greedy merge of adjacent partitions until every chunk
+    // carries at least max(before, after, 1) rows
+    val need = math.max(math.max(before, after), 1)
+    val counts = ranged.groupBy("_pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val chunkOf = new Array[Int](n)
+    var chunkId = 0
+    var inChunk = 0L
+    for (pid <- 0 until n) {
+      chunkOf(pid) = chunkId
+      inChunk += counts.getOrElse(pid, 0L)
+      if (inChunk >= need && pid < n - 1) { chunkId += 1; inChunk = 0L }
+    }
+    // a trailing underfull chunk folds back into its predecessor
+    if (inChunk > 0 && inChunk < need && chunkId > 0) {
+      for (pid <- 0 until n) if (chunkOf(pid) == chunkId) chunkOf(pid) = chunkId - 1
+    }
+
+    val chunked = ranged.withColumn("_chunk",
+      element_at(typedLit(chunkOf.toSeq), col("_pid") + 1))
     val wIn = Window.partitionBy("_chunk").orderBy(orderCol)
-    val sized = ranged
+    val sized = chunked
       .withColumn("_rn", row_number().over(wIn))
       .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("_chunk")))
     val real = sized.withColumn("_ghost", lit(false))

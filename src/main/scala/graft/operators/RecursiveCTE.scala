@@ -129,7 +129,10 @@ object RecursiveCTE {
             while (!done && frontier.nonEmpty && iters < maxIterations) {
               val nextDf = step(LocalPlans.dfFromInternal(spark, attrs, frontier))
               LocalPlans.foldedRows(nextDf) match {
-                case Some((rows, as)) if seen.size + rows.length <= LocalRowCap =>
+                // schema-stable steps only: drifted types corrupt the
+                // attrs0-rebuilt LocalRelation (distributed path coerces)
+                case Some((rows, as)) if seen.size + rows.length <= LocalRowCap &&
+                    as.map(_.dataType) == attrs0.map(_.dataType) =>
                   val fresh = mutable.ArrayBuffer[InternalRow]()
                   LocalPlans.toExternal(rows, as).lazyZip(rows).foreach {
                     (k, v) => if (!seen.contains(k)) { seen(k) = v; fresh += v }
@@ -257,7 +260,9 @@ object RecursiveCTE {
             while (!done && frontier.nonEmpty && iters < maxIterations) {
               val nextDf = step(LocalPlans.dfFromInternal(spark, attrs, frontier))
               LocalPlans.foldedRows(nextDf) match {
-                case Some((rows, as)) if acc.length + rows.length <= LocalRowCap =>
+                // schema-stable steps only (see unionFixpoint note)
+                case Some((rows, as)) if acc.length + rows.length <= LocalRowCap &&
+                    as.map(_.dataType) == attrs0.map(_.dataType) =>
                   acc ++= rows
                   attrs = as
                   frontier = rows
@@ -306,21 +311,33 @@ object RecursiveCTE {
     var frontier = acc
     var iters = 0
     var done = false
+    // every round checkpoints `changed` and the upserted `acc` — the
+    // upsert plan references the previous acc TWICE (union + anti-join),
+    // so without per-round truncation the plan tree doubles every round.
+    // Retired rounds' checkpoint blocks are released explicitly (the
+    // context cleaner alone is GC-driven best-effort): round r's backers
+    // go right after round r+1's eager checkpoint has consumed them.
+    var toRetire: Seq[DataFrame] = Nil
     while (!done && iters < maxIterations) {
       val next = step(frontier, acc).dropDuplicates(keys)
-      val changed = next.except(acc).localCheckpoint()
-      if (changed.isEmpty) done = true
+      val changed = next.except(acc).localCheckpoint() // eager: materializes now
+      toRetire.foreach(LocalPlans.releaseCheckpoint)
+      toRetire = Nil
+      if (changed.isEmpty) { LocalPlans.releaseCheckpoint(changed); done = true }
       else {
+        val prevAcc = acc
         acc = changed
-          .unionAll(acc.join(changed.select(keys.map(col): _*), keys, "left_anti"))
+          .unionAll(prevAcc.join(changed.select(keys.map(col): _*), keys, "left_anti"))
           .localCheckpoint()
         frontier = changed
+        toRetire = Seq(prevAcc, changed)
       }
       iters += 1
     }
     if (!done &&
         !step(frontier, acc).dropDuplicates(keys).except(acc).isEmpty)
       nonConverged(maxIterations)
+    toRetire.foreach(LocalPlans.releaseCheckpoint) // acc is self-contained
     acc
   }
 

@@ -73,8 +73,26 @@ object LocalPlans {
         }
       case _ => None
     }
-    walk(analyzed).map(fn => (fn, analyzed.output))
+    // the step must be schema-stable: output rows are fed straight back as
+    // the next frontier AND accumulated under the base attributes, so a
+    // type-changing step (e.g. int → long widening) would corrupt the
+    // rebuilt LocalRelation — such steps take the distributed path, where
+    // unionAll coerces properly
+    if (analyzed.output.map(_.dataType) != attrs.map(_.dataType)) None
+    else walk(analyzed).map(fn => (fn, analyzed.output))
   }
+
+  /** Free the storage blocks behind a `localCheckpoint()`ed DataFrame.
+    * The checkpoint materializes into a persisted RDD that only the
+    * context cleaner would otherwise release (best-effort, GC-driven);
+    * driver loops that retire a checkpoint per round release it
+    * deterministically here.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** External (value-equality) rows for driver-side dedup sets. */
   def toExternal(rows: Seq[InternalRow], attrs: Seq[Attribute]): Seq[Row] = {

@@ -31,4 +31,34 @@ class MacrosSpec extends AnyFunSuite {
     val sql = Macros.expand(spark, "SELECT sqrtf(1.0), f(2)")
     assert(sql.contains("sqrtf(1.0)"))
   }
+
+  test("no capture: an argument containing a later parameter name survives") {
+    Macros.define(spark, "CREATE MACRO m_pair(a, b) AS a + b")
+    // passing the literal column name `b` as the FIRST argument must not be
+    // re-substituted by the b->second-arg pass
+    val sql = Macros.expand(spark, "SELECT m_pair(b, 2) AS v FROM (SELECT 7 AS b)")
+    assert(spark.sql(sql).collect().head.getInt(0) == 9, sql)
+  }
+
+  test("string literals are opaque to expansion and argument splitting") {
+    Macros.define(spark, "CREATE MACRO m_tag(s STRING) AS concat('[', s, ']')")
+    val sql = Macros.expand(spark, "SELECT m_tag('a,b') AS v, 'm_tag(x)' AS lit")
+    val row = spark.sql(sql).collect().head
+    assert(row.getString(0) == "[a,b]", sql)
+    assert(row.getString(1) == "m_tag(x)", sql) // untouched inside the literal
+  }
+
+  test("arity mismatch raises at expansion, like the reference bind error") {
+    Macros.define(spark, "CREATE MACRO m_two(a, b) AS a + b")
+    intercept[IllegalArgumentException] {
+      Macros.expand(spark, "SELECT m_two(1)")
+    }
+  }
+
+  test("parenthesized parameter types parse (DECIMAL(10,2))") {
+    Macros.create(spark, "CREATE MACRO m_dec(a DECIMAL(10,2)) AS a * 2")
+    val r = spark.sql("SELECT m_dec(CAST(1.25 AS DECIMAL(10,2))) AS v")
+      .collect().head.getDecimal(0)
+    assert(r.doubleValue() == 2.5)
+  }
 }

@@ -81,6 +81,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(actual == expected)
   }
 
+  test("chunked window stays exact when chunks are smaller than the frame") {
+    import spark.implicits._
+    // 97 rows over 50 requested chunks → ~2 rows per range chunk, less
+    // than before=3: undersized chunks must merge before ghost donation
+    // or boundary frames silently lose terms
+    val df = (1 to 97).map(i => (i.toLong, (i * 13 % 7).toDouble)).toDF("k", "v")
+    val expected = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("k").rowsBetween(-3, 2)
+      df.select(col("k"), sum("v").over(w).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val actual = graft.operators.ChunkedWindow
+      .boundedFrame(df, "k", 3, 2, chunks = 50) { w =>
+        Seq(sum("v").over(w).as("s"))
+      }
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("s")).toMap
+    assert(actual == expected)
+  }
+
   test("recursive CTE union fixpoint: transitive closure") {
     import spark.implicits._
     // edges of a small DAG: 1→2→3→4, 2→5
