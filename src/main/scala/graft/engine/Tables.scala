@@ -72,6 +72,12 @@ object Tables {
   def scatter(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Drop a session's cached plans — for services that retire sessions on
+    * a long-lived context (automatic eviction only fires at application
+    * end).
+    */
+  def invalidate(spark: SparkSession): Unit = cache.drop(spark)
+
   /** Register every fixture as a temp view so spark.sql(...) can be used. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

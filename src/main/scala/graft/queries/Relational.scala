@@ -559,6 +559,21 @@ object Relational extends Pack {
       .orderBy("r_regionkey", "copy_i")
   }
 
+  // WITH RECURSIVE through the NATIVE SQL surface (Spark 4's UnionLoop):
+  // users writing SQL text get the built-in executor. Kept separate from
+  // q_recursive_cte, whose driver-compiled fixpoint measures ~2× faster
+  // for small-frontier recursions (the native loop pays per-iteration job
+  // scheduling) — see operators/RecursiveCTE.scala.
+  private val recSqlText =
+    """WITH RECURSIVE t(n) AS (
+      |  SELECT CAST(1 AS BIGINT) AS n
+      |  UNION ALL
+      |  SELECT n + 1 FROM t WHERE n < 100
+      |) SELECT n, n * (n + 1) / 2 AS tri FROM t ORDER BY n""".stripMargin
+  q("q_recursive_sql", recSqlText) { (s, _) =>
+    s.sql(recSqlText)
+  }
+
   // recursive CTE USING KEY (the reference's keyed recursion: per-key
   // upsert state the recursive part can read) — shortest path over a
   // CYCLIC graph, which plain UNION ALL recursion cannot terminate on
