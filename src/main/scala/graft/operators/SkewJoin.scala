@@ -33,9 +33,14 @@ object SkewJoin {
     if (hot.isEmpty) return left.join(right, key)
 
     val isHotL = col(key).isin(hot: _*)
-    // deterministic, even spread: hash the full row, not a RNG
+    // even spread without an RNG: hash the row content PLUS its position —
+    // content alone would send identical duplicate rows (the archetypal
+    // hot key: many copies of one row) to a single salt. Any salt value is
+    // correct (the build side is replicated to all of them), so the
+    // partitioning-dependent position component affects distribution only.
     val leftS = left.withColumn("_salt",
-      when(isHotL, pmod(hash(struct(left.columns.map(col): _*)), lit(salts)))
+      when(isHotL, pmod(hash(
+        struct(left.columns.map(col): _*), monotonically_increasing_id()), lit(salts)))
         .otherwise(lit(0)))
     val isHotR = col(key).isin(hot: _*)
     val rightS = right

@@ -45,7 +45,9 @@ class OperatorsSpec extends AnyFunSuite {
   test("salted skew join is row-identical to the plain join and spreads hot keys") {
     import spark.implicits._
     // one mega-hot key (900 rows of k=1) + a cold tail
-    val left = ((1 to 900).map(i => (1L, i)) ++ (1 to 50).map(i => (i.toLong + 1, i)))
+    // IDENTICAL duplicate rows — the archetypal hot key; a content-only
+    // salt would put all 900 in one bucket
+    val left = ((1 to 900).map(_ => (1L, 0)) ++ (1 to 50).map(i => (i.toLong + 1, i)))
       .toDF("k", "v")
     val right = (1L to 51L).map(k => (k, s"dim_$k")).toDF("k", "name")
     val plain = left.join(right, "k").collect()
@@ -55,13 +57,12 @@ class OperatorsSpec extends AnyFunSuite {
     val got = salted.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
     assert(got == plain)
-    // the hot key's left rows were spread across multiple salt values
-    val spread = left.withColumn("_salt",
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.hash(
-            org.apache.spark.sql.functions.struct(left.columns.map(col): _*)),
-          org.apache.spark.sql.functions.lit(8)))
-      .filter(col("k") === 1).select("_salt").distinct().count()
+    // the duplicate hot rows spread across multiple salt values
+    import org.apache.spark.sql.functions._
+    val spread = left.filter(col("k") === 1)
+      .withColumn("_salt", pmod(hash(
+        struct(left.columns.map(col): _*), monotonically_increasing_id()), lit(8)))
+      .select("_salt").distinct().count()
     assert(spread > 1, "hot key not spread across salts")
   }
 
