@@ -4,9 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import Q._
 
-/** TPC-DS sample pack — eight query SHAPES from the reference's 99
+/** TPC-DS sample pack — nine query SHAPES from the reference's 99
   * (`/root/reference/extension/tpcds/dsdgen/queries/
-  * {03,07,19,27,34,42,53,98}.sql`),
+  * {03,07,19,27,34,42,53,88,98}.sql`),
   * adapted to the fixture star schema: the snowflake/star topologies,
   * multi-dimension filters, rollup-with-grouping and ORDER-BY-aggregate
   * patterns are preserved; store_sales→lineitem, date_dim→orders
