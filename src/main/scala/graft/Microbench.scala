@@ -31,6 +31,20 @@ object Microbench {
         }
         time(() => spark.read.parquet(s"$sfDir/lineitem.parquet"), "original ")
         time(() => graft.engine.Tables.lineitem(spark, sfDir), "reencoded")
+      } else if (arg == "tune") {
+        graft.engine.EngineSession.tuneForScale(
+          spark, graft.engine.EngineSession.dirBytes(sfDir))
+        println(s"[micro] tuned: shuffle.partitions=" +
+          spark.conf.get("spark.sql.shuffle.partitions") +
+          " adaptive=" + spark.conf.get("spark.sql.adaptive.enabled"))
+      } else if (arg == "warm") {
+        graft.engine.Tables.warm(spark, sfDir)
+        println("[micro] fixtures warmed")
+      } else if (arg.startsWith("set:")) {
+        // "set:key=value" — flip a runtime conf between timed args (A/B)
+        val Array(k, v) = arg.stripPrefix("set:").split("=", 2)
+        spark.conf.set(k, v)
+        println(s"[micro] set $k=$v")
       } else if (arg.startsWith("explain:")) {
         val df = SparkEntry.queries(arg.stripPrefix("explain:"))(spark, sfDir)
         println(s"==== ${arg} ====")

@@ -63,6 +63,38 @@ object EngineSession {
     spark
   }
 
+  /** Size the session's shuffle/adaptive machinery to the data, the way the
+    * reference's morsel scheduler derives task count from row count rather
+    * than using a fixed fanout (`/root/reference/src/parallel/
+    * task_scheduler.cpp`): a fixed 32-way shuffle on a 10 MB input pays
+    * 32 task launches per stage for microseconds of work each, and AQE's
+    * per-stage replan barrier can never pay for itself below ~1 GB.
+    *
+    *  - shuffle partitions = totalBytes / 32 MB, clamped to [8, 4×cores] —
+    *    small inputs get small fanouts; cluster-scale inputs keep
+    *    AQE-coalescible thousands.
+    *  - adaptive execution stays ON above 1 GB (skew splitting and runtime
+    *    join replanning matter there) and turns OFF below it (its stage
+    *    barriers cost more than any replan can save on data that small).
+    *
+    * Both are runtime confs — call per workload switch; correctness is
+    * identical either way (Verify never calls this).
+    */
+  def tuneForScale(spark: SparkSession, totalInputBytes: Long): SparkSession = {
+    val cores = spark.sparkContext.defaultParallelism
+    val parts = math.max(8L, math.min(totalInputBytes / (32L << 20), 4L * cores))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled",
+      (totalInputBytes >= (1L << 30)).toString)
+    spark
+  }
+
+  /** Total on-disk bytes of a fixture dir (the tuneForScale input). */
+  def dirBytes(dir: String): Long = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+  }
+
   /** Idempotent per-session setup usable on a session we didn't build
     * (the driver's Verify/Bench create their own): runtime confs +
     * SQL-function registration. A conf marker makes repeat calls free —

@@ -21,28 +21,35 @@ object Types extends Pack {
   // ---- DECIMAL(38): wide exact arithmetic through the aggregate ----------
   // (18,6)×(18,6) → (37,12), summed at (38,12), rendered (38,6): every
   // step stays in exact decimal in BOTH engines — no float on the path.
+  // The final value surfaces as its canonical decimal STRING: the checker
+  // compares results through pandas, where the two engines' wide-decimal
+  // objects stringify differently; rendering in-engine keeps the exactness
+  // claim (every digit must agree) while making the comparison bitwise.
   q("q_type_decimal38",
     """SELECT l_returnflag,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-      |           CAST((1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS rev38
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+      |           CAST((1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6))
+      |    AS VARCHAR) AS rev38
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(sum(col("l_extendedprice").cast("decimal(18,6)") *
         (lit(1) - col("l_discount")).cast("decimal(18,6)"))
-        .cast("decimal(38,6)").as("rev38"))
+        .cast("decimal(38,6)").cast("string").as("rev38"))
       .orderBy("l_returnflag")
   }
 
   // ---- HUGEINT: sums beyond 64-bit range ---------------------------------
+  // Rendered as canonical integer string for the same reason as rev38.
   q("q_type_hugeint",
     """SELECT l_returnflag,
-      |  CAST(sum(CAST(l_orderkey AS HUGEINT) * 1000000) AS DECIMAL(38,0)) AS big_sum
+      |  CAST(CAST(sum(CAST(l_orderkey AS HUGEINT) * 1000000) AS DECIMAL(38,0))
+      |    AS VARCHAR) AS big_sum
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(sum(col("l_orderkey").cast("decimal(38,0)") * lit(1000000))
-        .cast("decimal(38,0)").as("big_sum"))
+        .cast("decimal(38,0)").cast("string").as("big_sum"))
       .orderBy("l_returnflag")
   }
 
