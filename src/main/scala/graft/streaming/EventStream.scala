@@ -81,6 +81,42 @@ object EventStream {
       }.toDF()
   }
 
+  /** Stream-stream event-time interval join: each click paired with the
+    * same user's views from the preceding ten minutes. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH ends —
+    * that is what lets Structured Streaming garbage-collect join state
+    * (an unbounded condition would buffer each side forever). The same
+    * transform runs on batch frames (no watermark needed), which is how
+    * the spec checks result equivalence.
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = (if (clicks.isStreaming) clicks.withWatermark("ts", "30 minutes") else clicks)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val v = (if (views.isStreaming) views.withWatermark("ts", "30 minutes") else views)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    c.join(v,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
+  /** Streaming deduplication: first event per (user, type), state bounded
+    * by the watermark (`dropDuplicatesWithinWatermark` — late duplicates
+    * beyond the watermark age out of state instead of pinning it forever,
+    * the scale-safe form of streaming dedup). Batch frames take the plain
+    * `dropDuplicates` path — same key semantics, no state.
+    */
+  def firstEventPerUserType(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+    else events.dropDuplicates("user_id", "event_type")
+
   /** Sliding-window per-user event rate. */
   def slidingRate(events: DataFrame, width: String = "10 minutes",
       slide: String = "5 minutes"): DataFrame = {

@@ -46,6 +46,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch run of the same transform") {
+    val batch = graft.engine.Tables.events(spark, GraftTest.sf)
+    val expected = EventStream.clickViewJoin(batch, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+
+    val s1 = EventStream.readEvents(spark, eventsDir)
+    val s2 = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.clickViewJoin(s1, s2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("join_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("join_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("watermarked streaming dedup keeps one event per (user, type)") {
+    val batch = graft.engine.Tables.events(spark, GraftTest.sf)
+    val expectedKeys = batch.select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.firstEventPerUserType(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    assert(got.toSet == expectedKeys)
+    assert(got.length == expectedKeys.size) // exactly one survivor per key
+    // batch path: same key set
+    val batchGot = EventStream.firstEventPerUserType(batch)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batchGot == expectedKeys)
+  }
+
   test("sliding window rate over a stream produces per-user windows") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val q = EventStream.slidingRate(stream)
