@@ -127,6 +127,61 @@ class PlanSpec extends AnyFunSuite {
       s"no dynamic partition pruning in plan:\n$p")
   }
 
+  test("TPC-DS batch 2 and suite-pack joins: no cartesians, dims broadcast") {
+    for (name <- Seq("q_ds5_channel_rollup", "q_ds14_cross_channel",
+        "q_ds33_brand_union_agg", "q_ds37_part_bands",
+        "q_ds51_cumulative_channels", "q_ds65_low_suppliers",
+        "q_h2o_join_dim", "q_contamination")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+    }
+    // the key dim join and the blocklist semi-join must broadcast: at
+    // 100 TB the events/documents side cannot move for a KB-sized build
+    assert(planOf("q_h2o_join_dim").contains("BroadcastHashJoin"))
+    val contam = planOf("q_contamination")
+    assert(contam.contains("BroadcastHashJoin") && contam.contains("LeftSemi"),
+      s"blocklist semi-join not broadcast:\n$contam")
+  }
+
+  test("chunking explodes row-locally — no shuffle before the generator") {
+    // the only exchange allowed is the final presentation sort; the
+    // explode itself must not repartition (at scale the generator runs
+    // in the scan stage)
+    val p = planOf("q_text_chunk")
+    val genIdx = p.indexOf("Generate")
+    assert(genIdx >= 0, s"no generator in chunking plan:\n$p")
+    assert(!p.substring(genIdx).contains("Exchange"),
+      s"shuffle below the chunk generator:\n$p")
+  }
+
+  test("EXISTS-OR battery plans as existence joins, not separate scans per branch") {
+    val p = planOf("q_ds10_prospects")
+    assert(!p.contains("CartesianProduct"), s"cartesian in EXISTS battery:\n$p")
+    assert(p.contains("ExistenceJoin") || p.contains("LeftSemi"),
+      s"no existence/semi join for EXISTS:\n$p")
+  }
+
+  test("tuneForScale derives cluster-shaped settings from input size") {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.get(k))
+    try {
+      // 8 MB workload: small fanout, AQE off, broadcast floor 1 MB
+      graft.engine.EngineSession.tuneForScale(spark, 8L << 20)
+      assert(conf.get("spark.sql.shuffle.partitions").toInt == 8)
+      assert(conf.get("spark.sql.adaptive.enabled") == "false")
+      assert(conf.get("spark.sql.autoBroadcastJoinThreshold").toLong == (1L << 20))
+      // 1 TB workload: fanout capped at 4x cores, AQE on to re-coalesce,
+      // broadcast cap 64 MB — a fact table never qualifies
+      graft.engine.EngineSession.tuneForScale(spark, 1L << 40)
+      assert(conf.get("spark.sql.shuffle.partitions").toInt ==
+        4 * spark.sparkContext.defaultParallelism)
+      assert(conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(conf.get("spark.sql.autoBroadcastJoinThreshold").toLong == (64L << 20))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("whole-stage codegen covers the Q1 hot path") {
     // under AQE codegen stages exist only in the FINAL executed plan,
     // rendered as "*(n)" span markers
