@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import Q._
+
+/** TPC-DS sample pack, batch 3 — three more planner shapes
+  * (`/root/reference/extension/tpcds/dsdgen/queries/{09,17,31}.sql`),
+  * fixture-adapted like Tpcds/Tpcds2:
+  *
+  *  - q9:  CASE whose branches are PAIRED scalar subqueries over the same
+  *         band (count decides which average is reported) — six
+  *         independent aggregates folded into three output columns
+  *  - q17: per-item multi-channel statistics (count/avg/stddev per
+  *         channel in one row — FILTER-clause form of the triple-join)
+  *  - q31: quarter-over-quarter growth — the per-(group, quarter)
+  *         aggregate self-joined across quarters, ratios compared
+  *         BETWEEN channels
+  *
+  * stddev outputs are rounded to 6 dp (the q_stats_agg convention:
+  * float accumulation is not exactly associative across engines).
+  */
+object Tpcds3 extends Pack {
+
+  // ---- DS Q9: banded CASE over paired scalar subqueries ------------------
+  private def band(lo: Int, hi: Int, thresh: Long) =
+    s"""CASE WHEN (SELECT count(*) FROM lineitem
+       |           WHERE l_quantity BETWEEN $lo AND $hi) > $thresh
+       |     THEN (SELECT ${favgSql("l_extendedprice", 2)} FROM lineitem
+       |           WHERE l_quantity BETWEEN $lo AND $hi)
+       |     ELSE (SELECT ${favgSql("l_discount", 2)} FROM lineitem
+       |           WHERE l_quantity BETWEEN $lo AND $hi)
+       |END""".stripMargin
+  private val q9Sql =
+    s"""SELECT
+       |  ${band(1, 15, 20000)} AS bucket1,
+       |  ${band(16, 35, 20000)} AS bucket2,
+       |  ${band(36, 50, 20000)} AS bucket3""".stripMargin
+  q("q_ds9_band_case", q9Sql) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    // spark.sql: each scalar subquery plans as its own aggregate; the six
+    // of them share the cached lineitem scan
+    s.sql(q9Sql)
+  }
+
+  // ---- DS Q17: per-brand multi-channel quantity statistics ---------------
+  q("q_ds17_channel_stats",
+    """SELECT p_brand,
+      |  count(*) FILTER (WHERE l_linestatus = 'O') AS web_cnt,
+      |  round(avg(l_quantity) FILTER (WHERE l_linestatus = 'O'), 6) AS web_avg,
+      |  round(stddev_samp(l_quantity) FILTER (WHERE l_linestatus = 'O'), 6) AS web_sd,
+      |  count(*) FILTER (WHERE l_linestatus = 'F') AS store_cnt,
+      |  round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 6) AS store_avg,
+      |  round(stddev_samp(l_quantity) FILTER (WHERE l_linestatus = 'F'), 6) AS store_sd
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_size <= 10
+      |GROUP BY p_brand ORDER BY p_brand""") { (s, dir) =>
+    val p = broadcast(Tables.part(s, dir).filter(col("p_size") <= 10)
+      .select("p_partkey", "p_brand"))
+    val web = col("l_linestatus") === "O"
+    val store = col("l_linestatus") === "F"
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_linestatus", "l_quantity")
+      .join(p, col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(when(web, 1)).as("web_cnt"),
+        round(avg(when(web, col("l_quantity"))), 6).as("web_avg"),
+        round(stddev_samp(when(web, col("l_quantity"))), 6).as("web_sd"),
+        count(when(store, 1)).as("store_cnt"),
+        round(avg(when(store, col("l_quantity"))), 6).as("store_avg"),
+        round(stddev_samp(when(store, col("l_quantity"))), 6).as("store_sd"))
+      .orderBy("p_brand")
+  }
+
+  // ---- DS Q31: quarter-over-quarter growth, channel-compared -------------
+  // (the per-(nation, quarter) channel aggregates self-joined across three
+  // quarters; report groups where the web channel grew faster than the
+  // store channel from Q1 to Q2 of 1995)
+  q("q_ds31_qoq_growth",
+    s"""WITH ss AS (
+       |  SELECT c_nationkey AS nk, quarter(o_orderdate) AS q,
+       |    sum(${fxSql("l_extendedprice", 2)}) AS rev
+       |  FROM lineitem
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  WHERE l_linestatus = 'F' AND year(o_orderdate) = 1995
+       |  GROUP BY 1, 2),
+       |ws AS (
+       |  SELECT c_nationkey AS nk, quarter(o_orderdate) AS q,
+       |    sum(${fxSql("l_extendedprice", 2)}) AS rev
+       |  FROM lineitem
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  WHERE l_linestatus = 'O' AND year(o_orderdate) = 1995
+       |  GROUP BY 1, 2)
+       |SELECT n_name,
+       |  CAST(ws2.rev AS DOUBLE) / ws1.rev AS web_q1_q2,
+       |  CAST(ss2.rev AS DOUBLE) / ss1.rev AS store_q1_q2,
+       |  CAST(ws3.rev AS DOUBLE) / ws2.rev AS web_q2_q3,
+       |  CAST(ss3.rev AS DOUBLE) / ss2.rev AS store_q2_q3
+       |FROM ss ss1 JOIN ss ss2 ON ss1.nk = ss2.nk AND ss1.q = 1 AND ss2.q = 2
+       |JOIN ss ss3 ON ss2.nk = ss3.nk AND ss3.q = 3
+       |JOIN ws ws1 ON ws1.nk = ss1.nk AND ws1.q = 1
+       |JOIN ws ws2 ON ws2.nk = ss1.nk AND ws2.q = 2
+       |JOIN ws ws3 ON ws3.nk = ss1.nk AND ws3.q = 3
+       |JOIN nation ON n_nationkey = ss1.nk
+       |WHERE CAST(ws2.rev AS DOUBLE) / ws1.rev > CAST(ss2.rev AS DOUBLE) / ss1.rev
+       |ORDER BY n_name""") { (s, dir) =>
+    def channel(status: String) = {
+      val o = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      Tables.lineitem(s, dir)
+        .filter(col("l_linestatus") === status)
+        .select("l_orderkey", "l_extendedprice")
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey").as("nk"), quarter(col("o_orderdate")).as("q"))
+        .agg(sum(fx(col("l_extendedprice"), 2)).as("rev"))
+    }
+    val ss = channel("F")
+    val ws = channel("O")
+    def at(df: org.apache.spark.sql.DataFrame, alias: String, q: Int) =
+      df.filter(col("q") === q)
+        .select(col("nk").as(s"${alias}_nk"), col("rev").as(s"${alias}_rev"))
+    val j = at(ss, "ss1", 1)
+      .join(at(ss, "ss2", 2), col("ss1_nk") === col("ss2_nk"))
+      .join(at(ss, "ss3", 3), col("ss1_nk") === col("ss3_nk"))
+      .join(at(ws, "ws1", 1), col("ss1_nk") === col("ws1_nk"))
+      .join(at(ws, "ws2", 2), col("ss1_nk") === col("ws2_nk"))
+      .join(at(ws, "ws3", 3), col("ss1_nk") === col("ws3_nk"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("n_nationkey") === col("ss1_nk"))
+    j.select(col("n_name"),
+        (col("ws2_rev").cast("double") / col("ws1_rev")).as("web_q1_q2"),
+        (col("ss2_rev").cast("double") / col("ss1_rev")).as("store_q1_q2"),
+        (col("ws3_rev").cast("double") / col("ws2_rev")).as("web_q2_q3"),
+        (col("ss3_rev").cast("double") / col("ss2_rev")).as("store_q2_q3"))
+      .filter(col("web_q1_q2") > col("store_q1_q2"))
+      .orderBy("n_name")
+  }
+}
