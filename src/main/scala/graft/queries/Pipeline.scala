@@ -97,15 +97,39 @@ object Pipeline extends Pack {
       .orderBy("id_a")
   }
 
-  // SimHash near-dup sketch (custom expression; not SQL-expressible in the
-  // oracle → rows-only; exactness covered by SimhashSpec)
-  qRowsOnly("q_dedup_simhash") { (s, dir) =>
+  // SimHash near-dup sketch (custom codegen expression). The oracle
+  // recomputes the exact bit-majority from first-16-hex-of-md5 token
+  // hashes — rendered as hex strings on both sides so 64-bit signedness
+  // never enters the comparison.
+  q("q_dedup_simhash",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |h AS (
+      |  SELECT doc_id, unnest(list_transform(toks,
+      |    tok -> CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT))) AS th
+      |  FROM t),
+      |votes AS (
+      |  SELECT doc_id, j.i AS bit,
+      |    sum(CASE WHEN (th >> j.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM h, (SELECT unnest(generate_series(0, 63)) AS i) j
+      |  GROUP BY doc_id, j.i),
+      |sh AS (
+      |  SELECT doc_id,
+      |    bit_or(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << bit
+      |           ELSE CAST(0 AS UBIGINT) END) AS s
+      |  FROM votes GROUP BY doc_id)
+      |SELECT doc_id, lpad(lower(to_hex(s)), 16, '0') AS sh_hex,
+      |  CAST(bit_count(xor(s, lead(s) OVER (ORDER BY doc_id))) AS BIGINT)
+      |    AS hamming_to_next
+      |FROM sh ORDER BY doc_id""") { (s, dir) =>
     import graft.functions.TextHash
     val w = Window.orderBy("doc_id")
     Tables.documents(s, dir)
       .select(col("doc_id"), TextHash.simhash(TextAnalysis.tokens(col("text"))).as("sh"))
       .withColumn("hamming_to_next",
-        bit_count(col("sh").bitwiseXOR(lead(col("sh"), 1).over(w))))
+        bit_count(col("sh").bitwiseXOR(lead(col("sh"), 1).over(w))).cast("bigint"))
+      .select(col("doc_id"), format_string("%016x", col("sh")).as("sh_hex"),
+        col("hamming_to_next"))
       .orderBy("doc_id")
   }
 
