@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** CREATE MACRO — the reference's scalar SQL macros
   * (`/root/reference/src/function/macro_function.cpp`): a named expression
@@ -100,6 +100,41 @@ object Macros {
   private val registry = SessionScoped(
     () => new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], String)])
 
+  private val tableRegistry = SessionScoped(
+    () => new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], String)])
+
+  /** `CREATE MACRO name(params) AS TABLE <query>` — the reference's TABLE
+    * macros (`/root/reference/src/function/table_macro_function.cpp`): a
+    * parameterized view, inlined at bind time. Spark has no SQL surface
+    * for table-valued functions, so the call side is programmatic
+    * ([[callTable]]), with the same expansion semantics: arguments
+    * substitute capture-free, scalar macros inside the body expand too.
+    */
+  def createTable(spark: SparkSession, ddl: String): Unit = {
+    val (name, params, body) = parseDdl(ddl)
+    val t = """(?is)^TABLE\s+(.+)$""".r
+    body match {
+      case t(query) =>
+        tableRegistry.get(spark).put(name.toLowerCase, (params.map(paramName), query))
+      case _ =>
+        throw new IllegalArgumentException(s"not a TABLE macro: $ddl")
+    }
+  }
+
+  /** Expand a table-macro call `name(arg, …)` to its DataFrame. */
+  def callTable(spark: SparkSession, call: String): DataFrame = {
+    val m = """(?s)\s*(\w+)\s*\(""".r.findPrefixMatchOf(call).getOrElse(
+      throw new IllegalArgumentException(s"not a macro call: $call"))
+    val name = m.group(1).toLowerCase
+    val (args, _) = scanArgs(call, m.end)
+    val (params, query) = Option(tableRegistry.get(spark).get(name)).getOrElse(
+      throw new IllegalArgumentException(s"unknown table macro: $name"))
+    if (args.length != params.length)
+      throw new IllegalArgumentException(
+        s"macro $name expects ${params.length} arguments, got ${args.length}")
+    spark.sql(expand(spark, substitute(query, params, args)))
+  }
+
   /** Inline every known macro call in `sql` (recursively, so macros can
     * call macros), exactly the reference's bind-time expansion. Calls
     * inside string literals are left alone; arity mismatches raise like
@@ -121,6 +156,21 @@ object Macros {
     cur
   }
 
+  /** Two-phase substitution: params → collision-free placeholders →
+    * arguments, so an argument containing another parameter's name is
+    * never re-substituted (classic capture bug otherwise).
+    */
+  private def substitute(body: String, params: Seq[String], args: Seq[String]): String = {
+    val sep = 1.toChar.toString // a control char cannot occur in SQL text
+    val tagged = params.zipWithIndex.foldLeft(body) { case (b, (p, idx)) =>
+      b.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(p)}\\b",
+        java.util.regex.Matcher.quoteReplacement(sep + idx + sep))
+    }
+    args.zipWithIndex.foldLeft(tagged) { case (b, (a, idx)) =>
+      b.replace(sep + idx + sep, s"($a)")
+    }
+  }
+
   private def expandOne(sql: String, name: String, params: Seq[String], body: String): String = {
     val out = new StringBuilder
     val lower = sql.toLowerCase
@@ -140,18 +190,7 @@ object Macros {
         if (args.length != params.length)
           throw new IllegalArgumentException(
             s"macro $name expects ${params.length} arguments, got ${args.length}")
-        // two-phase substitution: params -> collision-free placeholders ->
-        // arguments, so an argument containing another parameter's name is
-        // never re-substituted (classic capture bug otherwise)
-        val sep = 1.toChar.toString // a control char cannot occur in SQL text
-        val tagged = params.zipWithIndex.foldLeft(body) { case (b, (p, idx)) =>
-          b.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(p)}\\b",
-            java.util.regex.Matcher.quoteReplacement(sep + idx + sep))
-        }
-        val substituted = args.zipWithIndex.foldLeft(tagged) { case (b, (a, idx)) =>
-          b.replace(sep + idx + sep, s"($a)")
-        }
-        out.append(s"($substituted)")
+        out.append(s"(${substitute(body, params, args)})")
         i = after
       } else {
         out.append(ch); i += 1

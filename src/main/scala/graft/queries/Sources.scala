@@ -32,6 +32,25 @@ object Sources extends Pack {
       .orderBy("n_nationkey")
   }
 
+  // CSV dialect sniffing: write a semicolon-delimited file, read it back
+  // with NO dialect options — CsvSniffer must detect delimiter/quote/
+  // header or the columns come back mangled and the hash diff fails
+  // (reference csv_scanner/sniffer/dialect_detection.cpp)
+  q("q_csv_sniff",
+    """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      |WHERE s_suppkey <= 40 ORDER BY s_suppkey""") { (s, dir) =>
+    val out = tmp("supplier_sniff_csv")
+    Tables.supplier(s, dir)
+      .filter(col("s_suppkey") <= 40)
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .write.mode("overwrite")
+      .option("header", "true").option("sep", ";").csv(out)
+    graft.sources.CsvSniffer.read(s, out)
+      .select(col("s_suppkey").cast("bigint"), col("s_name"),
+        col("s_acctbal").cast("double"))
+      .orderBy("s_suppkey")
+  }
+
   // COPY TO json + read_json (NDJSON) — reference extension/json/read_json.cpp
   q("q_json_roundtrip",
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -191,6 +210,27 @@ object Sources extends Pack {
     s.sql(
       """SELECT o_orderkey, m_adj(o_totalprice, 5) AS adj
         |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // CREATE MACRO ... AS TABLE (reference table_macro_function.cpp) — a
+  // parameterized view, expanded at bind time; scalar macros inside the
+  // body expand too. The oracle is the inlined query.
+  q("q_table_macro",
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |WHERE o_totalprice > (20000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    graft.functions.Macros.createTable(s,
+      """CREATE OR REPLACE MACRO seg_sales(min_price) AS TABLE
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |WHERE o_totalprice > min_price
+        |GROUP BY c_mktsegment""".stripMargin)
+    graft.functions.Macros.callTable(s, "seg_sales(20000)")
+      .orderBy("c_mktsegment")
   }
 
   // system-catalog introspection (reference src/function/table/system/*):

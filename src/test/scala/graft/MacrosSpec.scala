@@ -61,4 +61,23 @@ class MacrosSpec extends AnyFunSuite {
       .collect().head.getDecimal(0)
     assert(r.doubleValue() == 2.5)
   }
+
+  test("table macro expands to a parameterized query, scalar macros inside expand too") {
+    Macros.define(spark, "CREATE MACRO m_double(x) AS x * 2")
+    Macros.createTable(spark,
+      "CREATE MACRO m_range(n) AS TABLE SELECT id, m_double(id) AS d FROM range(n)")
+    val rows = Macros.callTable(spark, "m_range(4)").orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L, 6L))
+  }
+
+  test("table macro arity and unknown-name errors mirror the bind errors") {
+    Macros.createTable(spark,
+      "CREATE MACRO m_tbl1(n) AS TABLE SELECT id FROM range(n)")
+    intercept[IllegalArgumentException] { Macros.callTable(spark, "m_tbl1(1, 2)") }
+    intercept[IllegalArgumentException] { Macros.callTable(spark, "m_nope(1)") }
+    intercept[IllegalArgumentException] {
+      Macros.createTable(spark, "CREATE MACRO m_scalar(x) AS x + 1")
+    }
+  }
 }
