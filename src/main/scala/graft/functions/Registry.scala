@@ -35,6 +35,7 @@ object Registry {
     f2("lcm", Lcm(_, _))
     f1("strip_accents", StripAccents(_))
     f1("nfc_normalize", NfcNormalize(_))
+    f2("json_merge_patch", JsonMergePatch(_, _))
     registered = true
   }
 }

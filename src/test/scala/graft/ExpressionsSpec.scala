@@ -85,6 +85,17 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 6 && r.getLong(1) == 36)
   }
 
+  test("json_merge_patch: RFC 7386 delete/merge/replace semantics") {
+    graft.engine.EngineSession.configure(spark)
+    def m(a: String, b: String): String =
+      spark.sql(s"SELECT json_merge_patch('$a', '$b')").collect().head.getString(0)
+    assert(m("""{"k":1}""", """{"x":2}""") == """{"k":1,"x":2}""")
+    assert(m("""{"k":1,"d":2}""", """{"d":null}""") == """{"k":1}""")
+    assert(m("""{"o":{"a":1}}""", """{"o":{"b":2}}""") == """{"o":{"a":1,"b":2}}""")
+    assert(m("""{"o":{"a":1}}""", """{"o":[1,2]}""") == """{"o":[1,2]}""")
+    assert(m("""[1,2]""", """{"a":1}""") == """{"a":1}""") // non-object target
+  }
+
   test("simhash: identical token sets collide, disjoint sets differ") {
     import spark.implicits._
     import graft.functions.TextHash
