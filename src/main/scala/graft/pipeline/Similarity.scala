@@ -50,15 +50,14 @@ object Similarity {
   def withLshBucket(
       df: DataFrame, vecCol: String, dims: Int, planes: Int = 8,
       seed: Int = 0): DataFrame = {
-    val code = (0 until planes).map { p =>
-      val signs = (0 until dims).map(d =>
-        if (seed == 0) planeSign(p, d) else planeSign(seed * 10007 + p, d))
-      val proj = (0 until dims).map { d =>
-        element_at(col(vecCol), d + 1).cast("double") * lit(signs(d))
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    df.withColumn("lsh_bucket", code)
+    // one codegen'd kernel (sql.graft.LshBucket) instead of a
+    // planes×dims element_at chain: same sign matrix (VecHash duplicates
+    // planeSign's md5 formula; PipelineSpec pins the buckets), but the
+    // plan node is constant-size — the old tree's analysis+janino time
+    // dominated every LSH query at bench scale
+    import org.apache.spark.sql.graft.{Bridge, LshBucket}
+    df.withColumn("lsh_bucket",
+      Bridge.column(LshBucket(Bridge.expression(col(vecCol)), planes, dims, seed)))
   }
 
   /** Approximate top-k: candidates from matching LSH buckets, exact cosine
@@ -205,18 +204,28 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       planes: Int = 8, bands: Int = 3, maxBucket: Int = 200): DataFrame = {
     val src = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val perBand = (0 until bands).map { band =>
-      val coded = withLshBucket(src, "v", dims, planes, seed = band)
-        .select(col("id"), col("lsh_bucket"))
-      val small = coded.groupBy("lsh_bucket").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= maxBucket)
-        .select("lsh_bucket")
-      val inb = coded.join(small, "lsh_bucket")
-      inb.as("a").join(inb.as("b"),
-          col("a.lsh_bucket") === col("b.lsh_bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // every band's code computed in ONE pass over the vectors, then
+    // exploded to (id, band, bucket): one groupBy + one self-join serve
+    // all bands (the per-band formulation ran bands× the stage count for
+    // the same result set — band b is just a column of the same scan)
+    val withCodes = (0 until bands).foldLeft(src) { (d, band) =>
+      withLshBucket(d, "v", dims, planes, seed = band)
+        .withColumnRenamed("lsh_bucket", s"_band_$band")
     }
-    perBand.reduce(_ unionAll _).distinct()
+    val coded = withCodes.select(col("id"),
+      posexplode(array((0 until bands).map(b => col(s"_band_$b")): _*))
+        .as(Seq("band", "bucket")))
+    // the cap list is tiny by construction (≤ bands·2^planes rows) —
+    // broadcast it instead of shuffling the candidate stream against it
+    val small = coded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select("band", "bucket")
+    val inb = coded.join(broadcast(small), Seq("band", "bucket"))
+    inb.as("a").join(inb.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
       .join(src.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(src.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),

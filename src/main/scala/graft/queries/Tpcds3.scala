@@ -107,37 +107,36 @@ object Tpcds3 extends Pack {
        |JOIN nation ON n_nationkey = ss1.nk
        |WHERE CAST(ws2.rev AS DOUBLE) / ws1.rev > CAST(ss2.rev AS DOUBLE) / ss1.rev
        |ORDER BY n_name""") { (s, dir) =>
-    def channel(status: String) = {
-      val o = Tables.orders(s, dir)
-        .filter(year(col("o_orderdate")) === 1995)
-        .select("o_orderkey", "o_custkey", "o_orderdate")
-      Tables.lineitem(s, dir)
-        .filter(col("l_linestatus") === status)
-        .select("l_orderkey", "l_extendedprice")
-        .join(o, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
-          col("c_custkey") === col("o_custkey"))
-        .groupBy(col("c_nationkey").as("nk"), quarter(col("o_orderdate")).as("q"))
-        .agg(sum(fx(col("l_extendedprice"), 2)).as("rev"))
-    }
-    val ss = channel("F")
-    val ws = channel("O")
-    def at(df: org.apache.spark.sql.DataFrame, alias: String, q: Int) =
-      df.filter(col("q") === q)
-        .select(col("nk").as(s"${alias}_nk"), col("rev").as(s"${alias}_rev"))
-    val j = at(ss, "ss1", 1)
-      .join(at(ss, "ss2", 2), col("ss1_nk") === col("ss2_nk"))
-      .join(at(ss, "ss3", 3), col("ss1_nk") === col("ss3_nk"))
-      .join(at(ws, "ws1", 1), col("ss1_nk") === col("ws1_nk"))
-      .join(at(ws, "ws2", 2), col("ss1_nk") === col("ws2_nk"))
-      .join(at(ws, "ws3", 3), col("ss1_nk") === col("ws3_nk"))
+    // the oracle spells the reference's six-way self-join of the quarter
+    // CTE; Spark-side the same result is ONE conditional-aggregation pass
+    // per channel (sum FILTER quarter=q) — the materialized-CTE plan the
+    // reference's optimizer would pick, without re-running the
+    // lineitem⋈orders⋈customer join once per self-join leg
+    val o = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    def qsum(status: String, qtr: Int) =
+      sum(when(col("l_linestatus") === status && quarter(col("o_orderdate")) === qtr,
+        fx(col("l_extendedprice"), 2))).as(s"${status}_q$qtr")
+    val agg = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_linestatus")
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(qsum("F", 1), qsum("F", 2), qsum("F", 3),
+        qsum("O", 1), qsum("O", 2), qsum("O", 3))
+      // inner self-joins only keep nations present in every leg
+      .filter((1 to 3).map(q => col(s"F_q$q").isNotNull && col(s"O_q$q").isNotNull)
+        .reduce(_ && _))
+    agg
       .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
-        col("n_nationkey") === col("ss1_nk"))
-    j.select(col("n_name"),
-        (col("ws2_rev").cast("double") / col("ws1_rev")).as("web_q1_q2"),
-        (col("ss2_rev").cast("double") / col("ss1_rev")).as("store_q1_q2"),
-        (col("ws3_rev").cast("double") / col("ws2_rev")).as("web_q2_q3"),
-        (col("ss3_rev").cast("double") / col("ss2_rev")).as("store_q2_q3"))
+        col("n_nationkey") === col("nk"))
+      .select(col("n_name"),
+        (col("O_q2").cast("double") / col("O_q1")).as("web_q1_q2"),
+        (col("F_q2").cast("double") / col("F_q1")).as("store_q1_q2"),
+        (col("O_q3").cast("double") / col("O_q2")).as("web_q2_q3"),
+        (col("F_q3").cast("double") / col("F_q2")).as("store_q2_q3"))
       .filter(col("web_q1_q2") > col("store_q1_q2"))
       .orderBy("n_name")
   }

@@ -433,3 +433,28 @@ object JsonMergePatch {
       out
     }
 }
+
+/** Hyperplane-LSH bucket code (SimHash-for-cosine) as ONE codegen'd
+  * kernel — semantically identical to the planes×dims element_at
+  * expression chain it replaces (graft.pipeline.Similarity's SQL
+  * formulation, sign matrix pinned by PipelineSpec), but constant-size in
+  * the plan: the chain's ~400-node tree per band made Catalyst analysis
+  * and janino compilation the dominant cost of every LSH query.
+  */
+case class LshBucket(child: Expression, planes: Int, dims: Int, seed: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "lsh_bucket"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.VecHash.lshBucket(
+      v.asInstanceOf[ArrayData], planes, dims, seed, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecHash.lshBucket($a, $planes, $dims, $seed, $isFloat);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
