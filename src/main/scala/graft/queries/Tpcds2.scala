@@ -218,23 +218,21 @@ object Tpcds2 extends Pack {
        |  (CAST(store_cum AS DOUBLE) / 100.0) AS store_cumulative
        |FROM cum WHERE web_cum > store_cum
        |ORDER BY supp, m LIMIT 200""") { (s, dir) =>
+    // the oracle spells the reference's FULL OUTER stitch of two channel
+    // CTEs; one conditional-aggregation pass produces the identical
+    // merged frame directly (a (supp, m) group missing a channel gets a
+    // NULL sum — exactly the outer join's padding) without scanning
+    // lineitem⋈orders once per channel
     val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
-    def channel(status: String) =
-      Tables.lineitem(s, dir)
-        .filter(col("l_linestatus") === status)
-        .select("l_orderkey", "l_suppkey", "l_extendedprice")
-        .join(o, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("l_suppkey").as("supp"), month(col("o_orderdate")).as("m"))
-        .agg(sum(fx(col("l_extendedprice"), 2)).as("rev"))
-    val web = channel("O").withColumnRenamed("rev", "web_rev")
-    val store = channel("F")
-      .withColumnsRenamed(Map("rev" -> "store_rev", "supp" -> "s_supp", "m" -> "s_m"))
-    val merged = web.join(store,
-        col("supp") === col("s_supp") && col("m") === col("s_m"), "full_outer")
-      .select(
-        coalesce(col("supp"), col("s_supp")).as("supp"),
-        coalesce(col("m"), col("s_m")).as("m"),
-        col("web_rev"), col("store_rev"))
+    val merged = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_linestatus")
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_suppkey").as("supp"), month(col("o_orderdate")).as("m"))
+      .agg(
+        sum(when(col("l_linestatus") === "O", fx(col("l_extendedprice"), 2)))
+          .as("web_rev"),
+        sum(when(col("l_linestatus") === "F", fx(col("l_extendedprice"), 2)))
+          .as("store_rev"))
     val w = Window.partitionBy("supp").orderBy("m")
     merged
       .withColumn("web_cum", sum(coalesce(col("web_rev"), lit(0L))).over(w))
