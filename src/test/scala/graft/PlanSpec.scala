@@ -164,21 +164,26 @@ class PlanSpec extends AnyFunSuite {
   test("tuneForScale derives cluster-shaped settings from input size") {
     val conf = spark.conf
     val saved = Seq("spark.sql.shuffle.partitions",
-      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.constraintPropagation.enabled")
       .map(k => k -> conf.get(k))
     try {
-      // 8 MB workload: small fanout, AQE off, broadcast floor 1 MB
+      // 8 MB workload: small fanout, AQE + constraint propagation off
+      // (analysis tax), broadcast floor 1 MB
       graft.engine.EngineSession.tuneForScale(spark, 8L << 20)
       assert(conf.get("spark.sql.shuffle.partitions").toInt == 8)
       assert(conf.get("spark.sql.adaptive.enabled") == "false")
       assert(conf.get("spark.sql.autoBroadcastJoinThreshold").toLong == (1L << 20))
-      // 1 TB workload: fanout capped at 4x cores, AQE on to re-coalesce,
-      // broadcast cap 64 MB — a fact table never qualifies
+      assert(conf.get("spark.sql.constraintPropagation.enabled") == "false")
+      // 1 TB workload: fanout capped at 4x cores, AQE + constraint
+      // propagation on (inferred filters prune real data), broadcast cap
+      // 64 MB — a fact table never qualifies
       graft.engine.EngineSession.tuneForScale(spark, 1L << 40)
       assert(conf.get("spark.sql.shuffle.partitions").toInt ==
         4 * spark.sparkContext.defaultParallelism)
       assert(conf.get("spark.sql.adaptive.enabled") == "true")
       assert(conf.get("spark.sql.autoBroadcastJoinThreshold").toLong == (64L << 20))
+      assert(conf.get("spark.sql.constraintPropagation.enabled") == "true")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
