@@ -183,6 +183,28 @@ object Functions extends Pack {
   }
 
   // ---- json (reference extension/json) -------------------------------------
+  // even (round away from zero to the next even integer) + nextafter
+  // (IEEE-754 step toward) — the last §2.8 math-family gaps
+  // (reference extension/core_functions/scalar/math/numeric.cpp)
+  q("q_fn_math2",
+    """SELECT o_orderkey,
+      |  even(o_totalprice / 1000.0) AS ev,
+      |  even(-o_totalprice / 1000.0) AS ev_neg,
+      |  nextafter(o_totalprice, 0.0) AS toward_zero,
+      |  nextafter(o_totalprice, 1e9) AS toward_inf
+      |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""") { (s, dir) =>
+    // even(x) = sign(x) * 2 * ceil(|x|/2): SQL-expressible on both engines
+    def even(c: org.apache.spark.sql.Column) =
+      (signum(c) * lit(2) * ceil(abs(c) / 2)).cast("double")
+    Tables.orders(s, dir).filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"),
+        even(col("o_totalprice") / 1000.0).as("ev"),
+        even(-col("o_totalprice") / 1000.0).as("ev_neg"),
+        expr("nextafter(o_totalprice, 0.0d)").as("toward_zero"),
+        expr("nextafter(o_totalprice, 1e9)").as("toward_inf"))
+      .orderBy("o_orderkey")
+  }
+
   // json_merge_patch (RFC 7386, custom expression — deletion via null,
   // recursive object merge) + json_transform ↔ Spark's native from_json
   // (reference extension/json/json_functions/{json_merge_patch,json_transform}.cpp)

@@ -109,6 +109,27 @@ object Windows extends Pack {
       .orderBy("c_custkey")
   }
 
+  // RANGE frame with INTERVAL bounds on a timestamp order key — Spark's
+  // rangeBetween only takes numerics (SURVEY §2.5 gap), so the documented
+  // rewrite orders by epoch seconds with the interval as a second count;
+  // inclusive bounds line up exactly with the reference's RANGE INTERVAL
+  q("q_window_range_interval",
+    s"""SELECT o_orderkey, o_custkey,
+       |  (CAST(sum(${fxSql("o_totalprice", 2)}) OVER (
+       |     PARTITION BY o_custkey ORDER BY o_orderdate
+       |     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+       |   ) AS DOUBLE) / 100.0) AS trailing_7d
+       |FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-7L * 86400, 0)
+    Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        (sum(fx(col("o_totalprice"), 2)).over(w).cast("double") / 100.0)
+          .as("trailing_7d"))
+      .orderBy("o_orderkey")
+  }
+
   // first_value / last_value / nth_value over frames
   q("q_window_value_fns",
     """SELECT o_custkey, o_orderkey,

@@ -458,3 +458,40 @@ case class LshBucket(child: Expression, planes: Int, dims: Int, seed: Int)
       s"${ev.value} = graft.functions.VecHash.lshBucket($a, $planes, $dims, $seed, $isFloat);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** IEEE-754 nextafter — reference core_functions `nextafter(a, b)`
+  * (`extension/core_functions/scalar/math/numeric.cpp`): the next
+  * representable double from `a` toward `b`. No Spark native.
+  */
+case class NextAfter(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "nextafter"
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Math.nextAfter(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = Math.nextAfter($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** UUID v7 (time-ordered, RFC 9562) — the reference's `uuidv7()`
+  * (`src/common/types/uuid.cpp`): 48-bit unix-epoch millis, then version
+  * and variant bits over random payload. Nondeterministic by nature.
+  */
+case class UuidV7() extends LeafExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "uuidv7"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StringType
+  override lazy val deterministic: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val r = java.util.concurrent.ThreadLocalRandom.current()
+    val ms = System.currentTimeMillis()
+    val hi = (ms << 16) | 0x7000L | (r.nextLong() & 0x0fffL) // 48b time | ver 7 | 12b rand
+    val lo = (r.nextLong() & 0x3fffffffffffffffL) | 0x8000000000000000L // variant 10
+    UTF8String.fromString(new java.util.UUID(hi, lo).toString)
+  }
+}

@@ -96,6 +96,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(m("""[1,2]""", """{"a":1}""") == """{"a":1}""") // non-object target
   }
 
+  test("uuidv7: version and variant bits, time-ordered prefix") {
+    graft.engine.EngineSession.configure(spark)
+    val ids = spark.range(100).selectExpr("uuidv7() AS u").collect().map(_.getString(0))
+    assert(ids.distinct.length == 100) // no collisions in 100 draws
+    ids.foreach { u =>
+      assert(u.charAt(14) == '7', s"version nibble: $u")
+      assert("89ab".contains(u.charAt(19)), s"variant bits: $u")
+    }
+    // millisecond prefix is non-decreasing when drawn over time
+    val a = spark.sql("SELECT uuidv7()").collect().head.getString(0)
+    Thread.sleep(5)
+    val b = spark.sql("SELECT uuidv7()").collect().head.getString(0)
+    assert(a.substring(0, 13) <= b.substring(0, 13))
+  }
+
   test("simhash: identical token sets collide, disjoint sets differ") {
     import spark.implicits._
     import graft.functions.TextHash
