@@ -71,4 +71,109 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         rightValues.map(c => col(s"_filled_$c").as(c)): _*)
   }
+
+  /** Dispatching entry point: when the build side's optimizer-estimated
+    * size fits the session's broadcast threshold, take [[backwardBroadcast]]
+    * (hash-map probe, NO shuffle of the probe side — the reference's
+    * PhysicalAsOfJoin builds exactly this per-key sorted table on its
+    * build side); otherwise the shuffle-based [[backward]]. The stats
+    * check is free (no job), so the choice scales: a 100 TB right side
+    * reports terabytes and routes to the partitioned plan.
+    */
+  def backwardAuto(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val threshold = left.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold").toLong
+    val estimated = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && estimated <= threshold)
+      backwardBroadcast(left, right, key, leftTime, rightTime, rightValues, strict)
+    else backward(left, right, key, leftTime, rightTime, rightValues, strict)
+  }
+
+  /** Broadcast AS-OF: collect the (small) right side into per-key
+    * time-sorted arrays, broadcast, and probe with a binary search per
+    * left row — no shuffle, no sort of the probe side. This is the
+    * reference's build-side layout (physical_asof_join.cpp sorts each
+    * hash partition's build rows by time and binary-searches the probe);
+    * here the build table is small enough to replicate instead of
+    * partition. Time columns must be orderable as epoch micros
+    * (timestamp) or numeric.
+    */
+  def backwardBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = left.sparkSession
+
+    def toMicros(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case TimestampType | TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+      case _ => col(c).cast("long")
+    }
+
+    val build = right
+      .select(col(key).cast("long").as("_k"), toMicros(right, rightTime).as("_t"),
+        struct(rightValues.map(col): _*).as("_v"))
+      .collect()
+    val byKey: Map[Long, (Array[Long], Array[Row])] = build
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) =>
+        val sorted = rows.sortBy(_.getLong(1))
+        (k, (sorted.map(_.getLong(1)), sorted.map(_.getStruct(2))))
+      }
+    val bc = spark.sparkContext.broadcast(byKey)
+
+    val rightSchema = right.select(rightValues.map(col): _*).schema
+    val outSchema = StructType(left.schema.fields ++
+      rightSchema.fields.map(_.copy(nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val nRight = rightValues.length
+    val strictSearch = strict
+
+    val probe = left
+      .withColumn("_probe_t", toMicros(left, leftTime))
+    val leftWidth = left.schema.fields.length
+    probe.mapPartitions { it =>
+      val table = bc.value
+      it.map { r =>
+        val t = r.getLong(leftWidth) // _probe_t appended last
+        val k = r.getAs[Any](key) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => other.asInstanceOf[Number].longValue()
+        }
+        val matched: Row = table.get(k) match {
+          case Some((times, vals)) =>
+            // rightmost index with times(i) <= t (or < t when strict)
+            var lo = 0; var hi = times.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              val ok = if (strictSearch) times(mid) < t else times(mid) <= t
+              if (ok) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (ans >= 0) vals(ans) else null
+          case None => null
+        }
+        val out = new Array[Any](leftWidth + nRight)
+        var i = 0
+        while (i < leftWidth) { out(i) = r.get(i); i += 1 }
+        if (matched != null) {
+          var j = 0
+          while (j < nRight) { out(leftWidth + j) = matched.get(j); j += 1 }
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      }
+    }(enc)
+  }
 }

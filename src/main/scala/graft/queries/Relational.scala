@@ -634,7 +634,7 @@ object Relational extends Pack {
     val views = ev.filter(col("event_type") === "view")
       .select("event_id", "user_id", "ts")
     graft.operators.AsOfJoin
-      .backward(views, clicks, "user_id", "ts", "ts", Seq("click_value"))
+      .backwardAuto(views, clicks, "user_id", "ts", "ts", Seq("click_value"))
       .select("event_id", "user_id", "click_value")
       .orderBy("event_id")
   }

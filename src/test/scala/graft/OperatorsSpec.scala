@@ -32,6 +32,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lt.collect().head.isNullAt(lt.columns.indexOf("v")))
   }
 
+  test("broadcast as-of agrees with the window formulation on every row") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.engine.Tables.events(spark, GraftTest.sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "click_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getAs[java.lang.Double]("click_value")))).toSet
+    val win = canon(AsOfJoin.backward(views, clicks, "user_id", "ts", "ts", Seq("click_value")))
+    val bc = canon(AsOfJoin.backwardBroadcast(views, clicks, "user_id", "ts", "ts", Seq("click_value")))
+    assert(bc == win)
+    assert(bc.nonEmpty)
+    // strict variant agrees too
+    val winS = canon(AsOfJoin.backward(views, clicks, "user_id", "ts", "ts",
+      Seq("click_value"), strict = true))
+    val bcS = canon(AsOfJoin.backwardBroadcast(views, clicks, "user_id", "ts", "ts",
+      Seq("click_value"), strict = true))
+    assert(bcS == winS)
+  }
+
   test("positional join aligns by row order and pads with nulls") {
     import spark.implicits._
     val a = Seq("x", "y", "z").toDF("a")
