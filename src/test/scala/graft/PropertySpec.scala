@@ -152,6 +152,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunking: full token coverage, bounded width, fixed stride overlap") {
+    // mirrors q_text_chunk's width=16 / stride=12 windows in plain Scala
+    val width = 16; val stride = 12
+    forAll(Gen.chooseNum(1, 200)) { n =>
+      val toks = (0 until n).map(i => s"t$i")
+      val nChunks = 1 + (if (n > width) (n - width + stride - 1) / stride else 0)
+      val chunks = (0 until nChunks).map(i => toks.slice(i * stride, i * stride + width))
+      assert(chunks.forall(c => c.nonEmpty && c.length <= width))
+      assert(chunks.flatten.toSet == toks.toSet)           // every token chunked
+      chunks.sliding(2).foreach {
+        case Seq(a, b) =>
+          // consecutive chunks overlap by exactly width - stride (until the tail)
+          assert(a.drop(stride) == b.take(a.length - stride))
+        case _ =>
+      }
+    }
+  }
+
+  test("stratified sampling rank is deterministic and a permutation per stratum") {
+    forAll(Gen.chooseNum(1, 500)) { n =>
+      val ids = (0L until n.toLong).toVector
+      val ranked = ids.sortBy(id => ((id * 2654435761L) % 4294967296L, id))
+      assert(ranked.toSet == ids.toSet)                    // permutation
+      val again = ids.reverse.sortBy(id => ((id * 2654435761L) % 4294967296L, id))
+      assert(ranked == again)                              // input-order independent
+    }
+  }
+
   test("reservoir quantile: exact within capacity, bounded beyond it") {
     import graft.functions.Holistic
     val agg = new Holistic.ReservoirQuantileAgg(0.5, 32)
