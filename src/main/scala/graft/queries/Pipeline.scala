@@ -214,13 +214,19 @@ object Pipeline extends Pack {
        |    + least(${duckRatio(TextAnalysis.stopwords("en"))} * 5.0, 1.0)) / 4.0, 6) AS quality
        |FROM documents ORDER BY doc_id"""
   }) { (s, dir) =>
-    val t = col("text")
+    // one-pass kernel (sql.graft.TextQualityStats) — semantics identical
+    // to the TextAnalysis column formulation (oracle + PipelineSpec pin
+    // them); the column tree re-regexed the text once per metric
+    import org.apache.spark.sql.graft.{Bridge, TextQualityStats}
+    val stats = Bridge.column(TextQualityStats(
+      Bridge.expression(col("text")), TextAnalysis.stopwords("en")))
     Tables.documents(s, dir)
+      .withColumn("_st", stats)
       .select(col("doc_id"),
-        TextAnalysis.tokenCount(t).as("n_tokens"),
-        round(TextAnalysis.avgWordLen(t), 6).as("avg_word_len"),
-        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
-        TextAnalysis.qualityScore(t).as("quality"))
+        col("_st.n_tokens").as("n_tokens"),
+        round(col("_st.avg_word_len"), 6).as("avg_word_len"),
+        round(col("_st.punct_ratio"), 6).as("punct_ratio"),
+        round(col("_st.quality"), 6).as("quality"))
       .orderBy("doc_id")
   }
 

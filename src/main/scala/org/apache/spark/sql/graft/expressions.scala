@@ -495,3 +495,30 @@ case class UuidV7() extends LeafExpression
     UTF8String.fromString(new java.util.UUID(hi, lo).toString)
   }
 }
+
+/** All four text-quality metrics in one traversal — the column
+  * formulation (pipeline.TextAnalysis) re-split and re-regexed the text
+  * once per metric; this kernel computes n_tokens / avg_word_len /
+  * punct_ratio / composite quality with identical semantics (the DuckDB
+  * oracle pins them) in a single pass per row.
+  */
+case class TextQualityStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "text_quality_stats"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("avg_word_len", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val stopArr: Array[String] = stopwords.toArray
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.TextMetrics.stats(v.asInstanceOf[UTF8String], stopArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwords", stopArr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextMetrics.stats($a, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
