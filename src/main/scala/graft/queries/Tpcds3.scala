@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import Q._
 
-/** TPC-DS sample pack, batch 3 — three more planner shapes
-  * (`/root/reference/extension/tpcds/dsdgen/queries/{09,17,31}.sql`),
+/** TPC-DS sample pack, batch 3 — six more planner shapes
+  * (`/root/reference/extension/tpcds/dsdgen/queries/{09,17,23,31,54,62}.sql`),
   * fixture-adapted like Tpcds/Tpcds2:
   *
   *  - q9:  CASE whose branches are PAIRED scalar subqueries over the same
@@ -16,6 +16,10 @@ import Q._
   *  - q31: quarter-over-quarter growth — the per-(group, quarter)
   *         aggregate self-joined across quarters, ratios compared
   *         BETWEEN channels
+  *  - q23: frequent-item set × percentile-gated best-customer set
+  *         (quantile scalar subquery over an aggregate)
+  *  - q54: double aggregation (per-customer spend → band histogram)
+  *  - q62: multi-CASE lag-bucket counting over a date difference
   *
   * stddev outputs are rounded to 6 dp (the q_stats_agg convention:
   * float accumulation is not exactly associative across engines).
@@ -139,5 +143,91 @@ object Tpcds3 extends Pack {
         (col("F_q3").cast("double") / col("F_q2")).as("store_q2_q3"))
       .filter(col("web_q1_q2") > col("store_q1_q2"))
       .orderBy("n_name")
+  }
+
+  // ---- DS Q23: frequent items × best customers (percentile threshold) ----
+  // (two filter CTEs — a HAVING-count item set and a quantile-gated
+  // customer set — intersected against the fact; the 95th-percentile
+  // scalar subquery is the shape nothing else covers)
+  q("q_ds23_frequent_best",
+    s"""WITH per_cust AS (
+       |  SELECT o_custkey, sum(${fxSql("o_totalprice", 2)}) AS spend
+       |  FROM orders GROUP BY o_custkey),
+       |best AS (
+       |  SELECT o_custkey FROM per_cust
+       |  WHERE CAST(spend AS DOUBLE) >=
+       |    (SELECT quantile_cont(CAST(spend AS DOUBLE), 0.95) FROM per_cust)),
+       |freq AS (
+       |  SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING count(*) > 8)
+       |SELECT ${fsumSql("l_extendedprice", 2)} AS revenue, count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN best ON best.o_custkey = orders.o_custkey
+       |JOIN freq ON freq.l_partkey = lineitem.l_partkey""") { (s, dir) =>
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(fx(col("o_totalprice"), 2)).as("spend"))
+    val thresh = perCust.select(
+      expr("percentile(CAST(spend AS DOUBLE), 0.95)").as("t"))
+    val best = broadcast(perCust.join(broadcast(thresh))
+      .filter(col("spend").cast("double") >= col("t"))
+      .select("o_custkey"))
+    val freq = broadcast(Tables.lineitem(s, dir).groupBy("l_partkey")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 8)
+      .select(col("l_partkey").as("f_partkey")))
+    Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_extendedprice")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(best, Seq("o_custkey"))
+      .join(freq, col("f_partkey") === col("l_partkey"))
+      .agg(fsum(col("l_extendedprice"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // ---- DS Q54: customer revenue-band histogram (double aggregation) ------
+  q("q_ds54_revenue_bands",
+    s"""WITH per_cust AS (
+       |  SELECT o_custkey, sum(${fxSql("o_totalprice", 2)}) AS spend
+       |  FROM orders GROUP BY o_custkey)
+       |SELECT CAST(floor(CAST(spend AS DOUBLE) / 100.0 / 50000.0) AS BIGINT) AS band,
+       |  count(*) AS n_customers
+       |FROM per_cust GROUP BY band ORDER BY band""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(fx(col("o_totalprice"), 2)).as("spend"))
+      .groupBy(floor(col("spend").cast("double") / 100.0 / 50000.0)
+        .cast("bigint").as("band"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("band")
+  }
+
+  // ---- DS Q62: shipping-lag bucket counts (multi-CASE counting) ----------
+  q("q_ds62_ship_lag",
+    """SELECT month(o_orderdate) AS m, o_orderpriority,
+      |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+      |       AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+      |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+      |       AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+      |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS d_over
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+    val lag = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    def bucket(cond: org.apache.spark.sql.Column) =
+      sum(when(cond, 1).otherwise(0)).cast("bigint")
+    Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(month(col("o_orderdate")).as("m"), col("o_orderpriority"))
+      .agg(
+        bucket(lag <= 30).as("d30"),
+        bucket(lag > 30 && lag <= 60).as("d60"),
+        bucket(lag > 60 && lag <= 90).as("d90"),
+        bucket(lag > 90).as("d_over"))
+      .orderBy("m", "o_orderpriority")
   }
 }
