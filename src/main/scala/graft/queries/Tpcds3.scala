@@ -169,12 +169,16 @@ object Tpcds3 extends Pack {
       .agg(sum(fx(col("o_totalprice"), 2)).as("spend"))
     val thresh = perCust.select(
       expr("percentile(CAST(spend AS DOUBLE), 0.95)").as("t"))
-    val best = broadcast(perCust.join(broadcast(thresh))
+    // best ≈ 5% of customers and freq is data-dependent — both UNBOUNDED
+    // fractions of their tables, so no broadcast hint: the planner's
+    // size-derived threshold broadcasts them at bench scale and shuffles
+    // them at 100 TB (forcing the hint would OOM the build side there)
+    val best = perCust.join(broadcast(thresh))
       .filter(col("spend").cast("double") >= col("t"))
-      .select("o_custkey"))
-    val freq = broadcast(Tables.lineitem(s, dir).groupBy("l_partkey")
+      .select("o_custkey")
+    val freq = Tables.lineitem(s, dir).groupBy("l_partkey")
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 8)
-      .select(col("l_partkey").as("f_partkey")))
+      .select(col("l_partkey").as("f_partkey"))
     Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_extendedprice")
       .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
         col("o_orderkey") === col("l_orderkey"))
