@@ -349,4 +349,22 @@ object Conformance extends Pack {
     s.read.format("binaryFile").load(out)
       .select(col("length").as("len"), md5(col("content")).as("digest"))
   }
+
+  // Dialect sugar parity: GROUP BY ALL / ORDER BY ALL run as the SAME
+  // text on both engines (reference binder sugar, Spark 3.4+ native)
+  private val dialectAllSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
+  q("q_dialect_group_all", dialectAllSql) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(dialectAllSql)
+  }
+
+  // star-minus-columns projection: the reference spells it `* EXCLUDE
+  // (…)`, Spark `* EXCEPT (…)` — same binder expansion
+  q("q_select_exclude",
+    """SELECT * EXCLUDE (n_regionkey) FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("SELECT * EXCEPT (n_regionkey) FROM nation ORDER BY n_nationkey")
+  }
 }
