@@ -91,7 +91,9 @@ object AsOfJoin {
     val threshold = left.sparkSession.conf
       .get("spark.sql.autoBroadcastJoinThreshold").toLong
     val estimated = right.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (threshold > 0 && estimated <= threshold)
+    val numericKey = right.schema(key).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (numericKey && threshold > 0 && estimated <= threshold)
       backwardBroadcast(left, right, key, leftTime, rightTime, rightValues, strict)
     else backward(left, right, key, leftTime, rightTime, rightValues, strict)
   }
@@ -116,6 +118,11 @@ object AsOfJoin {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = left.sparkSession
+    // the build map is keyed by the key's long value; a non-numeric key
+    // would silently cast to null — refuse instead (backwardAuto routes
+    // such keys to the window plan, which is type-generic)
+    require(right.schema(key).dataType.isInstanceOf[NumericType],
+      s"backwardBroadcast requires a numeric key column, got ${right.schema(key).dataType}")
 
     def toMicros(df: DataFrame, c: String) = df.schema(c).dataType match {
       case TimestampType | TimestampNTZType => unix_micros(col(c).cast("timestamp"))
