@@ -51,6 +51,13 @@ object TextMetrics {
         kept += 1
       i += Character.charCount(code)
     }
+    // empty text: 0/0 would be NaN here, but the column formulation's
+    // Divide yields NULL on a zero divisor — match it (quality inherits
+    // the null since it sums punctComp).
+    if (cp == 0) {
+      return new GenericInternalRow(
+        Array[Any](nTok.toLong, nonWs.toDouble / nTok, null, null))
+    }
     val punctRatio = (cp - kept).toDouble / cp
 
     // diversity + stopword ratio over the token multiset

@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   * Right side must be unique per (key, time); pre-aggregate if not.
   */
 object AsOfJoin {
+  import org.apache.spark.sql.types._
+
+  /** Exact-as-long types (IntegralType itself is private[sql]). */
+  private[operators] def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private[operators] def broadcastableTime(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType => true
+    case other => isIntegral(other)
+  }
 
   /** @param left       probe side
     * @param right      build side (its `rightValues` get attached)
@@ -50,7 +61,13 @@ object AsOfJoin {
         leftCols.map(c => col(c)) ++
         rightValues.map(c => lit(null).cast(right.schema(c).dataType).as(s"_rv_$c")): _*)
 
+    // NULL equi-keys/times never match (SQL equality); unioned as-is they
+    // WOULD match, because window partitionBy groups NULL keys together.
+    // A null-key left row then forms its own empty partition (no fill →
+    // right side null), and a null-time left row sorts before every right
+    // row (asc nulls-first) → also no fill. Both give the right answer.
     val taggedRight = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(rightSideTag))
       .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
@@ -63,13 +80,20 @@ object AsOfJoin {
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightValues.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"_filled_$c", last(col(s"_rv_$c"), ignoreNulls = true).over(w))
-    }
+    // Row-atomic fill: one struct of ALL rightValues per right row, one
+    // last(ignoreNulls=true) over it. Per-column fills would back-fill a
+    // NULL field from an OLDER right row, diverging from the reference's
+    // PhysicalAsOfJoin (which returns the matched row verbatim) and from
+    // backwardBroadcast. A right row's struct is non-null even when every
+    // field is null, so the latest matched row always wins atomically.
+    val rvStruct = struct(rightValues.map(c => col(s"_rv_$c").as(c)): _*)
+    val filled = unioned
+      .withColumn("_rv", when(col("_side") === rightSideTag, rvStruct))
+      .withColumn("_filled", last(col("_rv"), ignoreNulls = true).over(w))
     filled
       .filter(col("_side") === leftSideTag)
       .select(leftCols.map(col) ++
-        rightValues.map(c => col(s"_filled_$c").as(c)): _*)
+        rightValues.map(c => col("_filled")(c).as(c)): _*)
   }
 
   /** Dispatching entry point: when the build side's optimizer-estimated
@@ -88,12 +112,25 @@ object AsOfJoin {
       rightTime: String,
       rightValues: Seq[String],
       strict: Boolean = false): DataFrame = {
-    val threshold = left.sparkSession.conf
-      .get("spark.sql.autoBroadcastJoinThreshold").toLong
+    import org.apache.spark.sql.types._
+    // Spark accepts byte-suffixed values ("10MB") for this conf; plain
+    // toLong would throw on them. Try the plain parse first (covers "-1"),
+    // fall back to Spark's own byte-string parser.
+    val raw = left.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold").trim
+    val threshold =
+      try raw.toLong
+      catch { case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw) }
     val estimated = right.queryExecution.optimizedPlan.stats.sizeInBytes
-    val numericKey = right.schema(key).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    if (numericKey && threshold > 0 && estimated <= threshold)
+    // The broadcast build map keys by the key's exact long value and probes
+    // times as longs; fractional key/time types (Double/Float/Decimal) would
+    // truncate and silently match wrong rows — only integral keys and
+    // timestamp-or-integral times may take the broadcast path.
+    val typesOk = AsOfJoin.isIntegral(right.schema(key).dataType) &&
+      AsOfJoin.broadcastableTime(left.schema(leftTime).dataType) &&
+      AsOfJoin.broadcastableTime(right.schema(rightTime).dataType)
+    if (typesOk && threshold > 0 && estimated <= threshold)
       backwardBroadcast(left, right, key, leftTime, rightTime, rightValues, strict)
     else backward(left, right, key, leftTime, rightTime, rightValues, strict)
   }
@@ -118,18 +155,26 @@ object AsOfJoin {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = left.sparkSession
-    // the build map is keyed by the key's long value; a non-numeric key
-    // would silently cast to null — refuse instead (backwardAuto routes
+    // the build map is keyed by the key's long value; a non-integral key
+    // (string, or fractional numeric — 1.2 and 1.9 both truncate to 1)
+    // would silently join wrong rows — refuse instead (backwardAuto routes
     // such keys to the window plan, which is type-generic)
-    require(right.schema(key).dataType.isInstanceOf[NumericType],
-      s"backwardBroadcast requires a numeric key column, got ${right.schema(key).dataType}")
+    require(AsOfJoin.isIntegral(right.schema(key).dataType),
+      s"backwardBroadcast requires an integral key column, got ${right.schema(key).dataType}")
 
-    def toMicros(df: DataFrame, c: String) = df.schema(c).dataType match {
-      case TimestampType | TimestampNTZType => unix_micros(col(c).cast("timestamp"))
-      case _ => col(c).cast("long")
+    def toMicros(df: DataFrame, c: String) = {
+      require(AsOfJoin.broadcastableTime(df.schema(c).dataType),
+        s"backwardBroadcast requires integral or timestamp time, got ${df.schema(c).dataType}")
+      df.schema(c).dataType match {
+        case TimestampType | TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+        case _ => col(c).cast("long")
+      }
     }
 
+    // NULL keys/times never match in AS-OF semantics; unboxing a null via
+    // Row.getLong would fold them into key 0's sorted table instead.
     val build = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
       .select(col(key).cast("long").as("_k"), toMicros(right, rightTime).as("_t"),
         struct(rightValues.map(col): _*).as("_v"))
       .collect()
@@ -154,24 +199,30 @@ object AsOfJoin {
     probe.mapPartitions { it =>
       val table = bc.value
       it.map { r =>
-        val t = r.getLong(leftWidth) // _probe_t appended last
-        val k = r.getAs[Any](key) match {
-          case l: Long => l
-          case i: Int => i.toLong
-          case other => other.asInstanceOf[Number].longValue()
-        }
-        val matched: Row = table.get(k) match {
-          case Some((times, vals)) =>
-            // rightmost index with times(i) <= t (or < t when strict)
-            var lo = 0; var hi = times.length - 1; var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              val ok = if (strictSearch) times(mid) < t else times(mid) <= t
-              if (ok) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        // null probe key/time → no match (left row kept, right side null),
+        // matching the window plan and the reference's semantics.
+        val matched: Row =
+          if (r.isNullAt(leftWidth) || r.getAs[Any](key) == null) null
+          else {
+            val t = r.getLong(leftWidth) // _probe_t appended last
+            val k = r.getAs[Any](key) match {
+              case l: Long => l
+              case i: Int => i.toLong
+              case other => other.asInstanceOf[Number].longValue()
             }
-            if (ans >= 0) vals(ans) else null
-          case None => null
-        }
+            table.get(k) match {
+              case Some((times, vals)) =>
+                // rightmost index with times(i) <= t (or < t when strict)
+                var lo = 0; var hi = times.length - 1; var ans = -1
+                while (lo <= hi) {
+                  val mid = (lo + hi) >>> 1
+                  val ok = if (strictSearch) times(mid) < t else times(mid) <= t
+                  if (ok) { ans = mid; lo = mid + 1 } else hi = mid - 1
+                }
+                if (ans >= 0) vals(ans) else null
+              case None => null
+            }
+          }
         val out = new Array[Any](leftWidth + nRight)
         var i = 0
         while (i < leftWidth) { out(i) = r.get(i); i += 1 }

@@ -208,18 +208,21 @@ object Functions extends Pack {
   // json_merge_patch (RFC 7386, custom expression — deletion via null,
   // recursive object merge) + json_transform ↔ Spark's native from_json
   // (reference extension/json/json_functions/{json_merge_patch,json_transform}.cpp)
+  // The transform output is projected to its scalar field (typed_k): the
+  // driver's pandas comparator sorts cell values and cannot hash a dict, so
+  // a raw struct column can never be oracle-green even when values agree.
   q("q_fn_json2",
     """SELECT event_id,
       |  json_merge_patch(CAST(props AS VARCHAR),
       |    CAST('{"extra": 7, "nested": {"a": 1}, "k": null}' AS VARCHAR)) AS patched,
-      |  json_transform(props, '{"k":"BIGINT"}') AS typed
+      |  (json_transform(props, '{"k":"BIGINT"}')).k AS typed_k
       |FROM events WHERE event_id < 100 ORDER BY event_id""") { (s, dir) =>
     Tables.events(s, dir).filter(col("event_id") < 100)
       .select(col("event_id"),
         expr("""json_merge_patch(props, '{"extra": 7, "nested": {"a": 1}, "k": null}')""")
           .as("patched"),
         from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("typed"))
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))("k").as("typed_k"))
       .orderBy("event_id")
   }
 

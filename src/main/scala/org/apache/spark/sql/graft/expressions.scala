@@ -506,11 +506,13 @@ case class TextQualityStats(child: Expression, stopwords: Seq[String])
     extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "text_quality_stats"
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // punct_ratio/quality are null for empty text (zero-divisor Divide in
+  // the column formulation yields NULL) — the double fields must be nullable.
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("avg_word_len", DoubleType, nullable = false),
-    StructField("punct_ratio", DoubleType, nullable = false),
-    StructField("quality", DoubleType, nullable = false)))
+    StructField("punct_ratio", DoubleType, nullable = true),
+    StructField("quality", DoubleType, nullable = true)))
   override def nullIntolerant: Boolean = true
   @transient private lazy val stopArr: Array[String] = stopwords.toArray
   override def nullSafeEval(v: Any): Any =

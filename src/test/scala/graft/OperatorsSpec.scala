@@ -55,6 +55,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bcS == winS)
   }
 
+  test("as-of broadcast path refuses fractional keys; auto routes them to the window plan") {
+    import spark.implicits._
+    // keys 1.2 and 1.9 must stay distinct — a cast-to-long build map would
+    // collapse them to key 1 and match probe 1.5 against both
+    val left = Seq((1.2, 10L, "a"), (1.9, 10L, "b")).toDF("k", "t", "name")
+    val right = Seq((1.2, 5L, 100.0), (1.9, 5L, 200.0)).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backwardBroadcast(left, right, "k", "t", "rt", Seq("v"))
+    }
+    val out = AsOfJoin.backwardAuto(left, right, "k", "t", "rt", Seq("v"))
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[Double]("v")).toMap
+    assert(out == Map("a" -> 100.0, "b" -> 200.0))
+  }
+
+  test("as-of broadcast handles NULL keys on both sides") {
+    import spark.implicits._
+    val left = Seq[(java.lang.Long, java.lang.Long, String)](
+      (0L, 10L, "k0"), (null, 10L, "knull"))
+      .toDF("k", "t", "name")
+    val right = Seq[(java.lang.Long, java.lang.Long, java.lang.Double)](
+      (0L, 5L, 100.0), (null, 1L, 999.0)) // null build key must NOT merge into key 0
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.backwardBroadcast(left, right, "k", "t", "rt", Seq("v"))
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)).toMap
+    assert(out("k0") == Some(100.0))   // matched its own key only
+    assert(out("knull") == None)       // null probe key → no match, no NPE
+    // window plan agrees
+    val win = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("v"))
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)).toMap
+    assert(win == out)
+  }
+
+  test("as-of window plan is row-atomic: NULL right values are not back-filled") {
+    import spark.implicits._
+    val left = Seq((1L, 30L, "probe")).toDF("k", "t", "name")
+    // the matched row (rt=20) has v = NULL; an older row (rt=10) has v = 7.
+    // The reference returns the matched row verbatim → v must be NULL.
+    val right = Seq[(java.lang.Long, java.lang.Long, java.lang.Double, java.lang.Double)](
+      (1L, 10L, 7.0, 1.0), (1L, 20L, null, 2.0))
+      .toDF("k", "rt", "v", "w")
+    val win = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("v", "w")).collect().head
+    assert(win.isNullAt(win.fieldIndex("v")))
+    assert(win.getAs[Double]("w") == 2.0)
+    val bc = AsOfJoin.backwardBroadcast(left, right, "k", "t", "rt", Seq("v", "w"))
+      .collect().head
+    assert(bc.isNullAt(bc.fieldIndex("v")))
+    assert(bc.getAs[Double]("w") == 2.0)
+  }
+
   test("positional join aligns by row order and pads with nulls") {
     import spark.implicits._
     val a = Seq("x", "y", "z").toDF("a")
