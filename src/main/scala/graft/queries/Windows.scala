@@ -198,6 +198,66 @@ object Windows extends Pack {
       .orderBy("o_orderkey")
   }
 
+  // GROUPS frames (SQL:2011; reference window_boundaries_state.cpp:333-367,
+  // test corpus test/sql/window/test_window_groups.test_slow). Spark lacks
+  // GROUPS mode; operators.GroupsFrame rewrites it as dense_rank() group
+  // index + numeric RANGE frame — identical peer boundaries by
+  // construction (spec-tested against a brute-force evaluation). The
+  // oracle DuckDB (1.0.0) predates GROUPS support ("not implemented
+  // yet"), so its SQL spells out the same index rewrite explicitly.
+  q("q_window_groups",
+    s"""SELECT c_custkey, c_mktsegment, c_nationkey,
+       |  (CAST(sum(${fxSql("c_acctbal", 2)}) OVER w AS DOUBLE) / 100.0) AS grp_sum,
+       |  count(*) OVER w AS grp_n
+       |FROM (SELECT *, dense_rank()
+       |        OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS _g
+       |      FROM customer) t
+       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY _g
+       |             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+       |ORDER BY c_custkey""") { (s, dir) =>
+    graft.operators.GroupsFrame.frame(
+        Tables.customer(s, dir),
+        Seq("c_mktsegment"), Seq(col("c_nationkey")), -1L, 1L) { w =>
+      Seq((sum(fx(col("c_acctbal"), 2)).over(w).cast("double") / 100.0).as("grp_sum"),
+        count(lit(1)).over(w).as("grp_n"))
+    }.select("c_custkey", "c_mktsegment", "c_nationkey", "grp_sum", "grp_n")
+      .orderBy("c_custkey")
+  }
+
+  // EXCLUDE CURRENT ROW / GROUP / TIES on a RANGE frame (reference
+  // window_expression.hpp:34 WindowExcludeMode; the aggregate rewrite is
+  // frame minus peer-group sums — exact for distributive aggregates, and
+  // a RANGE frame always contains the current row's entire peer group so
+  // the subtraction never undercounts). Peer sums come from a
+  // RANGE 0..0 frame over the SAME (partition, order) spec, so all four
+  // windows share one exchange + sort. Empty post-exclusion frames must
+  // yield NULL (sum over nothing), hence the frame/peer count guards.
+  q("q_window_exclude_modes",
+    s"""SELECT c_custkey, c_mktsegment, c_nationkey,
+       |  (CAST(sum(${fxSql("c_acctbal", 2)}) OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey
+       |     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS DOUBLE) / 100.0) AS excl_cur,
+       |  (CAST(sum(${fxSql("c_acctbal", 2)}) OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey
+       |     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS DOUBLE) / 100.0) AS excl_grp,
+       |  (CAST(sum(${fxSql("c_acctbal", 2)}) OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey
+       |     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS DOUBLE) / 100.0) AS excl_ties
+       |FROM customer ORDER BY c_custkey""") { (s, dir) =>
+    val m = fx(col("c_acctbal"), 2)
+    val wFrame = Window.partitionBy("c_mktsegment").orderBy("c_nationkey")
+      .rangeBetween(-1, 1)
+    val wPeer = Window.partitionBy("c_mktsegment").orderBy("c_nationkey")
+      .rangeBetween(0, 0)
+    val frameSum = sum(m).over(wFrame)
+    val frameCnt = count(lit(1)).over(wFrame)
+    val peerSum = sum(m).over(wPeer)
+    val peerCnt = count(lit(1)).over(wPeer)
+    Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        when(frameCnt > 1, (frameSum - m).cast("double") / 100.0).as("excl_cur"),
+        when(frameCnt > peerCnt, (frameSum - peerSum).cast("double") / 100.0).as("excl_grp"),
+        ((frameSum - peerSum + m).cast("double") / 100.0).as("excl_ties"))
+      .orderBy("c_custkey")
+  }
+
   // fill() gap-interpolation (reference src/function/window/
   // window_value_function.cpp — DuckDB-specific `fill` window fn) —
   // rewritten as last/next non-null + linear interpolation. The oracle

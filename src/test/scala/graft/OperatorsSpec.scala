@@ -244,4 +244,36 @@ class OperatorsSpec extends AnyFunSuite {
       f => f.filter(col("n") < 10).select((col("n") + 1).as("n")))
     assert(out.collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L))
   }
+
+  test("GROUPS frame matches a brute-force peer-group evaluation") {
+    import spark.implicits._
+    // ties in the order key are the whole point of GROUPS mode
+    val rows = Seq(
+      ("a", 1, 10.0), ("a", 1, 20.0), ("a", 3, 30.0), ("a", 7, 40.0),
+      ("a", 7, 50.0), ("a", 9, 60.0), ("b", 2, 1.0), ("b", 2, 2.0),
+      ("b", 5, 3.0))
+    val df = rows.zipWithIndex
+      .map { case ((p, k, x), i) => (i.toLong, p, k, x) }
+      .toDF("id", "p", "k", "x")
+    for ((pre, fol) <- Seq((1, 1), (0, 2), (2, 0))) {
+      val got = graft.operators.GroupsFrame
+        .frame(df, Seq("p"), Seq(col("k")), -pre.toLong, fol.toLong) { w =>
+          Seq(sum("x").over(w).as("s"), count(lit(1)).over(w).as("n"))
+        }
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Double]("s"), r.getAs[Long]("n")))).toMap
+      // brute force straight from the SQL:2011 definition: the frame spans
+      // all rows whose peer-group index is within [g-pre, g+fol]
+      val expected = rows.zipWithIndex.map { case ((p, k, _), i) =>
+        val part = rows.zipWithIndex.filter(_._1._1 == p)
+        val groups = part.map(_._1._2).distinct.sorted
+        val g = groups.indexOf(k)
+        val inFrame = part.filter { case ((_, k2, _), _) =>
+          val g2 = groups.indexOf(k2); g2 >= g - pre && g2 <= g + fol
+        }
+        i.toLong -> ((inFrame.map(_._1._3).sum, inFrame.size.toLong))
+      }.toMap
+      assert(got == expected, s"GROUPS $pre PRECEDING $fol FOLLOWING")
+    }
+  }
 }
