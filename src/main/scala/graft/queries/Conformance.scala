@@ -12,18 +12,18 @@ import Q._
   * sampling/limit variants, §2.3 IEJoin-class predicates, §2.1 whole-file
   * reads, §2.4 remaining aggregates).
   *
-  * Note: GROUPS window frames appear in the reference's parser enum
-  * (window_expression.hpp:18-31) but the engine rejects them
-  * ("GROUPS mode ... not implemented yet") — verified against the oracle —
-  * so no rewrite is needed for parity.
+  * GROUPS window frames are implemented in Windows.scala via
+  * graft.operators.GroupsFrame (the reference executes them:
+  * window_boundaries_state.cpp:333-367).
   */
 object Conformance extends Pack {
 
   // ---- §2.3: IEJoin-class join (two inequality predicates) ---------------
   // Reference plans PhysicalIEJoin for >=2 inequalities
-  // (plan_comparison_join.cpp:104-210). Spark has no native inequality
-  // join; the correct scale shape is broadcast nested-loop with the
-  // smaller side broadcast — the grouped count keeps output bounded.
+  // (plan_comparison_join.cpp:104-210, physical_iejoin.cpp). Spark has no
+  // native inequality join; graft.operators.RangeJoin restores a banded
+  // shuffle plan — neither side broadcasts, band-parallel NLJ — with the
+  // second inequality as the in-band residual.
   q("q_join_iejoin",
     """SELECT a.s_suppkey, count(*) AS n_dominated
       |FROM supplier a JOIN supplier b
@@ -32,8 +32,9 @@ object Conformance extends Pack {
     val a = Tables.supplier(s, dir).select(
       col("s_suppkey"), col("s_acctbal"), col("s_nationkey"))
     val b = a.select(col("s_acctbal").as("b_acctbal"), col("s_nationkey").as("b_nationkey"))
-    a.join(broadcast(b),
-        col("s_acctbal") < col("b_acctbal") && col("s_nationkey") > col("b_nationkey"))
+    graft.operators.RangeJoin.bandedLess(
+        a, "s_acctbal", b, "b_acctbal",
+        residual = Some(col("s_nationkey") > col("b_nationkey")))
       .groupBy("s_suppkey")
       .agg(count(lit(1)).as("n_dominated"))
       .orderBy("s_suppkey")

@@ -122,18 +122,23 @@ object Relational extends Pack {
   }
 
   // non-equi / range predicate join (reference piecewise merge join / IEJoin,
-  // physical_piecewise_merge_join.cpp, physical_iejoin.cpp) — Spark plans
-  // broadcast nested-loop; kept small-side-broadcast by construction.
+  // physical_piecewise_merge_join.cpp, physical_iejoin.cpp) — Spark's only
+  // native plan is broadcast nested-loop, which dies when neither side
+  // broadcasts; graft.operators.RangeJoin band-partitions both sides on the
+  // inequality column instead (one shuffle each, B-way-parallel in-band NLJ).
   q("q_join_range",
     """SELECT s.s_suppkey, count(*) AS n_cheaper
       |FROM supplier s JOIN customer c
       |  ON c.c_acctbal < s.s_acctbal AND c.c_nationkey <> s.s_nationkey
       |GROUP BY s.s_suppkey ORDER BY s.s_suppkey""") { (s, dir) =>
     val sup = Tables.supplier(s, dir)
+      .select("s_suppkey", "s_acctbal", "s_nationkey")
     val c = Tables.customer(s, dir)
-    c.join(broadcast(sup),
-        c("c_acctbal") < sup("s_acctbal") && c("c_nationkey") =!= sup("s_nationkey"))
-      .groupBy(sup("s_suppkey"))
+      .select("c_custkey", "c_acctbal", "c_nationkey")
+    graft.operators.RangeJoin.bandedLess(
+        c, "c_acctbal", sup, "s_acctbal",
+        residual = Some(col("c_nationkey") =!= col("s_nationkey")))
+      .groupBy("s_suppkey")
       .agg(count(lit(1)).as("n_cheaper"))
       .orderBy("s_suppkey")
   }

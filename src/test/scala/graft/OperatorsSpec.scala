@@ -276,4 +276,52 @@ class OperatorsSpec extends AnyFunSuite {
       assert(got == expected, s"GROUPS $pre PRECEDING $fol FOLLOWING")
     }
   }
+
+  test("banded range join is row-identical to the nested-loop join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 400).map(i => (i.toLong, rnd.nextInt(100).toDouble, rnd.nextInt(5)))
+      .toDF("lid", "lv", "lg")
+    val right = (1 to 300).map(i => (i.toLong, rnd.nextInt(100).toDouble, rnd.nextInt(5)))
+      .toDF("rid", "rv", "rg")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nlj = canon(left.join(broadcast(right),
+      col("lv") < col("rv") && col("lg") =!= col("rg")))
+    // several band counts, incl. degenerate 1-band and more-bands-than-values
+    for (b <- Seq(1, 4, 32, 500)) {
+      val banded = canon(graft.operators.RangeJoin.bandedLess(
+        left, "lv", right, "rv",
+        residual = Some(col("lg") =!= col("rg")), bands = b))
+      assert(banded == nlj, s"bands=$b")
+      assert(nlj.nonEmpty)
+    }
+    // non-strict variant picks up the equal-value pairs
+    val le = canon(graft.operators.RangeJoin.bandedLess(
+      left, "lv", right, "rv", strict = false))
+    val leNlj = canon(left.join(broadcast(right), col("lv") <= col("rv")))
+    assert(le == leNlj)
+  }
+
+  test("banded range join: inequality nulls never match") {
+    import spark.implicits._
+    val left = Seq((1L, Some(5.0)), (2L, None)).toDF("lid", "lv")
+    val right = Seq((10L, Some(9.0)), (11L, None)).toDF("rid", "rv")
+    val out = graft.operators.RangeJoin.bandedLess(left, "lv", right, "rv")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L)))
+  }
+
+  test("banded range join shuffles both sides — no broadcast nested loop") {
+    import spark.implicits._
+    spark.sql("SET spark.sql.autoBroadcastJoinThreshold=-1")
+    try {
+      val left = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("lid", "lv")
+      val right = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("rid", "rv")
+      val plan = graft.operators.RangeJoin.bandedLess(left, "lv", right, "rv")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.sql("SET spark.sql.autoBroadcastJoinThreshold=10485760")
+  }
 }

@@ -97,6 +97,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("inequality joins run banded — no broadcast nested loop on either side") {
+    // q_join_range / q_join_iejoin used to rely on broadcast-NLJ, which has
+    // no escape hatch when neither side fits a broadcast at 100 TB.
+    // RangeJoin's banded plan joins on the band id: an ordinary equi-join
+    // that can shuffle both sides.
+    for (name <- Seq("q_join_range", "q_join_iejoin")) {
+      val p = planOf(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name still plans broadcast-NLJ:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
   test("TPC-DS snowflake joins broadcast every dimension, no cartesian") {
     val p = planOf("q_ds19_brand_by_nation_mismatch")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, s"expected broadcast joins:\n$p")
