@@ -77,17 +77,25 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 2, k: Int = 8,
       maxBucket: Int = 100): DataFrame = {
     val sig = withBands(docs.select(idCol, textCol), textCol, bands, rowsPerBand, k)
-    val perBand = (1 to bands).map { b =>
-      val bd = sig.select(col(idCol).as("id"), col(s"band_$b").as("bucket"))
-      val small = bd.groupBy("bucket").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= maxBucket)
-        .select("bucket")
-      val inb = bd.join(small, "bucket")
-      inb.as("a").join(inb.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    }
-    perBand.reduce(_ unionAll _).distinct()
+    // One-pass shape, same topology as Similarity.nearDupPairs: a single
+    // posexplode turns all band codes into (id, band, bucket) rows, so ONE
+    // groupBy + ONE self-join serve every band (the per-band formulation
+    // ran bands× the stage count — band b is just a column of the same
+    // scan). The cap list is tiny by construction (≤ distinct buckets
+    // under maxBucket), so it broadcasts instead of shuffling the
+    // candidate stream.
+    val coded = sig.select(col(idCol).as("id"),
+      posexplode(array((1 to bands).map(b => col(s"band_$b")): _*))
+        .as(Seq("band", "bucket")))
+    val small = coded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select("band", "bucket")
+    val inb = coded.join(broadcast(small), Seq("band", "bucket"))
+    inb.as("a").join(inb.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** Exact Jaccard over distinct character-k-shingle sets of two texts

@@ -61,6 +61,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("minhash_signature"), s"SQL-chain minhash still in plan:\n$p")
   }
 
+  test("LSH candidate pairs run as ONE banded self-join, not a per-band union") {
+    val p = planOf("q_dedup_minhash_pairs")
+    // the per-band formulation unioned `bands` independent self-joins
+    // (bands× the stages, bands× the signature scans); the one-pass shape
+    // posexplodes all band codes from a single scan
+    assert(!p.contains("Union"), s"per-band union stack is back:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"bucket cap list not broadcast:\n$p")
+  }
+
   test("bucketed join reads co-located buckets — no join-side shuffle") {
     val df = SparkEntry.queries("q_bucketed_join")(spark, GraftTest.sf)
     val p = df.queryExecution.executedPlan.toString
