@@ -310,4 +310,51 @@ object Windows extends Pack {
           .as("filled_value"))
       .orderBy("event_id")
   }
+
+  // Full-table fill: the same gap interpolation with NO partition filter —
+  // the frames are UNBOUNDED over the whole stream, so the q_window_fill
+  // shape (bare Window.orderBy) would move every row through ONE task.
+  // ChunkedWindow.unboundedCarry runs it as a two-pass prefix scan: local
+  // carries per range chunk in parallel, per-chunk boundary payloads
+  // (one row per chunk) prefix-combined on the driver, broadcast back.
+  // The (key, value) pair is carried as one struct so both stay row-atomic.
+  q("q_window_fill_global",
+    """WITH base AS (
+      |  SELECT event_id, CASE WHEN event_type <> 'error' THEN value END AS v
+      |  FROM events
+      |), marked AS (
+      |  SELECT event_id, v,
+      |    last_value(v IGNORE NULLS) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS)
+      |      OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+      |    first_value(v IGNORE NULLS) OVER (ORDER BY event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS)
+      |      OVER (ORDER BY event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nk
+      |  FROM base)
+      |SELECT event_id,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pv IS NULL THEN nv
+      |       WHEN nv IS NULL THEN pv
+      |       ELSE pv + (nv - pv) * (event_id - pk) / (nk - pk) END AS filled_value
+      |FROM marked ORDER BY event_id""") { (s, dir) =>
+    val base = Tables.events(s, dir)
+      .select(col("event_id"),
+        when(col("event_type") =!= "error", col("value")).as("v"))
+    graft.operators.ChunkedWindow.unboundedCarry(
+        base, "event_id",
+        when(col("v").isNotNull, struct(col("event_id").as("k"), col("v").as("x"))),
+        "_back", "_fwd")
+      .select(col("event_id"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("_back").isNull, col("_fwd.x"))
+          .when(col("_fwd").isNull, col("_back.x"))
+          .otherwise(col("_back.x") + (col("_fwd.x") - col("_back.x")) *
+            (col("event_id") - col("_back.k")) / (col("_fwd.k") - col("_back.k")))
+          .as("filled_value"))
+      .orderBy("event_id")
+  }
 }

@@ -277,6 +277,57 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("unbounded carry matches the single-task global window exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // ~35% nulls, incl. all-null leading/trailing stretches
+    val rows = (1 to 500).map { i =>
+      val v = if (i < 8 || i > 493 || rnd.nextDouble() < 0.35) None
+              else Some(rnd.nextInt(1000).toDouble)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("k", "v")
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy("k")
+    val expected = df
+      .withColumn("b", last(col("v"), ignoreNulls = true)
+        .over(wAll.rowsBetween(Long.MinValue, 0)))
+      .withColumn("f", first(col("v"), ignoreNulls = true)
+        .over(wAll.rowsBetween(0, Long.MaxValue)))
+      .select("k", "b", "f").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getAs[java.lang.Double]("b")),
+        Option(r.getAs[java.lang.Double]("f")))).toSet
+    for (chunks <- Seq(1, 3, 16, 700)) {
+      val got = graft.operators.ChunkedWindow
+        .unboundedCarry(df, "k", col("v"), "b", "f", chunks = chunks)
+        .select("k", "b", "f").collect()
+        .map(r => (r.getLong(0),
+          Option(r.getAs[java.lang.Double]("b")),
+          Option(r.getAs[java.lang.Double]("f")))).toSet
+      assert(got == expected, s"chunks=$chunks")
+    }
+  }
+
+  test("unbounded carry keeps struct payloads row-atomic") {
+    import spark.implicits._
+    // two value columns that are null on DIFFERENT rows: carrying them as
+    // one struct must NOT mix values from different source rows
+    val df = Seq(
+      (1L, Some(10.0), Some("a")), (2L, None, Some("b")), (3L, Some(30.0), None),
+      (4L, None, None), (5L, Some(50.0), Some("e"))
+    ).toDF("k", "x", "s")
+    val out = graft.operators.ChunkedWindow.unboundedCarry(
+        df, "k",
+        when(col("x").isNotNull, struct(col("k"), col("x"), col("s"))),
+        "b", "f", chunks = 2)
+      .select(col("k"), col("b.k").as("bk"), col("b.s").as("bs")).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getAs[java.lang.Long]("bk")).map(_.toLong),
+        Option(r.getAs[String]("bs"))))).toMap
+    assert(out(2L) == ((Some(1L), Some("a")))) // row 1's pair, not row 2's "b"
+    assert(out(4L) == ((Some(3L), None)))      // row 3 had s = null — kept atomically
+    assert(out(5L) == ((Some(5L), Some("e"))))
+  }
+
   test("banded range join is row-identical to the nested-loop join") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -105,6 +105,18 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Exchange SinglePartition"),
         s"$name still funnels rows through one task:\n$p")
     }
+    // q_window_fill_global: UNBOUNDED frames over the full stream — the
+    // carry windows must partition by the range chunk (two-pass prefix
+    // scan), never collapse to one task
+    locally {
+      val df = SparkEntry.queries("q_window_fill_global")(spark, GraftTest.sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("hashpartitioning(_chunk"),
+        s"carry windows not chunk-partitioned:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"q_window_fill_global still funnels rows through one task:\n$p")
+    }
   }
 
   test("inequality joins run banded — no broadcast nested loop on either side") {
