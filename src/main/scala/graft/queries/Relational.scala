@@ -417,6 +417,22 @@ object Relational extends Pack {
     Tables.lineitem(s, dir).sample(withReplacement = false, fraction = 0.1, seed = 42)
   }
 
+  // TABLESAMPLE SYSTEM (reference sample_options.hpp:18 SampleMethod::
+  // SYSTEM_SAMPLE): block-level sampling — whole storage blocks are kept
+  // or dropped, trading uniformity for near-zero per-row cost. The block
+  // here is a contiguous 1024-row slice (monotonically_increasing_id is
+  // partition-local, so slices never span partitions — the same shape as
+  // the reference's row-group blocks), kept when its deterministic hash
+  // clears the rate: no per-row RNG, one codegen'd comparison per row,
+  // embarrassingly parallel. Rows-only contract like bernoulli.
+  qRowsOnly("q_sample_system") { (s, dir) =>
+    val pct = 50
+    Tables.lineitem(s, dir)
+      .withColumn("_blk", shiftright(monotonically_increasing_id(), 10))
+      .filter(pmod(hash(col("_blk"), lit(42)), lit(100)) < pct)
+      .drop("_blk")
+  }
+
   // ---- set operations (2.7) ----------------------------------------------
 
   q("q_union_all",

@@ -120,4 +120,43 @@ object Types extends Pack {
         col("uv.num").as("num_val"), col("uv.txt").as("txt_val"))
       .orderBy("event_id")
   }
+
+  // ---- VARIANT: semi-structured values as a first-class type -------------
+  // Reference /root/reference/src/common/types/variant/ (VARIANT storage +
+  // variant_extract/typeof); Spark 4 ships a native VariantType with
+  // parse_json / variant_get / try_variant_get / is_variant_null /
+  // schema_of_variant, all codegen'd — the mapping is direct, no JSON
+  // fallback needed. The oracle DuckDB (1.0.0) predates VARIANT, so its
+  // SQL mirrors each extraction with the JSON family (json_extract +
+  // casts); schema_of_variant's rendering ('OBJECT<k: BIGINT>') is mapped
+  // from json_structure via CASE — same per-row discrimination, spelled in
+  // each engine's own type-name dialect. to_json(parse_json(x)) checks the
+  // binary-variant roundtrip against DuckDB's json() normalizer.
+  q("q_type_variant",
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
+      |  CAST(json_extract(props, '$.zzz') AS BIGINT) AS missing,
+      |  (json_type('null') = 'NULL') AS vnull,
+      |  CAST(json_extract('{"a":{"b":[10,20,30]}}', '$.a.b[1]') AS BIGINT) AS deep,
+      |  CASE WHEN json_structure(props) = '{"k":"UBIGINT"}'
+      |       THEN 'OBJECT<k: BIGINT>'
+      |       ELSE CAST(json_structure(props) AS VARCHAR) END AS vschema,
+      |  json(props) AS roundtrip
+      |FROM events WHERE event_id < 300 ORDER BY event_id""") { (s, dir) =>
+    Tables.events(s, dir).filter(col("event_id") < 300)
+      .select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_int"),
+        expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+        expr("variant_get(parse_json(props), '$.k', 'double')").as("k_dbl"),
+        expr("try_variant_get(parse_json(props), '$.zzz', 'bigint')").as("missing"),
+        expr("is_variant_null(parse_json('null'))").as("vnull"),
+        expr("""variant_get(parse_json('{"a":{"b":[10,20,30]}}'), '$.a.b[1]', 'bigint')""")
+          .as("deep"),
+        expr("schema_of_variant(parse_json(props))").as("vschema"),
+        to_json(expr("parse_json(props)")).as("roundtrip"))
+      .orderBy("event_id")
+  }
 }
