@@ -178,6 +178,23 @@ class PlanSpec extends AnyFunSuite {
       s"blocklist semi-join not broadcast:\n$contam")
   }
 
+  test("TPC-DS batch 4 monsters: aggregates before self-joins, stacked semi/anti") {
+    for (name <- Seq("q_ds64_repeat_channel_price", "q_ds72_lagged_fulfillment",
+        "q_ds95_multi_supplier_orders")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans BNLJ:\n$p")
+    }
+    // ds64: the cross-year self-join consumes GROUPED outputs (partial+
+    // final agg below the join), never raw lineitem on both sides
+    val p64 = planOf("q_ds64_repeat_channel_price")
+    assert("HashAggregate".r.findAllIn(p64).size >= 2, s"ds64 agg not below join:\n$p64")
+    // ds95: both gates plan as semi/anti joins, not materialized distincts
+    val p95 = planOf("q_ds95_multi_supplier_orders")
+    assert(p95.contains("LeftSemi") && p95.contains("LeftAnti"),
+      s"ds95 gates not semi/anti:\n$p95")
+  }
+
   test("chunking explodes row-locally — no shuffle before the generator") {
     // the only exchange allowed is the final presentation sort; the
     // explode itself must not repartition (at scale the generator runs
