@@ -97,24 +97,42 @@ object Multimodal {
       .select(col("media_id"), col("pos").cast("int").as("frame_no"),
         col("col").as("frame_payload"), col("meta"))
 
+  // NOT private: the encoder's generated projections instantiate these
+  // from codegen'd classes, which cannot access private members.
+  case class MediaIn(
+      media_id: Long, modality: String, payload: Array[Byte],
+      width: Option[Int], height: Option[Int])
+  case class MediaFeatures(
+      media_id: Long, modality: String, n_bytes: Long,
+      mean_intensity: Double, std_intensity: Double, n_pixels: Long)
+
   /** Feature extraction as a partition-local batch pass (the `mapInPandas`
     * equivalent in Scala): one decoder instance per partition, rows
     * streamed through it — the shape a real codec needs (expensive init
     * amortized per partition, not per row).
+    *
+    * Typed `Dataset.mapPartitions` (encoder-backed), NOT `.rdd`: the RDD
+    * drop-out severed the SQL plan (external row conversion both ways and
+    * an opaque boundary Catalyst can't see through); the typed map keeps
+    * one plan — codegen'd deserialize → the same per-partition iterator →
+    * codegen'd serialize — and column pruning still reaches the scan.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "modality", "payload", "meta.width", "meta.height")
-      .rdd.mapPartitions { rows =>
+    import media.sparkSession.implicits._
+    media.select(
+        col("media_id"), col("modality"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[MediaIn]
+      .mapPartitions { rows =>
         // per-partition decoder init would go here
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val (mean, std, pixels) = fakeDecode(payload,
-            r.getAs[Int]("width"), r.getAs[Int]("height"))
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
-            if (payload == null) 0L else payload.length.toLong, mean, std, pixels)
+        rows.map { m =>
+          val (mean, std, pixels) = fakeDecode(m.payload,
+            m.width.getOrElse(0), m.height.getOrElse(0))
+          MediaFeatures(m.media_id, m.modality,
+            if (m.payload == null) 0L else m.payload.length.toLong,
+            mean, std, pixels)
         }
       }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 }
