@@ -174,6 +174,54 @@ object Conformance extends Pack {
       .orderBy(expr("collate(mixed, 'UTF8_LCASE')"), col("n_nationkey"))
   }
 
+  // ---- §2.6: ICU locale collations ---------------------------------------
+  // reference extension/icu/collation/ registers per-locale ICU collators
+  // (e.g. COLLATE de). Both engines delegate to ICU (duckdb links libicu,
+  // Spark 4 ships icu4j), so tertiary-strength locale order — lowercase
+  // before uppercase, accented grouped with their base letter — matches
+  // exactly. Accents are synthesized in-engine (translate) so the fixture
+  // needs no non-ASCII parquet data; rank() materializes the collated
+  // order into a value the order-insensitive comparator can hash.
+  q("q_orderby_collate_de",
+    """WITH t AS (
+      |  SELECT CASE WHEN n_nationkey % 3 = 0 THEN translate(n_name, 'AEOU', 'ÄÉÖÜ')
+      |              WHEN n_nationkey % 3 = 1 THEN lower(n_name)
+      |              ELSE n_name END AS nm,
+      |         n_nationkey
+      |  FROM nation)
+      |SELECT nm, n_nationkey, rank() OVER (ORDER BY nm COLLATE de) AS r
+      |FROM t ORDER BY n_nationkey""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.nation(s, dir)
+      .select(
+        when(col("n_nationkey") % 3 === 0,
+            translate(col("n_name"), "AEOU", "ÄÉÖÜ"))
+          .when(col("n_nationkey") % 3 === 1, lower(col("n_name")))
+          .otherwise(col("n_name")).as("nm"),
+        col("n_nationkey"))
+      .withColumn("r", rank().over(Window.orderBy(expr("collate(nm, 'de')"))))
+      .orderBy("n_nationkey")
+  }
+
+  // Accent+case-insensitive equality: Spark UNICODE_CI_AI (ICU primary
+  // strength) ↔ duckdb NOACCENT.NOCASE (strip-accents then fold). Counts
+  // per nation how many supplier names match the accent-mangled lowercase
+  // variant of themselves — equality survives both transforms on both
+  // engines, so each name matches itself exactly once.
+  q("q_collate_accent_ci",
+    """WITH t AS (
+      |  SELECT s_suppkey, s_name,
+      |         translate(lower(s_name), 'aeou', 'äéöü') AS mangled
+      |  FROM supplier)
+      |SELECT count(*) AS n_eq
+      |FROM t WHERE s_name = mangled COLLATE NOACCENT.NOCASE""") { (s, dir) =>
+    Tables.supplier(s, dir)
+      .select(col("s_name"),
+        translate(lower(col("s_name")), "aeou", "äéöü").as("mangled"))
+      .filter(expr("collate(s_name, 'UNICODE_CI_AI') = collate(mangled, 'UNICODE_CI_AI')"))
+      .agg(count(lit(1)).as("n_eq"))
+  }
+
   // ---- §2.4: bitstring_agg ------------------------------------------------
   // reference distributive/bitstring_agg.cpp: set-bit positions over a
   // bounded int domain. Spark rebuild: '1'/'0' per domain position from
