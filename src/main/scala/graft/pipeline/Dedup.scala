@@ -128,4 +128,37 @@ object Dedup {
       .withColumn("content_hash", md5(lower(trim(col(textCol)))))
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Span-level (substring) dedup: k-token spans appearing in more than
+    * one document — the distributed shape of suffix-array training-data
+    * dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): instead of one global suffix array, every sliding
+    * k-token window becomes a row and one hash-partitioned groupBy finds
+    * cross-document repeats.
+    *
+    * Scale shape: the explode is k× the token volume but map-side
+    * combines into (span, doc) partial counts before the single shuffle;
+    * at 100 TB you would group on xxhash64(span) and re-derive the text
+    * for the survivors only — the fixture keeps the span text so the
+    * DuckDB oracle can reproduce the result exactly.
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      topN: Int = 50): DataFrame = {
+    val spans = docs.select(
+        col(idCol).as("doc_id"),
+        explode(expr(
+          s"""transform(sequence(1, greatest(size(split(lower($textCol), '\\\\s+')) - ${k - 1}, 1)),
+             |  i -> array_join(slice(split(lower($textCol), '\\\\s+'), i, $k), ' '))"""
+            .stripMargin)).as("span"))
+    spans
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("span"))
+      .limit(topN)
+  }
 }

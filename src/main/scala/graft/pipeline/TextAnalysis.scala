@@ -67,6 +67,21 @@ object TextAnalysis {
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set (classic "fingerprint" clustering key).
     */
+  /** PII scrub (C4/RefinedWeb-style): emails, NANP-ish phone numbers and
+    * dotted-quad IPs → typed placeholder tags. Patterns stay inside the
+    * RE2-compatible subset so the DuckDB oracle's regexp_replace(...,'g')
+    * matches Java's replaceAll byte-for-byte. Row-local → scales.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
 }

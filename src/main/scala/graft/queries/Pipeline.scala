@@ -253,6 +253,47 @@ object Pipeline extends Pack {
       .orderBy("doc_id")
   }
 
+  // span-level dedup: duplicated 8-token windows across documents (the
+  // distributed suffix-array-dedup shape — Dedup.duplicatedSpans)
+  q("q_dedup_span",
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+       |sh AS (
+       |  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS span
+       |  FROM toks, unnest(generate_series(1, greatest(len(ts) - 7, 1))) AS t(i))
+       |SELECT span, count(*) AS n_occ,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM sh GROUP BY span HAVING count(DISTINCT doc_id) > 1
+       |ORDER BY n_occ DESC, n_docs DESC, span LIMIT 50""") { (s, dir) =>
+    Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 8, topN = 50)
+  }
+
+  // PII redaction over synthesized-in-engine emails/phones/IPs (the
+  // fixture corpus carries none) — both engines build the identical
+  // string, then apply the identical RE2-subset patterns
+  q("q_text_redact",
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(
+       |    concat('contact user', doc_id, '@mail.example.org call 415-',
+       |           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+       |           lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0'),
+       |           ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.',
+       |           CAST((doc_id * 5) % 256 AS VARCHAR), ' re: ', substring(text, 1, 60)),
+       |    '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+       |    '${TextAnalysis.phoneRe}', '<PHONE>', 'g'),
+       |    '${TextAnalysis.ipRe}', '<IP>', 'g') AS redacted
+       |FROM documents ORDER BY doc_id""") { (s, dir) =>
+    val base = concat(
+      lit("contact user"), col("doc_id"), lit("@mail.example.org call 415-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+      ((col("doc_id") * 5) % 256).cast("string"), lit(" re: "),
+      substring(col("text"), 1, 60))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.redactPii(base).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   // multimodal plumbing (decode STUBBED — see graft.pipeline.Multimodal)
   qRowsOnly("q_multimodal_features") { (s, dir) =>
     Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, dir)))
