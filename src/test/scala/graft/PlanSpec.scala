@@ -24,6 +24,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_tax"), "read schema not pruned")
   }
 
+  test("geo queries stay row-local and prune the scan to the key columns") {
+    // ST_ ops are pure column math: the customer scan must read only the
+    // two columns the points derive from, and the only exchange is the
+    // final per-nation aggregation
+    val p = planOf("q_geo_distance")
+    assert(!p.contains("c_name") && !p.contains("c_acctbal"), "scan not pruned")
+    val exchanges = "Exchange".r.findAllIn(p.replace("BroadcastExchange", "")).size
+    assert(exchanges <= 2, s"geo distance should shuffle only for the groupBy:\n$p")
+    // ring metrics is a pure per-row projection: no aggregate, no join
+    val rm = planOf("q_geo_ring_metrics")
+    assert(!rm.contains("HashAggregate") && !rm.contains("Join"),
+      s"ring metrics should be projection-only:\n$rm")
+  }
+
   test("TPC-H Q5: all five dimension joins broadcast; fact table never shuffles for a join") {
     val p = planOf("q5_region_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, s"expected broadcast joins:\n$p")
