@@ -192,6 +192,9 @@ object Conformance extends Pack {
       |SELECT nm, n_nationkey, rank() OVER (ORDER BY nm COLLATE de) AS r
       |FROM t ORDER BY n_nationkey""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // global-order rank is safe here at any SF: nation is a fixed 25-row
+    // dimension. A full-table collated rank would route through
+    // operators.ChunkedWindow instead.
     Tables.nation(s, dir)
       .select(
         when(col("n_nationkey") % 3 === 0,
