@@ -127,4 +127,17 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("win.start").as("win_start"), col("user_id"), col("n_events"))
   }
+
+  /** Stream-static enrichment: join the event stream to a dimension
+    * table. The static side is broadcast, so the streaming side never
+    * shuffles and needs no watermark — each micro-batch probes the
+    * broadcast hash table (the standard 100 TB/day enrichment topology;
+    * the dim is re-read per batch, picking up slowly-changing updates).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(
+        org.apache.spark.sql.functions.broadcast(dim),
+        col(eventKey) === col(dimKey), "left")
+      .drop(dimKey)
 }

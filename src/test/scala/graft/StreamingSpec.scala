@@ -86,6 +86,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == expectedKeys)
   }
 
+  test("stream-static broadcast enrichment matches the batch join, no stream shuffle") {
+    val dim = graft.engine.Tables.customer(spark, GraftTest.sf)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val batch = graft.engine.Tables.events(spark, GraftTest.sf)
+    val expected = EventStream.enrichWithDim(batch, dim, "user_id", "c_custkey")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.enrichWithDim(stream, dim, "user_id", "c_custkey")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("enrich_out").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("sliding window rate over a stream produces per-user windows") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val q = EventStream.slidingRate(stream)
