@@ -161,6 +161,21 @@ object Sources extends Pack {
       .orderBy("l_returnflag")
   }
 
+  // Dynamic PIVOT — ON-values discovered at bind time (reference
+  // bind_pivot.cpp enumerates the distinct values with a first scan;
+  // Spark's valueless pivot() runs the same two-pass discovery). Missing
+  // combinations: duckdb renders count 0, Spark null — na.fill aligns.
+  q("q_pivot_dynamic",
+    """PIVOT (SELECT year(o_orderdate) AS yr, o_orderpriority FROM orders)
+      |ON o_orderpriority USING count(*) GROUP BY yr ORDER BY yr""") { (s, dir) =>
+    val pv = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+      .groupBy("yr")
+      .pivot("o_orderpriority")
+      .count()
+    pv.na.fill(0, pv.columns.filterNot(_ == "yr")).orderBy("yr")
+  }
+
   // UNPIVOT (reference bind_pivot.cpp unpivot path ↔ Spark stack())
   q("q_unpivot",
     """SELECT c_custkey, attr, val FROM (
