@@ -126,4 +126,76 @@ object Corpus extends Pack {
       .select("doc_id", "source")
       .orderBy("doc_id")
   }
+
+  // ---- int8 embedding quantization ---------------------------------------
+  // Per-vector symmetric scalar quantization (the standard embedding-store
+  // compression): scale = max|x|, q = round(127·x/scale). All ops are
+  // per-row HOFs — floor(x+0.5) instead of round() because the engines'
+  // round-half conventions differ on exact .5 doubles; integer q-sums are
+  // exact. Row-local → scales to any corpus size with zero shuffles.
+  q("q_embed_quantize",
+    """SELECT vec_id, label, scale,
+      |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |  CAST(list_min(q) AS INTEGER) AS q_min,
+      |  CAST(list_max(q) AS INTEGER) AS q_max
+      |FROM (
+      |  SELECT vec_id, label,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+      |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+      |         THEN list_transform(embedding, x -> 0)
+      |         ELSE list_transform(embedding, x -> CAST(floor(
+      |           CAST(x AS DOUBLE) * 127
+      |             / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+      |           + 0.5) AS INTEGER)) END AS q
+      |  FROM embeddings)
+      |ORDER BY vec_id""") { (s, dir) =>
+    val dbl = expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))")
+    val scale = array_max(dbl)
+    val qArr = when(scale === 0, expr("transform(embedding, x -> 0)"))
+      .otherwise(expr(
+        """transform(embedding, x -> CAST(floor(
+          |  CAST(x AS DOUBLE) * 127
+          |    / array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+          |  + 0.5) AS INT))""".stripMargin))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), scale.as("scale"), qArr.as("q"))
+      .select(col("vec_id"), col("label"), col("scale"),
+        expr("CAST(aggregate(q, 0L, (a, b) -> a + b) AS BIGINT)").as("q_sum"),
+        expr("CAST(array_min(q) AS INT)").as("q_min"),
+        expr("CAST(array_max(q) AS INT)").as("q_max"))
+      .orderBy("vec_id")
+  }
+
+  // ---- sequence packing: contiguous fill into context windows ------------
+  // Docs concatenate per language in doc_id order; a doc lands in the bin
+  // where its first token falls (exclusive running sum div window). The
+  // deterministic streaming rule every training-data packer can reproduce,
+  // and it distributes: one window partition per language (at 100 TB,
+  // per (lang, shard) with shard-carry — same two-pass trick as
+  // operators.ChunkedWindow). All arithmetic is exact integers.
+  q("q_pack_sequences",
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    len(string_split_regex(lower(text), '\s+')) AS n_tok,
+      |    coalesce(sum(len(string_split_regex(lower(text), '\s+')))
+      |      OVER (PARTITION BY lang ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      |  FROM documents)
+      |SELECT lang, CAST(start_tok // 4096 AS BIGINT) AS bin,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+      |  min(doc_id) AS first_doc
+      |FROM t GROUP BY 1, 2 ORDER BY lang, bin""") { (s, dir) =>
+    val nTok = graft.pipeline.TextAnalysis.tokenCount(col("text"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), nTok.as("n_tok"))
+      .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0)))
+      .groupBy(col("lang"), floor(col("start_tok") / 4096).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("bigint").as("bin_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("lang", "bin")
+  }
 }
