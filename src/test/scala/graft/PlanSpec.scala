@@ -214,6 +214,24 @@ class PlanSpec extends AnyFunSuite {
       s"blocklist semi-join not broadcast:\n$contam")
   }
 
+  test("TPC-DS batches 5-10: no cartesians; aggregates precede self-joins") {
+    for (name <- Seq("q_ds39_qty_cov", "q_ds47_brand_deviation", "q_ds59_yoy_revenue",
+        "q_ds93_returns_adjusted", "q_ds36_rollup_rank", "q_ds1_return_ratio",
+        "q_ds44_best_worst", "q_ds4_yoy_growth", "q_ds92_excess_discount",
+        "q_ds97_channel_overlap", "q_ds25_rebuy_chain", "q_ds49_return_rank",
+        "q_ds75_prior_year_delta", "q_ds87_except_chain", "q_ds77_channel_pl",
+        "q_ds61_promo_ratio", "q_ds83_returns_intersect", "q_ds67_rollup_topk",
+        "q_ds70_ranked_states", "q_ds46_nation_mismatch")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans NLJ:\n$p")
+    }
+    // cov/self-join shapes must aggregate before joining (partial+final
+    // HashAggregate below the join, never a fact×fact join)
+    val cov = planOf("q_ds39_qty_cov")
+    assert(cov.indexOf("HashAggregate") >= 0, s"q39 lost its pre-join aggregate:\n$cov")
+  }
+
   test("TPC-DS batch 4 monsters: aggregates before self-joins, stacked semi/anti") {
     for (name <- Seq("q_ds64_repeat_channel_price", "q_ds72_lagged_fulfillment",
         "q_ds95_multi_supplier_orders")) {
