@@ -101,6 +101,24 @@ object Suites extends Pack {
       .limit(25)
   }
 
+  // ---- ClickBench-style: regex extraction + top-k (the URL-domain shape) -
+  q("q_cb_regex_topk",
+    """SELECT regexp_extract(concat('https://site', CAST(user_id % 37 AS VARCHAR),
+      |    '.example.com/page/', CAST(event_id % 1000 AS VARCHAR)),
+      |    '//([^/]+)/', 1) AS domain,
+      |  count(*) AS hits, count(DISTINCT user_id) AS uniq
+      |FROM events GROUP BY 1 ORDER BY hits DESC, domain LIMIT 20""") { (s, dir) =>
+    Tables.events(s, dir)
+      .select(regexp_extract(
+        concat(lit("https://site"), (col("user_id") % 37).cast("string"),
+          lit(".example.com/page/"), (col("event_id") % 1000).cast("string")),
+        "//([^/]+)/", 1).as("domain"), col("user_id"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("hits"), countDistinct(col("user_id")).as("uniq"))
+      .orderBy(col("hits").desc, col("domain"))
+      .limit(20)
+  }
+
   // ---- ClickBench-style: LIKE-filtered scan + count distinct -------------
   q("q_cb_like_uniq",
     """SELECT event_type, count(*) AS hits, count(DISTINCT user_id) AS uniq_users

@@ -68,6 +68,33 @@ object Tpcds11 extends Pack {
       .orderBy("c_mktsegment")
   }
 
+  // ---- DS Q24: groups above a multiple of the all-groups average ---------
+  // The HAVING compares each group's sum to a SCALAR SUBQUERY over the
+  // same aggregate (materialized-CTE reuse); the gate cross-multiplies
+  // exact mantissas against the global (sum, count) pair, which rides a
+  // 1-row broadcast to every group.
+  q("q_ds24_above_avg_groups",
+    s"""WITH g AS (
+       |  SELECT l_suppkey AS sk,
+       |    sum(${fxSql("l_extendedprice * (1 - l_discount)", 4)}) AS msum
+       |  FROM lineitem GROUP BY 1)
+       |SELECT sk, CAST(msum AS DOUBLE) / 10000.0 AS revenue
+       |FROM g
+       |WHERE CAST(100 AS DECIMAL(38,0)) * msum * (SELECT count(*) FROM g)
+       |    > CAST(105 AS DECIMAL(38,0)) * (SELECT sum(msum) FROM g)
+       |ORDER BY sk""") { (s, dir) =>
+    val g = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("sk"))
+      .agg(sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("msum"))
+    val stats = g.agg(count(lit(1)).as("n_groups"), sum("msum").as("total"))
+    val d38 = "decimal(38,0)"
+    g.crossJoin(broadcast(stats))
+      .filter(lit(100).cast(d38) * col("msum") * col("n_groups") >
+        lit(105).cast(d38) * col("total"))
+      .select(col("sk"), (col("msum").cast("double") / 10000.0).as("revenue"))
+      .orderBy("sk")
+  }
+
   // ---- DS Q78: returns-netted year-over-year ratio -----------------------
   // Lines with a same-(order, linenumber) R-flagged "return record" drop
   // out (anti join on the PK); survivors aggregate per (part, year) and

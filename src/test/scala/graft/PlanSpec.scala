@@ -221,7 +221,8 @@ class PlanSpec extends AnyFunSuite {
         "q_ds97_channel_overlap", "q_ds25_rebuy_chain", "q_ds49_return_rank",
         "q_ds75_prior_year_delta", "q_ds87_except_chain", "q_ds77_channel_pl",
         "q_ds61_promo_ratio", "q_ds83_returns_intersect", "q_ds67_rollup_topk",
-        "q_ds70_ranked_states", "q_ds46_nation_mismatch")) {
+        "q_ds70_ranked_states", "q_ds46_nation_mismatch",
+        "q_ds45_inlist_or_exists", "q_ds69_exists_not_exists", "q_ds78_netted_yoy")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans NLJ:\n$p")
