@@ -67,6 +67,40 @@ object TextAnalysis {
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set (classic "fingerprint" clustering key).
     */
+  /** Repetition signals (Gopher-style quality filters): the fraction of
+    * tokens inside duplicated bigrams, and the share of the most frequent
+    * bigram. High values flag boilerplate/spam. Pure HOF column math —
+    * row-local, codegen'd, scales with zero shuffles.
+    */
+  def bigrams(text: Column): Column = {
+    val ts = tokens(text)
+    // zip_with pads the shorter side with null and concat_ws drops
+    // nulls, so the trailing entry is a bare token — a true bigram is
+    // exactly the entries containing the separator space
+    filter(
+      zip_with(ts, slice(ts, lit(2), size(ts)),
+        (a, b) => concat_ws(" ", a, b)),
+      (g: Column) => g.contains(" "))
+  }
+
+  /** share of the most frequent bigram among all bigrams (0 when <2 tokens) */
+  def topBigramShare(text: Column): Column = {
+    val gs = bigrams(text)
+    val counts = transform(array_distinct(gs),
+      g => size(filter(gs, x => x === g)))
+    when(size(gs) <= 0, 0.0)
+      .otherwise(array_max(counts).cast("double") / size(gs))
+  }
+
+  /** fraction of bigram instances that occur more than once */
+  def dupBigramFraction(text: Column): Column = {
+    val gs = bigrams(text)
+    val dupInstances = size(filter(gs,
+      g => size(filter(gs, x => x === g)) > 1))
+    when(size(gs) <= 0, 0.0)
+      .otherwise(dupInstances.cast("double") / size(gs))
+  }
+
   /** PII scrub (C4/RefinedWeb-style): emails, NANP-ish phone numbers and
     * dotted-quad IPs → typed placeholder tags. Patterns stay inside the
     * RE2-compatible subset so the DuckDB oracle's regexp_replace(...,'g')

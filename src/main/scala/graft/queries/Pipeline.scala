@@ -294,6 +294,34 @@ object Pipeline extends Pack {
       .orderBy("doc_id")
   }
 
+  // repetition signals (Gopher quality filters): duplicated-bigram
+  // fraction + top-bigram share. Per-row quadratic in bigram count —
+  // fine at document grain; row-local, zero shuffles at any corpus size.
+  q("q_text_repetition",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(
+      |      list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 1, 0)),
+      |        i -> string_split_regex(lower(text), '\s+')[i] || ' ' || string_split_regex(lower(text), '\s+')[i+1]),
+      |      g -> contains(g, ' ')) AS gs
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(gs) AS BIGINT) AS n_bigrams,
+      |  round(CASE WHEN len(gs) = 0 THEN 0.0
+      |    ELSE CAST(list_max(list_transform(list_distinct(gs),
+      |           g -> len(list_filter(gs, x -> x = g)))) AS DOUBLE) / len(gs) END, 6) AS top_share,
+      |  round(CASE WHEN len(gs) = 0 THEN 0.0
+      |    ELSE CAST(len(list_filter(gs,
+      |           g -> len(list_filter(gs, x -> x = g)) > 1)) AS DOUBLE) / len(gs) END, 6) AS dup_frac
+      |FROM t ORDER BY doc_id""") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.bigrams(col("text"))).cast("bigint").as("n_bigrams"),
+        round(TextAnalysis.topBigramShare(col("text")), 6).as("top_share"),
+        round(TextAnalysis.dupBigramFraction(col("text")), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   // multimodal plumbing (decode STUBBED — see graft.pipeline.Multimodal)
   qRowsOnly("q_multimodal_features") { (s, dir) =>
     Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, dir)))
