@@ -198,6 +198,31 @@ object Windows extends Pack {
       .orderBy("o_orderkey")
   }
 
+  // Holistic window aggregate: MEDIAN over a sliding ROWS frame
+  // (reference window_aggregate_function.cpp runs holistic aggs —
+  // median/quantile/mode — natively in window frames; Spark has no
+  // median window fn, so the rewrite collects the frame, sorts, and
+  // indexes the middle — exact, and the frame is bounded (5 rows) so the
+  // per-row state is constant). Even-count median averages the two
+  // middles with one double op, identical in both engines.
+  q("q_window_median",
+    """SELECT event_id, user_id,
+      |  median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+      |FROM events WHERE user_id < 50 ORDER BY event_id""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-4, Window.currentRow)
+    val arr = sort_array(collect_list(col("value")).over(w))
+    val n = size(arr)
+    val med = when(n % 2 === 1, element_at(arr, ((n + lit(1)) / 2).cast("int")))
+      .otherwise((element_at(arr, (n / 2).cast("int")) +
+        element_at(arr, (n / 2).cast("int") + 1)) / 2)
+    Tables.events(s, dir)
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), med.as("med5"))
+      .orderBy("event_id")
+  }
+
   // GROUPS frames (SQL:2011; reference window_boundaries_state.cpp:333-367,
   // test corpus test/sql/window/test_window_groups.test_slow). Spark lacks
   // GROUPS mode; operators.GroupsFrame rewrites it as dense_rank() group

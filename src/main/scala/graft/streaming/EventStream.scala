@@ -89,7 +89,16 @@ object EventStream {
     * transform runs on batch frames (no watermark needed), which is how
     * the spec checks result equivalence.
     */
-  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+  /** Stream-stream interval join. `joinType` "inner" (default) or
+    * "left_outer": the outer form needs the same watermark + time-bound
+    * condition (Spark requires both to bound the outer side's state);
+    * unmatched clicks emit with null view columns once the watermark
+    * passes their interval — so under AvailableNow the trailing
+    * unmatched rows inside the final watermark window are withheld,
+    * which is correct streaming semantics, not data loss.
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = (if (clicks.isStreaming) clicks.withWatermark("ts", "30 minutes") else clicks)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -100,7 +109,8 @@ object EventStream {
     c.join(v,
         col("user_id") === col("v_user") &&
           col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
-          col("view_ts") <= col("click_ts"))
+          col("view_ts") <= col("click_ts"),
+        joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("view_id"), col("view_ts"))
   }

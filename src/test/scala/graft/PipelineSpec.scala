@@ -169,4 +169,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.getAs[Long]("n_pixels") ==
       ((7 % 640) + 1).toLong * ((7 % 480) + 1))
   }
+
+  test("repetition signals match a scala brute force") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val texts = Seq("a b a b a b", "x y z w", "q", "", "r r r r")
+    val got = texts.toDF("text")
+      .select(col("text"),
+        graft.pipeline.TextAnalysis.topBigramShare(col("text")).as("top"),
+        graft.pipeline.TextAnalysis.dupBigramFraction(col("text")).as("dup"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def ref(t: String): (Double, Double) = {
+      val ts = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val gs = ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      if (gs.isEmpty) (0.0, 0.0)
+      else {
+        val counts = gs.groupBy(identity).map(_._2.size)
+        (counts.max.toDouble / gs.size,
+          gs.count(g => gs.count(_ == g) > 1).toDouble / gs.size)
+      }
+    }
+    texts.foreach { t => assert(got(t) == ref(t), s"'$t': ${got(t)} vs ${ref(t)}") }
+  }
 }

@@ -64,6 +64,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join: inner rows exact, unmatched watermark-gated") {
+    val batch = graft.engine.Tables.events(spark, GraftTest.sf)
+    val expectedAll = EventStream.clickViewJoin(batch, batch, "left_outer").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString))).toSet
+    val expectedInner = expectedAll.filter(_._2.isDefined)
+
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.clickViewJoin(stream, stream, "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lojoin_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("lojoin_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString))).toSet
+    val gotInner = got.filter(_._2.isDefined)
+    // matched pairs must be exactly the batch join's matched pairs
+    assert(gotInner == expectedInner && gotInner.nonEmpty)
+    // every emitted unmatched click is a true batch-side unmatched click;
+    // the tail inside the final watermark window is legitimately withheld
+    val gotNullKeys = got.filter(_._2.isEmpty).map(_._1)
+    val expNullKeys = expectedAll.filter(_._2.isEmpty).map(_._1)
+    assert(gotNullKeys.subsetOf(expNullKeys))
+  }
+
   test("watermarked streaming dedup keeps one event per (user, type)") {
     val batch = graft.engine.Tables.events(spark, GraftTest.sf)
     val expectedKeys = batch.select("user_id", "event_type").distinct().collect()
