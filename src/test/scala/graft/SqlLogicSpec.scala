@@ -55,7 +55,7 @@ class SqlLogicSpec extends AnyFunSuite {
     assert(caseNo > 0, s"$name: no test records parsed")
   }
 
-  private val files = Seq("join", "aggregate", "window", "setops", "string", "subquery", "types")
+  private val files = Seq("join", "aggregate", "window", "setops", "string", "subquery", "types", "collation")
   for (f <- files) {
     test(s"sqllogic: $f.test") {
       val in = getClass.getResourceAsStream(s"/sql/$f.test")
