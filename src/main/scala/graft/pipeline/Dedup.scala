@@ -154,9 +154,15 @@ object Dedup {
           s"""transform(sequence(1, greatest(size(split(lower($textCol), '\\\\s+')) - ${k - 1}, 1)),
              |  i -> array_join(slice(split(lower($textCol), '\\\\s+'), i, $k), ' '))"""
             .stripMargin)).as("span"))
+    // pre-group on (span, doc): the distinct-doc count then falls out of
+    // a plain second aggregate — no two-phase Expand for countDistinct,
+    // and the map-side combine collapses within-doc repeats before the
+    // shuffle
     spans
+      .groupBy("span", "doc_id")
+      .agg(count(lit(1)).as("cnt"))
       .groupBy("span")
-      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum("cnt").cast("bigint").as("n_occ"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
       .orderBy(col("n_occ").desc, col("n_docs").desc, col("span"))
       .limit(topN)
