@@ -214,6 +214,20 @@ class PlanSpec extends AnyFunSuite {
       s"blocklist semi-join not broadcast:\n$contam")
   }
 
+  test("span dedup and repetition signals keep single-shuffle / row-local shapes") {
+    // repetition: pure row-local HOF fold — the only exchange is the
+    // output ordering's range partitioning, never a join/agg shuffle
+    val rep = planOf("q_text_repetition")
+    assert(!rep.contains("Join"), s"repetition should not join:\n$rep")
+    assert("hashpartitioning".r.findAllIn(rep).isEmpty,
+      s"repetition should not hash-shuffle:\n$rep")
+    // span dedup: pre-grouped (span, doc) then re-aggregated — no
+    // two-phase Expand from countDistinct
+    val span = planOf("q_dedup_span")
+    assert(!span.contains("Expand"), s"span dedup regressed to Expand:\n$span")
+    assert(span.contains("HashAggregate"), s"span dedup lost map-side combine:\n$span")
+  }
+
   test("TPC-DS batches 5-10: no cartesians; aggregates precede self-joins") {
     for (name <- Seq("q_ds39_qty_cov", "q_ds47_brand_deviation", "q_ds59_yoy_revenue",
         "q_ds93_returns_adjusted", "q_ds36_rollup_rank", "q_ds1_return_ratio",
