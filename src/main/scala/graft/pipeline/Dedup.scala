@@ -129,6 +129,37 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Duplicate-cluster formation: connected components over the
+    * near-dup pair graph by min-label propagation — the step real dedup
+    * pipelines run after pair generation (pick one canonical doc per
+    * component). Rides `RecursiveCTE.keyedFixpoint`: state is (id →
+    * current min label), a round only emits labels that DECREASE, so the
+    * upsert frontier shrinks monotonically and the fixpoint is the
+    * component minimum. Rounds ≤ graph diameter; every round is two
+    * key-partitioned shuffles over state+frontier only (semi-naive) —
+    * the scale story of large-star/small-star with the same worst case.
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val base = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    graft.operators.RecursiveCTE.keyedFixpoint(
+      base,
+      (frontier, acc) => {
+        val nbrMin = edges
+          .join(frontier.select(col("id").as("fid"), col("label").as("flabel")),
+            col("dst") === col("fid"))
+          .groupBy(col("src").as("nid")).agg(min("flabel").as("cand"))
+        nbrMin
+          .join(acc.select(col("id").as("aid"), col("label").as("alabel")),
+            col("nid") === col("aid"))
+          .filter(col("cand") < col("alabel"))
+          .select(col("nid").as("id"), col("cand").as("label"))
+      },
+      keys = Seq("id"))
+  }
+
   /** Span-level (substring) dedup: k-token spans appearing in more than
     * one document — the distributed shape of suffix-array training-data
     * dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language

@@ -253,6 +253,40 @@ object Pipeline extends Pack {
       .orderBy("doc_id")
   }
 
+  // duplicate clusters: connected components over the LSH pair graph
+  // (min-label propagation on the keyedFixpoint operator); the oracle
+  // computes the same components by recursive transitive closure over
+  // the identical pair set
+  q("q_dedup_clusters",
+    s"""WITH RECURSIVE base AS (SELECT doc_id, $duckBases AS bases FROM documents),
+       |sig AS (
+       |  SELECT doc_id, ${duckBand(1)} AS band_1, ${duckBand(2)} AS band_2
+       |  FROM base),
+       |b1 AS (SELECT band_1 AS bucket FROM sig GROUP BY 1 HAVING count(*) <= 100),
+       |b2 AS (SELECT band_2 AS bucket FROM sig GROUP BY 1 HAVING count(*) <= 100),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a JOIN sig b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id
+       |  JOIN b1 ON b1.bucket = a.band_1
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM sig a JOIN sig b ON a.band_2 = b.band_2 AND a.doc_id < b.doc_id
+       |  JOIN b2 ON b2.bucket = a.band_2),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |FROM reach GROUP BY src ORDER BY doc_id""") { (s, dir) =>
+    val pairs = Dedup.lshCandidatePairs(
+      Tables.documents(s, dir), "doc_id", "text", bands = 2, rowsPerBand = 4)
+    Dedup.dupClusters(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   // span-level dedup: duplicated 8-token windows across documents (the
   // distributed suffix-array-dedup shape — Dedup.duplicatedSpans)
   q("q_dedup_span",
