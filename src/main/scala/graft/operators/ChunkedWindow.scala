@@ -196,4 +196,51 @@ object ChunkedWindow {
       .withColumn(fwdName, coalesce(col("_lf"), col("_fwdIn")))
       .drop("_chunk", "_p", "_lb", "_lf", "_backIn", "_fwdIn")
   }
+
+  /** Keyed EXCLUSIVE running sum (`sum(value) OVER (PARTITION BY keys
+    * ORDER BY orderCol ROWS UNBOUNDED PRECEDING..1 PRECEDING)`, null → 0)
+    * that stays parallel even when one key dominates the table — the
+    * shape `Window.partitionBy(key)` cannot give: a real pretraining
+    * corpus is ~90% one language, so the plain per-key window funnels 90%
+    * of the data through ONE task. Shard-carry instead:
+    *
+    *  1. shard rows by deterministic equi-depth chunks of `orderCol`
+    *     ([[chunkExpr]] — a pure expression, identical on every
+    *     re-execution);
+    *  2. each (key, chunk) computes its LOCAL exclusive running sum in
+    *     parallel — the chunk id refines the key partitioning, so the
+    *     dominant key now spreads across all chunks;
+    *  3. per-(key, chunk) totals (one map-side-combined aggregate, ≤
+    *     #keys × #chunks rows) get their own exclusive prefix sum over
+    *     chunk order — a window over the TINY totals frame, so the
+    *     single-task-per-key concern vanishes (≤ #chunks rows per key);
+    *  4. broadcast the carry-in back on (keys, chunk): global running sum
+    *     = local sum + chunk carry-in.
+    *
+    * No driver-side state at all (unlike [[unboundedCarry]]'s boundary
+    * collect) — the prefix combine is itself a (tiny) window. Exact
+    * integer arithmetic as long as `value` is integral.
+    */
+  def keyedRunningSum(
+      df: DataFrame, keys: Seq[String], orderCol: String, value: Column,
+      outName: String, chunks: Int = 0): DataFrame = {
+    val n =
+      if (chunks > 0) chunks
+      else math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val (cid, _) = chunkExpr(df, orderCol, n)
+    val banded = df.withColumn("_chunk", cid).withColumn("_v", value)
+    val partCols = (keys :+ "_chunk").map(col)
+    val wLocal = Window.partitionBy(partCols: _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = banded
+      .withColumn("_ls", coalesce(sum(col("_v")).over(wLocal), lit(0L)))
+    val wCarry = Window.partitionBy(keys.map(col): _*).orderBy("_chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = banded.groupBy(partCols: _*).agg(sum(col("_v")).as("_t"))
+      .withColumn("_carryIn", coalesce(sum(col("_t")).over(wCarry), lit(0L)))
+      .drop("_t")
+    local.join(broadcast(carry), keys :+ "_chunk", "left")
+      .withColumn(outName, col("_ls") + coalesce(col("_carryIn"), lit(0L)))
+      .drop("_chunk", "_v", "_ls", "_carryIn")
+  }
 }

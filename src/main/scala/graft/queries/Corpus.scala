@@ -170,9 +170,12 @@ object Corpus extends Pack {
   // Docs concatenate per language in doc_id order; a doc lands in the bin
   // where its first token falls (exclusive running sum div window). The
   // deterministic streaming rule every training-data packer can reproduce,
-  // and it distributes: one window partition per language (at 100 TB,
-  // per (lang, shard) with shard-carry — same two-pass trick as
-  // operators.ChunkedWindow). All arithmetic is exact integers.
+  // and it distributes via ChunkedWindow.keyedRunningSum: rows shard into
+  // doc_id chunks, each (lang, chunk) sums locally in parallel, and the
+  // per-chunk totals prefix-combine through a window over the tiny totals
+  // frame — so a 90%-one-language corpus still spreads across every task
+  // (PlanSpec asserts >1 task on a single-language input). All arithmetic
+  // is exact integers.
   q("q_pack_sequences",
     """WITH t AS (
       |  SELECT lang, doc_id,
@@ -187,11 +190,10 @@ object Corpus extends Pack {
       |  min(doc_id) AS first_doc
       |FROM t GROUP BY 1, 2 ORDER BY lang, bin""") { (s, dir) =>
     val nTok = graft.pipeline.TextAnalysis.tokenCount(col("text"))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    val toks = Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"), nTok.as("n_tok"))
-      .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0)))
+    graft.operators.ChunkedWindow
+      .keyedRunningSum(toks, Seq("lang"), "doc_id", col("n_tok"), "start_tok")
       .groupBy(col("lang"), floor(col("start_tok") / 4096).cast("bigint").as("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").cast("bigint").as("bin_tokens"),

@@ -5,7 +5,7 @@ import graft.engine.Tables
 import Q._
 
 /** TPC-DS sample pack, batch 11
-  * (`/root/reference/extension/tpcds/dsdgen/queries/{45,69,78}.sql`),
+  * (`/root/reference/extension/tpcds/dsdgen/queries/{24,45,69,78}.sql`),
   * fixture-adapted like the earlier batches:
   *
   *  - q45: disjunctive membership — IN-list OR correlated EXISTS — which
@@ -13,6 +13,9 @@ import Q._
   *         feeding the OR).
   *  - q69: EXISTS AND NOT EXISTS — a semi and an anti join stacked on
   *         the same probe.
+  *  - q24: scalar-subquery HAVING gate — per-group totals kept only when
+  *         above a multiple of the overall average (uncorrelated scalar
+  *         subquery broadcast into the filter).
   *  - q78: returns-netted year-over-year ratio — LEFT anti against the
   *         returns subset, then per-(part, year) totals self-joined
   *         across years.

@@ -203,8 +203,11 @@ object Windows extends Pack {
   // median/quantile/mode — natively in window frames; Spark has no
   // median window fn, so the rewrite collects the frame, sorts, and
   // indexes the middle — exact, and the frame is bounded (5 rows) so the
-  // per-row state is constant). Even-count median averages the two
-  // middles with one double op, identical in both engines.
+  // per-row state is constant). Even-count median: the reference
+  // interpolates doubles as lo*(1-d) + hi*d (arithmetic.cpp:1315), which
+  // at d=0.5 is lo*0.5 + hi*0.5 — bit-identical to (lo+hi)/2 for normal
+  // doubles (halving is an exact exponent shift), so the single
+  // averaged-middles op matches by construction, NOT just on the fixture.
   q("q_window_median",
     """SELECT event_id, user_id,
       |  median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

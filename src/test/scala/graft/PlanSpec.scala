@@ -119,6 +119,36 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Exchange SinglePartition"),
         s"$name still funnels rows through one task:\n$p")
     }
+    // q_pack_sequences on a SINGLE-language corpus (the adversarial case:
+    // a real pretraining corpus is ~90% one language) — keyedRunningSum
+    // must refine the lang partitioning with the doc_id chunk so the
+    // running sum never funnels one task, and the result must still equal
+    // the plain per-key window's.
+    locally {
+      import spark.implicits._
+      val docs = (1 to 5000)
+        .map(i => ("en", i.toLong, (i % 37) + 1)).toDF("lang", "doc_id", "n_tok")
+      val packed = graft.operators.ChunkedWindow
+        .keyedRunningSum(docs, Seq("lang"), "doc_id", $"n_tok", "start_tok")
+      packed.collect()
+      val p = packed.queryExecution.executedPlan.toString
+      assert(p.contains("hashpartitioning(lang") && p.contains("_chunk"),
+        s"running sum not (lang, chunk)-partitioned:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"single-language packing still funnels rows through one task:\n$p")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val expect = docs.withColumn("start_tok",
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum($"n_tok").over(w),
+          org.apache.spark.sql.functions.lit(0L)))
+      val got = packed.select("doc_id", "start_tok").as[(Long, Long)]
+        .collect().toMap
+      val exp = expect.select("doc_id", "start_tok").as[(Long, Long)]
+        .collect().toMap
+      assert(got == exp, "shard-carry running sum diverges from plain window")
+    }
     // q_window_fill_global: UNBOUNDED frames over the full stream — the
     // carry windows must partition by the range chunk (two-pass prefix
     // scan), never collapse to one task
