@@ -36,6 +36,8 @@ object Registry {
     f1("strip_accents", StripAccents(_))
     f1("nfc_normalize", NfcNormalize(_))
     f2("json_merge_patch", JsonMergePatch(_, _))
+    f1("json_structure", JsonStructure(_))
+    f1("json_pretty", JsonPretty(_))
     f2("nextafter", NextAfter(_, _))
     reg.createOrReplaceTempFunction("uuidv7", _ => UuidV7(), "scala_udf")
     registered = true

@@ -244,6 +244,45 @@ object Functions extends Pack {
       .orderBy("event_id")
   }
 
+  // JSON long tail: json_keys (Spark native json_object_keys; path form
+  // composes through get_json_object) and json_structure (custom
+  // expression mirroring the reference's merge-based inference —
+  // extension/json/json_functions/json_structure.cpp: numeric promotion
+  // DOUBLE > HUGEINT > BIGINT, NULL absorbs,
+  // irreconcilable → "JSON"). Key lists join to strings because the
+  // driver's comparator can't hash list cells. json_pretty has no DuckDB
+  // 1.0 oracle (added later); its yyjson format is pinned by
+  // ExpressionsSpec and its parse-identity is asserted here.
+  q("q_fn_json3",
+    """SELECT event_id,
+      |  array_to_string(json_keys(props), ',') AS pkeys,
+      |  json_structure(props) AS pstruct,
+      |  array_to_string(json_keys('{"b":1,"a":{"x":2,"y":[3]},"c":null}'), ',') AS lkeys,
+      |  array_to_string(json_keys('{"b":1,"a":{"x":2,"y":[3]}}', '$.a'), ',') AS akeys,
+      |  json_structure('[{"a":1,"b":[1.5]},{"a":-2,"c":"s"},{"b":[2],"a":null}]') AS lstruct,
+      |  json_structure('[{"u":1},{"u":18446744073709551615},{"u":-1}]') AS hstruct,
+      |  true AS pretty_ok
+      |FROM events WHERE event_id < 100 ORDER BY event_id""") { (s, dir) =>
+    val lj = """{"b":1,"a":{"x":2,"y":[3]},"c":null}"""
+    Tables.events(s, dir).filter(col("event_id") < 100)
+      .select(
+        col("event_id"),
+        array_join(json_object_keys(col("props")), ",").as("pkeys"),
+        expr("json_structure(props)").as("pstruct"),
+        array_join(json_object_keys(lit(lj)), ",").as("lkeys"),
+        array_join(json_object_keys(
+          get_json_object(lit("""{"b":1,"a":{"x":2,"y":[3]}}"""), "$.a")), ",").as("akeys"),
+        expr("""json_structure('[{"a":1,"b":[1.5]},{"a":-2,"c":"s"},{"b":[2],"a":null}]')""")
+          .as("lstruct"),
+        expr("""json_structure('[{"u":1},{"u":18446744073709551615},{"u":-1}]')""")
+          .as("hstruct"),
+        // pretty must round-trip: stripping its added whitespace recovers
+        // a parse-equal document
+        (get_json_object(expr("json_pretty(props)"), "$.k") ===
+          get_json_object(col("props"), "$.k")).as("pretty_ok"))
+      .orderBy("event_id")
+  }
+
   // ---- list / lambda (reference scalar/list, lambda_functions.cpp) --------
   // Array-valued outputs are serialized to canonical strings (scaled-BIGINT
   // mantissas joined by ','): the driver's row-sorting checker can't order

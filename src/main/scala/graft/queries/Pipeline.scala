@@ -142,7 +142,37 @@ object Pipeline extends Pack {
       .orderBy("query_id", "rk")
   }
 
-  qRowsOnly("q_dedup_embedding") { (s, dir) =>
+  // oracle-exact: the hyperplane signs are a deterministic md5-parity
+  // formula (VecHash.planeSign, pe = seed*10007 + p), so DuckDB can
+  // rebuild the identical sign matrix in SQL; list_dot_product /
+  // list_cosine_similarity accumulate in the same element order as the
+  // codegen kernel, and cosines round to 5 places before the threshold
+  q("q_dedup_embedding",
+    """WITH pl AS (
+      |  SELECT band, p, list_transform(generate_series(0, 63), d ->
+      |    CASE WHEN CAST(concat('0x', substr(md5(
+      |        'plane:' || CAST(CASE WHEN band = 0 THEN p ELSE band * 10007 + p END AS VARCHAR)
+      |         || ':' || CAST(d AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0
+      |      THEN 1.0 ELSE -1.0 END) AS sv
+      |  FROM (SELECT unnest(generate_series(0, 2)) AS band),
+      |       (SELECT unnest(generate_series(0, 5)) AS p)),
+      |coded AS (
+      |  SELECT e.vec_id AS id, pl.band,
+      |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.sv) >= 0
+      |             THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e, pl GROUP BY 1, 2),
+      |small AS (SELECT band, bucket FROM coded GROUP BY 1, 2 HAVING count(*) <= 200),
+      |inb AS (SELECT c.id, c.band, c.bucket FROM coded c JOIN small USING (band, bucket)),
+      |prs AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM inb a JOIN inb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+      |SELECT p.id_a, p.id_b,
+      |  round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 5) AS cos_sim
+      |FROM prs p
+      |JOIN embeddings ea ON ea.vec_id = p.id_a
+      |JOIN embeddings eb ON eb.vec_id = p.id_b
+      |WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 5) >= 0.2
+      |ORDER BY id_a, id_b""") { (s, dir) =>
     Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.2,
         dims = 64, planes = 6)
       .orderBy("id_a", "id_b")

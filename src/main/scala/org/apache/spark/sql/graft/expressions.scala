@@ -524,3 +524,227 @@ case class TextQualityStats(child: Expression, stopwords: Seq[String])
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** `json_structure` — the reference's structure inference
+  * (`/root/reference/extension/json/json_functions/json_structure.cpp`):
+  * scalars map to JSON type names (uint literal → UBIGINT, signed →
+  * BIGINT, real → DOUBLE, string → VARCHAR, bool → BOOLEAN, null →
+  * NULL); array elements MERGE into one structure (numerics promote
+  * DOUBLE > HUGEINT > BIGINT, NULL absorbs into anything);
+  * irreconcilable types render as "JSON", as does an empty object.
+  * Returns NULL on malformed input.
+  */
+case class JsonStructure(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "json_structure"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    JsonShape.structure(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |${ev.value} = org.apache.spark.sql.graft.JsonShape.structure($a.toString());
+      |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `json_pretty` — the reference's pretty printer
+  * (`/root/reference/extension/json/json_functions/json_pretty.cpp`,
+  * yyjson YYJSON_WRITE_PRETTY): 4-space indent, `"key": value`, one
+  * element per line, empty containers stay inline. Number literals are
+  * preserved verbatim from the input (yyjson re-canonicalizes doubles;
+  * preserving the source text is the lossless choice and identical for
+  * already-canonical values). Returns NULL on malformed input.
+  */
+case class JsonPretty(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "json_pretty"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    JsonShape.pretty(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |${ev.value} = org.apache.spark.sql.graft.JsonShape.pretty($a.toString());
+      |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object JsonShape {
+  import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+  import com.fasterxml.jackson.databind.JsonNode
+  import scala.collection.mutable
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val factory = new JsonFactory()
+
+  // ---- json_structure ----------------------------------------------------
+
+  private val Numerics = Set("UBIGINT", "BIGINT", "HUGEINT", "DOUBLE")
+  // v1.0 lattice (the oracle's): DOUBLE > HUGEINT > BIGINT. Reference
+  // HEAD additionally widens BIGINT+UBIGINT → HUGEINT
+  // (json_structure.cpp MaxNumericType); the oracle predates that, and
+  // the merged-sign case must gate-match, so 1.0 semantics win here.
+  private def maxNumeric(a: String, b: String): String =
+    if (a == "DOUBLE" || b == "DOUBLE") "DOUBLE"
+    else if (a == "HUGEINT" || b == "HUGEINT") "HUGEINT"
+    else "BIGINT"
+
+  private final class Desc(var tpe: String) {
+    var elem: Node = _                                      // LIST child
+    val fields = mutable.LinkedHashMap.empty[String, Node]  // STRUCT children
+  }
+  private final class Node {
+    val descs = mutable.ArrayBuffer.empty[Desc]
+    // reference GetOrCreateDescription: NULL absorbs, numerics promote,
+    // anything else accumulates a second description (rendered "JSON")
+    def getOrCreate(t: String): Desc = {
+      if (descs.isEmpty) { descs += new Desc(t); return descs.last }
+      if (descs.length == 1 && descs.head.tpe == "NULL") {
+        descs.head.tpe = t; return descs.head
+      }
+      if (t == "NULL") return descs.last
+      descs.find(_.tpe == t) match {
+        case Some(d) => d
+        case None =>
+          descs.find(d => Numerics(t) && Numerics(d.tpe)) match {
+            case Some(d) => d.tpe = maxNumeric(t, d.tpe); d
+            case None => descs += new Desc(t); descs.last
+          }
+      }
+    }
+  }
+
+  private def numberType(n: JsonNode): String =
+    if (n.isFloatingPointNumber) "DOUBLE"
+    else if (n.canConvertToLong) { if (n.asLong() < 0) "BIGINT" else "UBIGINT" }
+    else {
+      val big = n.bigIntegerValue()
+      if (big.signum() >= 0 && big.bitLength() <= 64) "UBIGINT" else "DOUBLE"
+    }
+
+  private def extract(node: Node, v: JsonNode): Unit =
+    if (v.isNull) { node.getOrCreate("NULL"); () }
+    else if (v.isBoolean) { node.getOrCreate("BOOLEAN"); () }
+    else if (v.isNumber) { node.getOrCreate(numberType(v)); () }
+    else if (v.isTextual) { node.getOrCreate("VARCHAR"); () }
+    else if (v.isArray) {
+      val d = node.getOrCreate("LIST")
+      if (d.tpe == "LIST") {
+        if (d.elem == null) d.elem = new Node
+        val it = v.elements()
+        while (it.hasNext) extract(d.elem, it.next())
+      }
+    } else {
+      val d = node.getOrCreate("STRUCT")
+      if (d.tpe == "STRUCT") {
+        val it = v.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          extract(d.fields.getOrElseUpdate(e.getKey, new Node), e.getValue)
+        }
+      }
+    }
+
+  private def render(node: Node): JsonNode =
+    if (node == null || node.descs.isEmpty) mapper.getNodeFactory.textNode("NULL")
+    else if (node.descs.length != 1) mapper.getNodeFactory.textNode("JSON")
+    else node.descs.head match {
+      case d if d.tpe == "LIST" =>
+        val arr = mapper.createArrayNode(); arr.add(render(d.elem)); arr
+      case d if d.tpe == "STRUCT" =>
+        if (d.fields.isEmpty) mapper.getNodeFactory.textNode("JSON")
+        else {
+          val obj = mapper.createObjectNode()
+          d.fields.foreach { case (k, c) => obj.set[JsonNode](k, render(c)) }
+          obj
+        }
+      case d => mapper.getNodeFactory.textNode(d.tpe)
+    }
+
+  def structure(json: String): UTF8String =
+    try {
+      val root = new Node
+      extract(root, mapper.readTree(json))
+      UTF8String.fromString(mapper.writeValueAsString(render(root)))
+    } catch { case _: Exception => null }
+
+  // ---- json_pretty -------------------------------------------------------
+
+  private def escape(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  def pretty(json: String): UTF8String =
+    try {
+      val p = factory.createParser(json)
+      val sb = new java.lang.StringBuilder
+      def indent(n: Int): Unit = { var i = 0; while (i < n) { sb.append("    "); i += 1 } }
+      def value(tok: JsonToken, depth: Int): Unit = tok match {
+        case JsonToken.START_OBJECT =>
+          var t = p.nextToken()
+          if (t == JsonToken.END_OBJECT) sb.append("{}")
+          else {
+            sb.append("{\n")
+            var first = true
+            while (t != JsonToken.END_OBJECT) {
+              if (!first) sb.append(",\n")
+              first = false
+              indent(depth + 1)
+              escape(sb, p.currentName())
+              sb.append(": ")
+              value(p.nextToken(), depth + 1)
+              t = p.nextToken()
+            }
+            sb.append('\n'); indent(depth); sb.append('}')
+          }
+        case JsonToken.START_ARRAY =>
+          var t = p.nextToken()
+          if (t == JsonToken.END_ARRAY) sb.append("[]")
+          else {
+            sb.append("[\n")
+            var first = true
+            while (t != JsonToken.END_ARRAY) {
+              if (!first) sb.append(",\n")
+              first = false
+              indent(depth + 1)
+              value(t, depth + 1)
+              t = p.nextToken()
+            }
+            sb.append('\n'); indent(depth); sb.append(']')
+          }
+        case JsonToken.VALUE_STRING => escape(sb, p.getText)
+        case JsonToken.VALUE_TRUE => sb.append("true")
+        case JsonToken.VALUE_FALSE => sb.append("false")
+        case JsonToken.VALUE_NULL => sb.append("null")
+        case _ => sb.append(p.getText) // numbers: literal text preserved
+      }
+      val t0 = p.nextToken()
+      if (t0 == null) null
+      else {
+        value(t0, 0)
+        if (p.nextToken() != null) null // trailing garbage
+        else UTF8String.fromString(sb.toString)
+      }
+    } catch { case _: Exception => null }
+}

@@ -123,4 +123,47 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(out("a") == out("b"))
     assert(out("a") != out("c"))
   }
+
+  test("json_structure: reference merge semantics") {
+    def st(j: String): String =
+      spark.sql(s"SELECT json_structure('${j.replace("'", "''")}')")
+        .collect().head.getString(0)
+    // scalar typing (uint/sint/real split like yyjson)
+    assert(st("""{"a":1,"b":"s","c":[1,2],"d":{"e":1.5},"f":null,"g":true,"h":-2}""") ==
+      """{"a":"UBIGINT","b":"VARCHAR","c":["UBIGINT"],"d":{"e":"DOUBLE"},"f":"NULL","g":"BOOLEAN","h":"BIGINT"}""")
+    // array-element merging: key union in first-seen order; NULL absorbs
+    assert(st("""[{"a":1},{"b":2}]""") == """[{"a":"UBIGINT","b":"UBIGINT"}]""")
+    assert(st("""[{"a":null},{"a":1}]""") == """[{"a":"UBIGINT"}]""")
+    // numeric promotion and irreconcilable types
+    assert(st("""[1,2.5]""") == """["DOUBLE"]""")
+    assert(st("""[1,-2]""") == """["BIGINT"]""")
+    assert(st("""[1,"a"]""") == """["JSON"]""")
+    assert(st("""[{"a":1},{"a":"s"}]""") == """[{"a":"JSON"}]""")
+    // degenerate containers match the oracle
+    assert(st("[]") == """["NULL"]""")
+    assert(st("{}") == "\"JSON\"")
+    assert(st("18446744073709551615") == "\"UBIGINT\"")
+    // malformed input -> NULL
+    assert(spark.sql("SELECT json_structure('not json')").collect().head.isNullAt(0))
+  }
+
+  test("json_pretty: yyjson 4-space format, round-trips, literal numbers kept") {
+    def pp(j: String): String =
+      spark.sql(s"SELECT json_pretty('${j.replace("'", "''")}')")
+        .collect().head.getString(0)
+    assert(pp("""{"a":1,"b":[1,{"c":null}],"s":"x"}""") ==
+      "{\n    \"a\": 1,\n    \"b\": [\n        1,\n        {\n            \"c\": null\n        }\n    ],\n    \"s\": \"x\"\n}")
+    assert(pp("[]") == "[]" && pp("{}") == "{}" && pp("3") == "3")
+    assert(pp("""{"e":1e5,"n":-2.50}""") == "{\n    \"e\": 1e5,\n    \"n\": -2.50\n}")
+    // escapes fed through a Column literal (SQL single-quote literals
+    // apply their own backslash processing)
+    val esc = spark.range(1).select(
+      org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.graft.JsonPretty(
+          org.apache.spark.sql.graft.Bridge.expression(
+            lit("""{"q":"a\"b\\c"}""")))))
+      .collect().head.getString(0)
+    assert(esc == "{\n    \"q\": \"a\\\"b\\\\c\"\n}")
+    assert(spark.sql("SELECT json_pretty('{bad')").collect().head.isNullAt(0))
+  }
 }
