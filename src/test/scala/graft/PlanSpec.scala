@@ -277,6 +277,30 @@ class PlanSpec extends AnyFunSuite {
     assert(cov.indexOf("HashAggregate") >= 0, s"q39 lost its pre-join aggregate:\n$cov")
   }
 
+  test("TPC-DS batches 14-15: no cartesians; year_total CTEs aggregate before self-joins") {
+    for (name <- Seq("q_ds2_weekday_matrix_yoy", "q_ds11_channel_growth",
+        "q_ds74_yoy_names", "q_ds30_return_outliers", "q_ds32_excess_discount",
+        "q_ds38_triple_intersect", "q_ds12_class_share_web",
+        "q_ds20_class_share_catalog", "q_ds16_multi_warehouse_noret",
+        "q_ds18_rollup_averages", "q_ds22_inventory_rollup",
+        "q_ds81_return_outliers_geo")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans BNLJ:\n$p")
+    }
+    // the q11 4-way self-join must consume per-(customer, year) aggregates
+    // (HashAggregate below every join input), never raw fact x fact
+    val q11 = planOf("q_ds11_channel_growth")
+    assert(q11.contains("HashAggregate"), s"q11 lost its pre-join aggregates:\n$q11")
+    // q30/q81 per-nation stats are tiny aggregates and must broadcast back
+    val q30 = planOf("q_ds30_return_outliers")
+    assert(q30.contains("BroadcastHashJoin"), s"q30 stats not broadcast:\n$q30")
+    // class shares window over the grouped aggregate, not the fact table
+    val q12 = planOf("q_ds12_class_share_web")
+    assert(q12.indexOf("Window") < q12.lastIndexOf("HashAggregate"),
+      s"q12 windows over the fact table:\n$q12")
+  }
+
   test("TPC-DS batch 4 monsters: aggregates before self-joins, stacked semi/anti") {
     for (name <- Seq("q_ds64_repeat_channel_price", "q_ds72_lagged_fulfillment",
         "q_ds95_multi_supplier_orders")) {
