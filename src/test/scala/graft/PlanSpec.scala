@@ -301,6 +301,45 @@ class PlanSpec extends AnyFunSuite {
       s"q12 windows over the fact table:\n$q12")
   }
 
+  test("TPC-DS batches 16-19: no cartesians; per-order aggregates precede customer joins") {
+    for (name <- Seq("q_ds26_demo_averages", "q_ds28_band_triples",
+        "q_ds29_return_rebuy_chain", "q_ds40_pivot_refunds", "q_ds48_band_blocks",
+        "q_ds50_return_lag_buckets", "q_ds52_brand_revenue",
+        "q_ds55_brand_revenue_prior", "q_ds56_color_channels",
+        "q_ds60_category_channels", "q_ds57_monthly_deviation",
+        "q_ds63_manager_deviation", "q_ds68_city_mismatch_sums",
+        "q_ds71_brand_by_day_channels", "q_ds73_small_basket_customers",
+        "q_ds79_monday_profit", "q_ds80_channel_pnl_rollup",
+        "q_ds82_item_band_demand", "q_ds84_income_band_chain",
+        "q_ds85_reason_averages", "q_ds86_rollup_rank_hierarchy",
+        "q_ds89_monthly_vs_avg", "q_ds91_return_loss_report",
+        "q_ds94_web_multi_supplier_noret", "q_ds99_ship_lag_buckets")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans BNLJ:\n$p")
+    }
+    // q28: ONE scan with conditional aggregates, not six cross-joined
+    // scalar subqueries — exactly one parquet scan in the plan
+    val q28 = planOf("q_ds28_band_triples")
+    assert("Scan parquet".r.findAllIn(q28).size == 1,
+      s"q28 scans more than once:\n$q28")
+    // q16/q94 existence gates must stay semi/anti joins
+    for (name <- Seq("q_ds16_multi_warehouse_noret", "q_ds94_web_multi_supplier_noret")) {
+      val p = planOf(name)
+      assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+        s"$name existence gates not semi/anti:\n$p")
+    }
+    // deviation windows (q57/q63/q89) run over grouped rows: the Window
+    // operator sits above a HashAggregate, and the rollup ranks (q86)
+    // window over the Expand aggregate
+    for (name <- Seq("q_ds57_monthly_deviation", "q_ds63_manager_deviation",
+        "q_ds89_monthly_vs_avg")) {
+      val p = planOf(name)
+      assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
+        s"$name windows over the fact table:\n$p")
+    }
+  }
+
   test("TPC-DS batch 4 monsters: aggregates before self-joins, stacked semi/anti") {
     for (name <- Seq("q_ds64_repeat_channel_price", "q_ds72_lagged_fulfillment",
         "q_ds95_multi_supplier_orders")) {
