@@ -34,10 +34,7 @@ object ChunkedWindow {
     * gracefully (1 chunk = the plain single-task shape, still exact).
     */
   private def chunkExpr(df: DataFrame, orderCol: String, n: Int): (Column, Int) = {
-    val probs = (1 until math.max(n, 1)).map(_.toDouble / n).toArray
-    val cuts =
-      if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    val cuts = Banding.cuts(df, orderCol, n, 0.001)
     val e =
       if (cuts.isEmpty) lit(0)
       else aggregate(

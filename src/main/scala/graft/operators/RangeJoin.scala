@@ -85,10 +85,7 @@ object RangeJoin {
     // candidate pair — so double rounding cannot change results, only
     // which band evaluates them. Monotonicity of the cast keeps coverage:
     // l < r (exact) implies band(l) <= band(r) (non-strict, double).
-    val probs = (1 until math.max(bands, 1)).map(_.toDouble / bands).toArray
-    val cuts =
-      if (probs.isEmpty) Array.empty[Double]
-      else r.stat.approxQuantile(rightCol, probs, 0.01).distinct.sorted
+    val cuts = Banding.cuts(r, rightCol, bands, 0.01)
     val nBands = cuts.length + 1
 
     // band(v) = number of cuts <= v; a codegen'd fold over the literal

@@ -340,6 +340,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("banding quantile pass runs once per (plan, column) — repeats spend zero jobs") {
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // unique data so no earlier test warmed this cache entry
+    val df = (1 to 4321).map(i => (i.toLong, (i * 13 % 977).toDouble))
+      .toDF("bq_id", "bq_v")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Unit = { Thread.sleep(400) } // listener bus drain
+      graft.operators.Banding.cuts(df, "bq_v", 32, 0.01)
+      settle()
+      val first = jobs.get()
+      assert(first > 0, "first cuts derivation should run a quantile job")
+      graft.operators.Banding.cuts(df, "bq_v", 32, 0.01)
+      settle()
+      assert(jobs.get() == first,
+        s"repeated cuts derivation re-ran the quantile pass (${jobs.get()} != $first)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("TPC-DS batch 4 monsters: aggregates before self-joins, stacked semi/anti") {
     for (name <- Seq("q_ds64_repeat_channel_price", "q_ds72_lagged_fulfillment",
         "q_ds95_multi_supplier_orders")) {
