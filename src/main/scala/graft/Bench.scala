@@ -23,6 +23,16 @@ object Bench {
     "q_dedup_exact", "q_dedup_minhash_sig", "q_sim_topk",
     "q_text_quality", "q_text_fingerprint")
 
+  /** Round-7 additions: operators the engine grew after the original
+    * headline set froze — a TPC-DS year_total monster, the banded
+    * inequality join, a geo aggregate, span-level dedup, and GROUPS
+    * frames. Timed and reported separately (`total_extended`) so the
+    * 22-query `value` stays comparable round-over-round.
+    */
+  val headlineExtra: Seq[String] = Seq(
+    "q_ds11_channel_growth", "q_join_range", "q_geo_distance",
+    "q_dedup_span", "q_window_groups")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,8 +61,10 @@ object Bench {
       graft.engine.Tables.warm(spark, sfDir)
 
     val qs = SparkEntry.queries
+    val extra = headlineExtra.filter(qs.contains)
     val names = headline.filter(qs.contains) ++
-      (if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) qs.keys.toSeq.sorted.diff(headline)
+      (if (sys.env.contains("SPARK_GRAFT_BENCH_ALL"))
+        qs.keys.toSeq.sorted.diff(headline ++ headlineExtra)
        else Nil)
 
     def runOnce(name: String): Double = {
@@ -68,7 +80,7 @@ object Bench {
     // steady-state capability — with every pass's total recorded alongside
     // so an artifact can never hide that it was a one-off.
     val suiteRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
-    def onePass(): Seq[(String, Double)] = names.map { name =>
+    def onePass(ns: Seq[String] = names): Seq[(String, Double)] = ns.map { name =>
       val t =
         try {
           val times = (1 to timedRuns).map(_ => runOnce(name)).sorted
@@ -80,18 +92,25 @@ object Bench {
         }
       name -> t
     }
-    names.foreach { n => // warmup (codegen + JIT + file listing), untimed
+    (names ++ extra).foreach { n => // warmup (codegen + JIT + file listing)
       try runOnce(n)
       catch { case _: Throwable => () }
     }
-    val passes = (1 to suiteRuns).map(_ => onePass())
     def totalOf(r: Seq[(String, Double)]): Double = r.map(_._2).filter(_ >= 0).sum
+    // the round-7 additions time in their own passes AFTER the core so
+    // `value` (the original 22-query total) stays protocol-identical
+    // round-over-round; `total_extended` adds their min-pass total
+    val passes = (1 to suiteRuns).map(_ => onePass())
+    val extraPasses = (1 to suiteRuns).map(_ => onePass(extra))
     val results = passes.minBy(totalOf)
+    val extraResults = extraPasses.minBy(totalOf)
     val totals = passes.map(p => f"${totalOf(p)}%.4f").mkString("[", ",", "]")
 
-    val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qJson = (results ++ extraResults)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = totalOf(results)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"totals":$totals,"sf":"$sfDir"}""")
+    val extTotal = total + totalOf(extraResults)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_extended":$extTotal,"queries":$qJson,"totals":$totals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
