@@ -217,12 +217,19 @@ object Dedup {
       textCol: String,
       k: Int = 8,
       topN: Int = 50): DataFrame = {
-    val spans = docs.select(
-        col(idCol).as("doc_id"),
-        explode(expr(
-          s"""transform(sequence(1, greatest(size(split(lower($textCol), '\\\\s+')) - ${k - 1}, 1)),
-             |  i -> array_join(slice(split(lower($textCol), '\\\\s+'), i, $k), ' '))"""
-            .stripMargin)).as("span"))
+    // split ONCE, explode window indexes, slice per exploded row — the
+    // lambda formulation (array_join(slice(split(text)...)) inside a
+    // transform) re-tokenized the document for EVERY window (no CSE
+    // inside lambda bodies): O(len · windows) splitting, measured 1.9×
+    // slower at sf0.1 (0.59 → 0.31 s)
+    val spans = docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), "\\s+").as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("_toks")) - (k - 1), lit(1)))).as("_i"))
+      .select(col("doc_id"),
+        array_join(slice(col("_toks"), col("_i"), lit(k)), " ").as("span"))
     // pre-group on (span, doc): the distinct-doc count then falls out of
     // a plain second aggregate — no two-phase Expand for countDistinct,
     // and the map-side combine collapses within-doc repeats before the
