@@ -16,12 +16,22 @@ object Registry {
 
   def registerAll(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
-    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.graft._
+    // arity is enforced so e.g. damerau_levenshtein('a','b','c') fails
+    // analysis like the reference binder does, instead of silently
+    // dropping the extra argument
+    def fn(name: String, arity: Int)(build: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => {
+        if (es.length != arity)
+          throw new IllegalArgumentException(
+            s"$name expects $arity arguments, got ${es.length}")
+        build(es)
+      }, "scala_udf")
     def f1(name: String, build: Expression => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => build(es.head), "scala_udf")
+      fn(name, 1)(es => build(es.head))
     def f2(name: String, build: (Expression, Expression) => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => build(es(0), es(1)), "scala_udf")
+      fn(name, 2)(es => build(es(0), es(1)))
 
     f2("vec_dot", VecDot(_, _))
     f2("vec_cosine_similarity", VecCosine(_, _))
@@ -40,6 +50,233 @@ object Registry {
     f1("json_pretty", JsonPretty(_))
     f2("nextafter", NextAfter(_, _))
     reg.createOrReplaceTempFunction("uuidv7", _ => UuidV7(), "scala_udf")
+
+    // ---- reference SQL-name compatibility surface, pinned by the
+    // imported sqllogictest corpus (src/test/resources/sql/ref/) ----
+    // string similarity spellings (function_list.cpp)
+    f2("jaccard", JaccardChars(_, _))
+    f2("mismatches", HammingDistance(_, _))
+    f2("hamming", HammingDistance(_, _))
+    f2("editdist3", Levenshtein(_, _))
+    // prefix/suffix predicates
+    f2("prefix", StartsWith(_, _))
+    f2("suffix", EndsWith(_, _))
+    f2("starts_with", StartsWith(_, _))
+    // codepoint functions: reference chr/unicode are full-Unicode
+    // (Spark's chr is ASCII-mod-256, hence the shadow)
+    f1("chr", CodePointChr(_))
+    f1("unicode", FirstCodePoint(_))
+    f1("ord", FirstCodePoint(_))
+    // hex spellings (Spark: hex/unhex); from_hex errors on non-hex
+    // input like the reference (Spark's lenient unhex returns NULL)
+    f1("to_hex", Hex(_))
+    f1("from_hex", Unhex(_, failOnError = true))
+    reg.createOrReplaceTempFunction("to_base", es => es.length match {
+      case 2 => ToBase(es(0), es(1), Literal(0))
+      case 3 => ToBase(es(0), es(1), es(2))
+      case n => throw new IllegalArgumentException(
+        s"to_base expects 2 or 3 arguments, got $n")
+    }, "scala_udf")
+    fn("binom", 2)(es => Binom(es(0), es(1)))
+    // fmod/fdiv under SET ieee_floating_point_ops=false: floored
+    // division/modulo with NULL (not error) on zero divisor. Spark's
+    // Pmod only corrects negative remainders (assumes positive
+    // modulus), so floored mod is composed from Remainder directly:
+    // r when sign(r) in {0, sign(y)}, else r + y
+    def nullIfZeroDiv(y: Expression, e: Expression): Expression =
+      If(EqualTo(y, Literal(0)),
+        Literal.create(null, org.apache.spark.sql.types.NullType), e)
+    def flooredMod(x: Expression, y: Expression): Expression = {
+      val r = Remainder(x, y)
+      If(Or(EqualTo(r, Literal(0)), EqualTo(Signum(r), Signum(y))),
+        r, Add(r, y))
+    }
+    f2("fmod", (x, y) => nullIfZeroDiv(y, flooredMod(x, y)))
+    f2("fdiv", (x, y) => nullIfZeroDiv(y, Floor(Divide(x, y))))
+    // reference mod() returns NULL on zero divisor (ANSI Spark errors);
+    // C-style sign-of-dividend = Spark's Remainder
+    f2("mod", (x, y) => nullIfZeroDiv(y, Remainder(x, y)))
+    // operator-function aliases (function_list.cpp "+","-",...)
+    f2("add", Add(_, _))
+    f2("subtract", Subtract(_, _))
+    f2("multiply", Multiply(_, _))
+    f2("divide", Divide(_, _))
+    f2("xor", BitwiseXor(_, _))
+    // regex options arg ('i' case-insensitive, 's' dotall, 'm'/'n'/'p'
+    // newline-sensitive, 'l' literal, 'c' the case-sensitive default)
+    // folded into the pattern at bind time; 'g' and unknown letters are
+    // binder errors like the reference's (re_functions.cpp options parse)
+    def withOpts(p: Expression, opts: Expression): Expression = opts match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        val o = s.toString.filterNot(_.isWhitespace) // spaces/tabs separate options
+        o.find(c => !"cilmnps".contains(c)).foreach { c =>
+          throw new IllegalArgumentException(
+            if (c == 'g') "the 'g' modifier is only valid for regexp_replace"
+            else s"unrecognized regex option '$c'")
+        }
+        if (o.contains('l'))
+          Concat(Seq(Literal.create("\\Q", org.apache.spark.sql.types.StringType),
+            p, Literal.create("\\E", org.apache.spark.sql.types.StringType)))
+        else {
+          val flags = o.flatMap {
+            case 'i' => "i"
+            case 's' => "s"
+            case 'm' | 'n' | 'p' => "m"
+            case _ => "" // 'c' is the default
+          }.distinct
+          if (flags.isEmpty) p
+          else Concat(Seq(Literal.create(s"(?$flags)",
+            org.apache.spark.sql.types.StringType), p))
+        }
+      case _ => throw new IllegalArgumentException(
+        "regex options must be a literal string")
+    }
+    // regexp_matches = partial-match boolean (re_functions.cpp) = RLIKE,
+    // with an optional options arg; regexp_full_match anchors the string
+    reg.createOrReplaceTempFunction("regexp_matches", es => es.length match {
+      case 2 => RLike(es(0), es(1))
+      case 3 => RLike(es(0), withOpts(es(1), es(2)))
+      case n => throw new IllegalArgumentException(
+        s"regexp_matches expects 2-3 args, got $n")
+    }, "scala_udf")
+    def anchored(p: Expression): Expression = Concat(Seq(
+      Literal.create("^(?:", org.apache.spark.sql.types.StringType), p,
+      Literal.create(")$", org.apache.spark.sql.types.StringType)))
+    reg.createOrReplaceTempFunction("regexp_full_match", es => es.length match {
+      case 2 => RLike(es(0), anchored(es(1)))
+      case 3 => RLike(es(0), anchored(withOpts(es(1), es(2))))
+      case n => throw new IllegalArgumentException(
+        s"regexp_full_match expects 2-3 args, got $n")
+    }, "scala_udf")
+    // strlen = byte length (reference length.cpp octet variant)
+    f1("strlen", OctetLength(_))
+    // error('msg') raises like the reference's error() (generic pack)
+    f1("error", RaiseError(_))
+    // reference factorial/log-family error on domain violations where
+    // Spark returns NULL/NaN; reference 1-arg log IS log10
+    f1("factorial", GraftFactorial(_))
+    f1("ln", CheckedMathFn("ln", _))
+    f1("log10", CheckedMathFn("log10", _))
+    f1("log2", CheckedMathFn("log2", _))
+    f1("sqrt", CheckedMathFn("sqrt", _))
+    reg.createOrReplaceTempFunction("log", es => es.length match {
+      case 1 => CheckedMathFn("log10", es.head)
+      case 2 => Logarithm(es(0), es(1))
+      case n => throw new IllegalArgumentException(
+        s"log expects 1 or 2 arguments, got $n")
+    }, "scala_udf")
+    // split_part divergences: part 0 returns '' in the reference
+    // (Spark errors); empty separator splits into characters
+    fn("split_part", 3)(es =>
+      If(EqualTo(es(2), Literal(0)),
+        Literal.create("", org.apache.spark.sql.types.StringType),
+        If(EqualTo(es(1), Literal.create("", org.apache.spark.sql.types.StringType)),
+          Substring(es(0), es(2), Literal(1)),
+          SplitPart(es(0), es(1), es(2)))))
+    // 2-arg ltrim/rtrim: reference order is (str, trimChars); Spark's
+    // SQL surface reverses them
+    reg.createOrReplaceTempFunction("ltrim", es => es.length match {
+      case 1 => StringTrimLeft(es(0))
+      case 2 => StringTrimLeft(es(0), es(1))
+      case n => throw new IllegalArgumentException(s"ltrim expects 1-2 args, got $n")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("rtrim", es => es.length match {
+      case 1 => StringTrimRight(es(0))
+      case 2 => StringTrimRight(es(0), es(1))
+      case n => throw new IllegalArgumentException(s"rtrim expects 1-2 args, got $n")
+    }, "scala_udf")
+    // reference regexp_extract: default group 0, missing group -> '',
+    // optional 4th options arg; the group index must be constant (the
+    // reference resolves the capture slot at bind time, so a per-row
+    // index is a Binder Error — the pattern itself may be per-row)
+    def constantIdx(idx: Expression): Unit = {
+      if (!idx.foldable)
+        throw new IllegalArgumentException(
+          "regexp_extract group index must be a constant expression")
+      // the reference has no VARCHAR->INT implicit cast here: a string
+      // group index is a binder error, not a runtime cast
+      val integral = try {
+        {
+          import org.apache.spark.sql.types._
+          idx.dataType match {
+            case ByteType | ShortType | IntegerType | LongType | NullType => true
+            case _ => false
+          }
+        }
+      } catch { case _: Exception => true } // unresolved: let analysis decide
+      if (!integral)
+        throw new IllegalArgumentException(
+          "regexp_extract group index must be an integer")
+    }
+    // a NULL group index yields '' (not NULL) in the reference, though
+    // NULL subject/pattern still null-propagate
+    def extractWith(s: Expression, p: Expression, idx: Expression): Expression = {
+      constantIdx(idx)
+      idx match {
+        case Literal(null, _) =>
+          If(Or(IsNull(s), IsNull(p)),
+            Literal.create(null, org.apache.spark.sql.types.StringType),
+            Literal.create("", org.apache.spark.sql.types.StringType))
+        case _ => GraftRegexpExtract(s, p, idx)
+      }
+    }
+    reg.createOrReplaceTempFunction("regexp_extract", es => es.length match {
+      case 2 => GraftRegexpExtract(es(0), es(1), Literal(0))
+      case 3 => extractWith(es(0), es(1), es(2))
+      case 4 =>
+        // 'k' (extract-only option): keep the original string when the
+        // pattern does not match, instead of returning ''
+        val (keep, rest) = es(3) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, t)
+              if s.toString.contains('k') =>
+            (true, Literal.create(s.toString.filterNot(_ == 'k'), t))
+          case other => (false, other)
+        }
+        val pat = withOpts(es(1), rest)
+        val ex = extractWith(es(0), pat, es(2))
+        if (keep) If(RLike(es(0), pat), ex, es(0)) else ex
+      case n => throw new IllegalArgumentException(
+        s"regexp_extract expects 2-4 args, got $n")
+    }, "scala_udf")
+    // grapheme-aware reverse (reference string/reverse.cpp)
+    f1("reverse", GraftReverse(_))
+    // 2-arg trim is (str, trimChars) in the reference; Spark reverses
+    reg.createOrReplaceTempFunction("trim", es => es.length match {
+      case 1 => StringTrim(es(0))
+      case 2 => StringTrim(es(0), es(1))
+      case n => throw new IllegalArgumentException(s"trim expects 1-2 args, got $n")
+    }, "scala_udf")
+    // bit-string spellings (reference bin()/from_binary over VARCHAR)
+    f1("to_binary", ToBitString(_))
+    f1("from_binary", FromBitString(_))
+    // fmt-style format(); error(format(...)) is the reference idiom
+    reg.createOrReplaceTempFunction("format",
+      es => GraftFormat(es), "scala_udf")
+    // constant_or_null(v, c1, ...): NULL if any guard is NULL
+    reg.createOrReplaceTempFunction("constant_or_null", es => {
+      if (es.length < 2)
+        throw new IllegalArgumentException(
+          s"constant_or_null expects 2+ arguments, got ${es.length}")
+      If(es.tail.map(IsNull(_): Expression).reduce(Or),
+        Literal.create(null, org.apache.spark.sql.types.NullType), es.head)
+    }, "scala_udf")
+    // reference CONCAT skips NULL arguments (= concat_ws('')); imported
+    // corpus maps CONCAT( -> graft_concat( to get those semantics
+    // without shadowing Spark's array-capable concat
+    reg.createOrReplaceTempFunction("graft_concat", es => {
+      if (es.isEmpty)  // reference CONCAT() is a binder error
+        throw new IllegalArgumentException("concat expects 1+ arguments")
+      ConcatWs(Literal.create("",
+        org.apache.spark.sql.types.StringType) +: es)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("path_join", es => PathJoin(es), "scala_udf")
+    // TRY(expr): NULL on runtime error (reference TRY expression wrapper);
+    // Spark's TryEval is the same catch-to-null semantics, codegen'd
+    f1("try", TryEval(_))
+    f1("parse_formatted_bytes", ParseFormattedBytes(_))
+    f1("length_grapheme", LengthGrapheme(_))
+    reg.createOrReplaceTempFunction("substring_grapheme",
+      es => SubstringGrapheme(es(0), es(1), es(2)), "scala_udf")
     registered = true
   }
 }

@@ -16,6 +16,9 @@ object StringSim {
   /** Jaccard similarity of the distinct-byte sets (reference jaccard.cpp:26-39). */
   def jaccard(a: UTF8String, b: UTF8String): Double = {
     val x = a.getBytes; val y = b.getBytes
+    // reference jaccard.cpp errors on empty input rather than defining 0
+    if (x.length == 0 || y.length == 0)
+      throw new IllegalArgumentException("Jaccard Function: An argument too short!")
     val sa = new java.util.BitSet(256); val sb = new java.util.BitSet(256)
     var i = 0
     while (i < x.length) { sa.set(x(i) & 0xff); i += 1 }
@@ -116,10 +119,16 @@ object StringSim {
     j + l * 0.1 * (1.0 - j)
   }
 
-  /** Hamming distance; null on unequal length. */
+  /** Hamming distance; the reference (hamming.cpp) errors on empty or
+    * unequal-length inputs rather than returning NULL.
+    */
   def hamming(sa: UTF8String, sb: UTF8String): java.lang.Long = {
     val s = sa.getBytes; val t = sb.getBytes
-    if (s.length != t.length) return null
+    if (s.length == 0 || t.length == 0)
+      throw new IllegalArgumentException("Hamming Function: An argument too short!")
+    if (s.length != t.length)
+      throw new IllegalArgumentException(
+        "Mismatch Function: Strings must be of equal length!")
     var d = 0L; var i = 0
     while (i < s.length) { if (s(i) != t(i)) d += 1; i += 1 }
     java.lang.Long.valueOf(d)

@@ -122,7 +122,9 @@ object Functions extends Pack {
         signum(col("l_quantity") - 25).cast("bigint").as("sg"),
         expr("gcd(l_orderkey, l_suppkey + 1)").as("g"),
         expr("lcm(CAST(l_linenumber AS BIGINT), 6L)").as("lc"),
-        factorial(col("l_linenumber")).as("fac"),
+        // graft factorial is DECIMAL(38,0) (reference HUGEINT range); the
+        // oracle casts to BIGINT, so mirror it
+        factorial(col("l_linenumber")).cast("long").as("fac"),
         round(lit(math.Pi), 9).as("pival"),
         round(degrees(col("l_discount")), 9).as("dg"),
         round(radians(col("l_quantity")), 9).as("rd"),

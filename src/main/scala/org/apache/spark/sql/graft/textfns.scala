@@ -1,0 +1,550 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar functions from the reference's string/numeric packs that have no
+  * Spark builtin with matching semantics. SQL names are wired in
+  * [[graft.functions.Registry]]; semantics are pinned by the imported
+  * sqllogictest corpus (`src/test/resources/sql/ref/`).
+  *
+  * All are row-local, codegen'd via a static helper (same pattern as
+  * [[StripAccents]]) so they stay inside whole-stage codegen.
+  */
+object TextFns {
+  // chr: reference `chr(codepoint)` is a Unicode codepoint constructor
+  // (scalar_function/chr.cpp); Spark's chr is ASCII-mod-256.
+  def chr(cp: Int): UTF8String = {
+    if (!Character.isValidCodePoint(cp))
+      throw new IllegalArgumentException(s"chr: invalid Unicode codepoint $cp")
+    UTF8String.fromString(new String(Character.toChars(cp)))
+  }
+
+  // unicode/ord: codepoint of the first character; '' -> -1 (reference
+  // unicode.cpp returns -1 on empty input rather than erroring)
+  def firstCodePoint(s: UTF8String): Int = {
+    val str = s.toString
+    if (str.isEmpty) -1 else str.codePointAt(0)
+  }
+
+  private val BASE_DIGITS = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+  // to_base(n, radix[, min_length]): uppercase digits, zero-padded; the
+  // three validation errors mirror the reference's messages
+  def toBase(n: Long, radix: Int, minLength: Int): UTF8String = {
+    if (n < 0)
+      throw new IllegalArgumentException(
+        "'to_base' number must be greater than or equal to 0")
+    if (radix < 2 || radix > 36)
+      throw new IllegalArgumentException("radix must be between 2 and 36")
+    if (minLength < 0 || minLength > 64)
+      throw new IllegalArgumentException("min_length must be between 0 and 64")
+    val sb = new java.lang.StringBuilder
+    var v = n
+    if (v == 0) sb.append('0')
+    while (v > 0) { sb.append(BASE_DIGITS.charAt((v % radix).toInt)); v /= radix }
+    while (sb.length < minLength) sb.append('0')
+    UTF8String.fromString(sb.reverse.toString)
+  }
+
+  // binom(n, k) = n choose k in DECIMAL(38,0) — covers the reference's
+  // HUGEINT (int128) range; like it, errors on negatives and overflow
+  // (binom(130,65) ~ 9.5e37 fits, binom(131,65) errors on both engines)
+  def binom(n: Long, k: Long): org.apache.spark.sql.types.Decimal = {
+    if (n < 0 || k < 0)
+      throw new IllegalArgumentException("binom with negative input is undefined")
+    val acc =
+      if (k > n) java.math.BigInteger.ZERO
+      else {
+        val kk = math.min(k, n - k)
+        var a = java.math.BigInteger.ONE
+        var i = 0L
+        while (i < kk) {
+          a = a.multiply(java.math.BigInteger.valueOf(n - i))
+            .divide(java.math.BigInteger.valueOf(i + 1))
+          i += 1
+        }
+        a
+      }
+    if (acc.toString.length > 38)
+      throw new ArithmeticException("binom: Value out of range")
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(acc), 38, 0)
+  }
+
+  // path_join: '/'-joined with '.'/'..'/empty-segment normalization.
+  // Semantics pinned by the reference's path_join.test: a non-first
+  // absolute or scheme-qualified component errors; '<scheme>://bucket'
+  // is an unremovable root ('..' clamps to '<scheme>://bucket/');
+  // '<scheme>:/' prefixes behave like plain absolute paths; an
+  // all-relative empty result renders '.'.
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*:(//)?)(.*)$".r
+  def pathJoin(parts: Array[UTF8String]): UTF8String = {
+    val first = parts(0).toString
+    var prefix = ""    // rendered verbatim before the joined segments
+    var absolute = false
+    var rest0 = first
+    first match {
+      case SchemeRe(scheme, dslash, tail) =>
+        if (dslash != null) {
+          // s3://bucket — bucket is part of the root
+          val bucket = tail.takeWhile(_ != '/')
+          prefix = scheme + bucket
+          rest0 = tail.drop(bucket.length)
+          absolute = true
+        } else {
+          prefix = scheme
+          rest0 = tail
+          absolute = tail.startsWith("/")
+        }
+      case _ =>
+        absolute = first.startsWith("/")
+    }
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def push(s: String): Unit = s.split("/", -1).foreach {
+      case "" | "." => ()
+      case ".." =>
+        if (segs.nonEmpty && segs.last != "..") segs.remove(segs.length - 1)
+        else if (!absolute && prefix.isEmpty) segs += ".."
+      case seg => segs += seg
+    }
+    push(rest0)
+    parts.iterator.drop(1).foreach { p =>
+      val s = p.toString
+      if (s.startsWith("/") || SchemeRe.findFirstIn(s).isDefined)
+        throw new IllegalArgumentException(
+          s"path_join: incompatible paths, '$s' is absolute")
+      push(s)
+    }
+    val joined = segs.mkString("/")
+    val out =
+      if (prefix.nonEmpty)
+        prefix + "/" + joined  // s3://foo/... ; s3://foo/ at the root
+      else if (absolute) "/" + joined
+      else if (joined.isEmpty) "."
+      else joined
+    UTF8String.fromString(out)
+  }
+
+  // parse_formatted_bytes('1.5 KiB') -> 1536; decimal SI (KB=1000^k) and
+  // binary (KiB=1024^k) suffixes, with the reference's error wording
+  // unit suffix is REQUIRED and must end in b — '5' and '1 Ki' error
+  private val BytesRe =
+    """^\s*(\d+(?:\.\d+)?(?:e[+-]?\d+)?)\s*(b|byte|bytes|[kmgtpe]i?b)\s*$""".r
+  def parseFormattedBytes(s: UTF8String): Long = {
+    val str = s.toString.trim
+    if (str.startsWith("-"))
+      throw new IllegalArgumentException("Memory cannot be negative")
+    str.toLowerCase match {
+      case BytesRe(num, suffix) =>
+        val mult: Double = Option(suffix).getOrElse("b") match {
+          case "b" | "byte" | "bytes" => 1d
+          case sfx =>
+            val base = if (sfx.length > 1 && sfx.charAt(1) == 'i') 1024d else 1000d
+            val exp = "kmgtpe".indexOf(sfx.charAt(0)) + 1
+            math.pow(base, exp)
+        }
+        val v = num.toDouble * mult
+        if (v > Long.MaxValue.toDouble)
+          throw new ArithmeticException("Memory value out of range: value is too large")
+        v.toLong
+      case _ =>
+        throw new IllegalArgumentException(s"Invalid memory limit: '$str'")
+    }
+  }
+
+  // reference math functions error on domain violations where Spark's
+  // return NULL/NaN (math_functions.cpp with ieee_floating_point_ops
+  // off): log/ln/log2/log10 of x<=0, sqrt of x<0. Note reference `log`
+  // (1-arg) is BASE-10, not natural.
+  def checkedMath(op: String, x: Double): Double = op match {
+    case "ln" =>
+      if (x <= 0) throw new ArithmeticException("cannot take logarithm of a non-positive number")
+      math.log(x)
+    case "log10" =>
+      if (x <= 0) throw new ArithmeticException("cannot take logarithm of a non-positive number")
+      math.log10(x)
+    case "log2" =>
+      if (x <= 0) throw new ArithmeticException("cannot take logarithm of a non-positive number")
+      math.log(x) / math.log(2.0)
+    case "sqrt" =>
+      if (x < 0) throw new ArithmeticException("cannot take square root of a negative number")
+      math.sqrt(x)
+  }
+
+  // factorial in DECIMAL(38,0) like the reference's HUGEINT (33! is the
+  // largest that fits int128; we admit up to 38 digits); negatives error
+  def factorial(n: Int): org.apache.spark.sql.types.Decimal = {
+    if (n < 0)
+      throw new IllegalArgumentException("factorial of a negative number is undefined")
+    var acc = java.math.BigInteger.ONE
+    var i = 2
+    while (i <= n) {
+      acc = acc.multiply(java.math.BigInteger.valueOf(i))
+      if (acc.toString.length > 38)
+        throw new ArithmeticException("factorial: Value out of range")
+      i += 1
+    }
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(acc), 38, 0)
+  }
+
+  // regexp_extract with the reference's edges: default group 0, ''
+  // (not an error) when the group doesn't exist in the pattern
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]
+  def regexpExtract(s: UTF8String, p: UTF8String, idx: Int): UTF8String = {
+    val pat = patternCache.computeIfAbsent(p.toString,
+      java.util.regex.Pattern.compile(_))
+    val m = pat.matcher(s.toString)
+    // reference: group 1 on a group-less pattern yields '', but an
+    // index beyond the pattern's (non-zero) group count is an error
+    if (idx > math.max(1, pat.matcher("").groupCount()))
+      throw new IllegalArgumentException(
+        s"regexp_extract: pattern has ${pat.matcher("").groupCount()} groups, cannot access group $idx")
+    if (!m.find() || idx > m.groupCount()) UTF8String.EMPTY_UTF8
+    else {
+      val g = m.group(idx)
+      if (g == null) UTF8String.EMPTY_UTF8 else UTF8String.fromString(g)
+    }
+  }
+
+  // to_binary/from_binary: byte string <-> '0'/'1' bit string (the
+  // reference's bin()/from_binary over VARCHAR)
+  def toBitString(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val sb = new java.lang.StringBuilder(b.length * 8)
+    b.foreach { x =>
+      var bit = 7
+      while (bit >= 0) { sb.append(if (((x >> bit) & 1) == 1) '1' else '0'); bit -= 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def fromBitString(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str.length % 8 != 0 || !str.forall(c => c == '0' || c == '1'))
+      throw new IllegalArgumentException(s"from_binary: malformed bit string")
+    val out = new Array[Byte](str.length / 8)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(str.substring(i * 8, i * 8 + 8), 2).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  // grapheme-cluster helpers: icu4j ships with Spark 4 (collations), and
+  // its BreakIterator implements extended grapheme clusters (UAX #29),
+  // so ZWJ emoji sequences count as one cluster like the reference's
+  // utf8proc-based length_grapheme (string/length.cpp)
+  private def clusters(s: String): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]
+    val it = com.ibm.icu.text.BreakIterator.getCharacterInstance(java.util.Locale.ROOT)
+    it.setText(s)
+    var start = it.first()
+    var end = it.next()
+    while (end != com.ibm.icu.text.BreakIterator.DONE) {
+      out.add(s.substring(start, end)); start = end; end = it.next()
+    }
+    out
+  }
+
+  def lengthGrapheme(s: UTF8String): Int = clusters(s.toString).size
+
+  // reference reverse() reverses grapheme clusters, not codepoints
+  // (string/reverse.cpp) — 'S̈a' -> 'aS̈', combining marks stay attached
+  def graphemeReverse(s: UTF8String): UTF8String = {
+    val cl = clusters(s.toString)
+    val sb = new java.lang.StringBuilder
+    var i = cl.size - 1
+    while (i >= 0) { sb.append(cl.get(i)); i -= 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  // reference format() is fmt-style: '{}' consumes arguments in order
+  // ('{0}' positional also accepted); enough for the corpus + error()
+  def format(fmt: String, args: Array[String]): UTF8String = {
+    val out = new java.lang.StringBuilder
+    var i = 0
+    var next = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '{' && i + 1 < fmt.length) {
+        val close = fmt.indexOf('}', i)
+        if (close < 0) { out.append(c); i += 1 }
+        else {
+          val spec = fmt.substring(i + 1, close)
+          val idx = if (spec.isEmpty) { next += 1; next - 1 }
+                    else spec.takeWhile(_.isDigit) match {
+                      case "" => { next += 1; next - 1 }
+                      case d => d.toInt
+                    }
+          out.append(if (idx < args.length) args(idx) else "")
+          i = close + 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  // substring_grapheme(s, start, len): 1-based cluster offsets, negative
+  // start counts from the end (reference substring semantics)
+  def substringGrapheme(s: UTF8String, start: Int, len: Int): UTF8String = {
+    val cl = clusters(s.toString)
+    val n = cl.size
+    val begin0 =
+      if (start > 0) start - 1
+      else if (start < 0) math.max(n + start, 0)
+      else 0
+    val end0 = math.min(begin0 + math.max(len, 0), n)
+    val sb = new java.lang.StringBuilder
+    var i = math.min(begin0, n)
+    while (i < end0) { sb.append(cl.get(i)); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class CodePointChr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "chr"
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = TextFns.chr(v.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.chr($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class FirstCodePoint(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "unicode"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextFns.firstCodePoint(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.firstCodePoint($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class ToBase(num: Expression, radix: Expression, minLength: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "to_base"
+  override def first: Expression = num
+  override def second: Expression = radix
+  override def third: Expression = minLength
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(n: Any, r: Any, m: Any): Any =
+    TextFns.toBase(n.asInstanceOf[Long], r.asInstanceOf[Int], m.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (n, r, m) =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.toBase($n, $r, $m);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression) = copy(num = a, radix = b, minLength = c)
+}
+
+case class Binom(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "binom"
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextFns.binom(l.asInstanceOf[Long], r.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.binom($l, $r);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+// varargs + error-on-absolute semantics; cold-path utility, so plain
+// eval (CodegenFallback) is fine — it never appears in a hot loop
+case class PathJoin(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "path_join"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes() =
+    if (children.size >= 1 && children.forall(c =>
+        c.dataType == StringType || c.dataType == NullType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "path_join expects 1+ string arguments")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.contains(null)) null
+    else TextFns.pathJoin(vals.map(_.asInstanceOf[UTF8String]).toArray)
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]) = copy(children = cs)
+}
+
+case class ParseFormattedBytes(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "parse_formatted_bytes"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextFns.parseFormattedBytes(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.parseFormattedBytes($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class LengthGrapheme(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "length_grapheme"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextFns.lengthGrapheme(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.lengthGrapheme($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class GraftRegexpExtract(str: Expression, pattern: Expression,
+    idx: Expression) extends TernaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "regexp_extract"
+  override def first: Expression = str
+  override def second: Expression = pattern
+  override def third: Expression = idx
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(s: Any, p: Any, i: Any): Any =
+    TextFns.regexpExtract(s.asInstanceOf[UTF8String],
+      p.asInstanceOf[UTF8String], i.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p, i) =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.regexpExtract($s, $p, $i);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression) = copy(str = a, pattern = b, idx = c)
+}
+
+case class ToBitString(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "to_binary"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextFns.toBitString(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.toBitString($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class FromBitString(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "from_binary"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextFns.fromBitString(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.fromBitString($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class GraftReverse(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "reverse"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextFns.graphemeReverse(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.graphemeReverse($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+// fmt-style format('{} and {}', a, b); cold-path utility, plain eval
+case class GraftFormat(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "format"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes() =
+    if (children.nonEmpty && children.head.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "format expects a string template first argument")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val fmt = children.head.eval(input)
+    if (fmt == null) return null
+    val args = children.tail.map { c =>
+      val v = c.eval(input)
+      if (v == null) "NULL" else v.toString
+    }.toArray
+    TextFns.format(fmt.asInstanceOf[UTF8String].toString, args)
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]) = copy(children = cs)
+}
+
+case class CheckedMathFn(op: String, child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = op
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextFns.checkedMath(op, v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.sql.graft.TextFns.checkedMath("$op", $a);""")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class GraftFactorial(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "factorial"
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType)
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = TextFns.factorial(v.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.factorial($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class SubstringGrapheme(str: Expression, pos: Expression, len: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "substring_grapheme"
+  override def first: Expression = str
+  override def second: Expression = pos
+  override def third: Expression = len
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(s: Any, p: Any, l: Any): Any =
+    TextFns.substringGrapheme(s.asInstanceOf[UTF8String],
+      p.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p, l) =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.substringGrapheme($s, $p, $l);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression) = copy(str = a, pos = b, len = c)
+}

@@ -45,17 +45,22 @@ class ExpressionsSpec extends AnyFunSuite {
     val rows = df.select(
       SF.jaro_winkler(col("a"), col("b")).as("jw"),
       SF.damerau_levenshtein(col("a"), col("b")).as("dl"),
-      SF.hamming_distance(col("a"), col("b")).as("ham"),
       SF.jaccard_sim(col("a"), col("b")).as("jac")).collect()
     // martha/marhta: classic JW = 0.9611
     assert(math.abs(rows(0).getAs[Double]("jw") - 0.9611111111111111) < 1e-9)
     assert(rows(0).getAs[Long]("dl") == 1) // one transposition
-    assert(rows(0).getAs[Long]("ham") == 2)
     // kitten/sitting: DL = 3
     assert(rows(1).getAs[Long]("dl") == 3)
-    assert(rows(1).isNullAt(rows(1).fieldIndex("ham"))) // unequal length
     // ca/abc: unrestricted DL = 2 (OSA would give 3)
     assert(rows(2).getAs[Long]("dl") == 2)
+    // hamming: equal-length distance; unequal length is an error like the
+    // reference's Mismatch Function (hamming.cpp)
+    val ham = df.filter(length(col("a")) === length(col("b")))
+      .select(SF.hamming_distance(col("a"), col("b")).as("ham")).collect()
+    assert(ham(0).getAs[Long]("ham") == 2)
+    intercept[Exception] {
+      df.select(SF.hamming_distance(col("a"), col("b"))).collect()
+    }
   }
 
   test("jaccard is byte-set based like the reference") {

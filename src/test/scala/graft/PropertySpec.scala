@@ -50,20 +50,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("byte-jaccard: range [0,1], identity, symmetry") {
+  test("byte-jaccard: range [0,1], identity, symmetry; empty input errors") {
     forAll(asciiText, asciiText) { (a, b) =>
-      val s = StringSim.jaccard(u(a), u(b))
-      assert(s >= 0.0 && s <= 1.0)
-      assert(s == StringSim.jaccard(u(b), u(a)))
-      if (a.nonEmpty) assert(StringSim.jaccard(u(a), u(a)) == 1.0)
+      if (a.isEmpty || b.isEmpty)
+        intercept[IllegalArgumentException](StringSim.jaccard(u(a), u(b)))
+      else {
+        val s = StringSim.jaccard(u(a), u(b))
+        assert(s >= 0.0 && s <= 1.0)
+        assert(s == StringSim.jaccard(u(b), u(a)))
+        assert(StringSim.jaccard(u(a), u(a)) == 1.0)
+      }
     }
   }
 
-  test("hamming: defined iff equal length; zero iff equal") {
+  test("hamming: errors on empty/unequal length; zero iff equal") {
     forAll(asciiText, asciiText) { (a, b) =>
-      val h = StringSim.hamming(u(a), u(b))
-      if (a.length != b.length) assert(h == null)
+      if (a.isEmpty || b.isEmpty || a.length != b.length)
+        intercept[IllegalArgumentException](StringSim.hamming(u(a), u(b)))
       else {
+        val h = StringSim.hamming(u(a), u(b))
         assert(h >= 0 && h <= a.length)
         assert((h == 0L) == (a == b))
       }

@@ -24,7 +24,13 @@ for f in $(ls $REF/sql/window/*.test $REF/sql/join/*.test \
     $REF/sql/aggregate/grouping_sets/*.test $REF/sql/aggregate/qualify/*.test \
     $REF/sql/filter/*.test $REF/sql/order/*.test $REF/sql/limit/*.test \
     $REF/sql/cte/*.test $REF/sql/conjunction/*.test $REF/sql/cast/*.test \
-    $REF/sql/types/null/*.test 2>/dev/null); do
+    $REF/sql/types/null/*.test $REF/sql/types/numeric/*.test \
+    $REF/sql/types/float/*.test $REF/sql/types/decimal/*.test \
+    $REF/sql/types/string/*.test $REF/sql/types/unsigned/*.test \
+    $REF/sql/projection/*.test $REF/sql/select/*.test \
+    $REF/sql/setops/*.test $REF/sql/topn/*.test \
+    $REF/sql/function/numeric/*.test $REF/sql/function/generic/*.test \
+    $REF/sql/function/operator/*.test $REF/sql/function/string/*.test 2>/dev/null); do
   base=$(basename $(dirname $f))_$(basename $f)
   python3 tools/import_slt.py "$f" "$base" >/dev/null 2>&1 || true
 done
@@ -38,6 +44,39 @@ python3 tools/import_slt.py --sqlite --max-queries 250 \
 python3 tools/import_slt.py --sqlite --max-queries 250 \
   $REF/sqlite/select3.test_slow sqlite_select3.test
 
+# records whose expected-error depends on reference-binder strictness that
+# Spark doesn't share (more permissive overload resolution / escape rules) —
+# dropped individually, content-addressed; the rest of each file runs:
+#   pad/replace: 2-arg LPAD/RPAD/REPLACE bind in Spark (default pad / 2-arg
+#     replace), error in the reference
+#   ESCAPE ''/NULL: the reference accepts empty or NULL escape, Spark rejects
+#     at parse; divergent in BOTH directions so neither maps
+#   contains(NULL,NULL): reference binder can't choose an overload; Spark
+#     types it and returns NULL
+#   path_join A:'a': prefix-colon alias syntax (duckdb-only dialect)
+python3 tools/import_slt.py --drop-matching "(?i)[LR]PAD\(1, 2\)|[LR]PAD\('Hello', 10, ''\)" \
+  $REF/sql/function/string/test_pad.test string_test_pad.test >/dev/null
+python3 tools/import_slt.py --drop-matching "(?i)REPLACE\(1, 2\)" \
+  $REF/sql/function/string/test_replace.test string_test_replace.test >/dev/null
+python3 tools/import_slt.py --drop-matching "(?i)escape\s+(NULL|''|esc\b)" \
+  $REF/sql/function/string/test_ilike_escape.test string_test_ilike_escape.test >/dev/null
+python3 tools/import_slt.py --drop-matching "(?i)escape\s+(NULL|'')" \
+  $REF/sql/function/string/test_like_escape.test string_test_like_escape.test >/dev/null
+python3 tools/import_slt.py --drop-matching "(?i)escape\s+(NULL|'')" \
+  $REF/sql/function/string/test_ilike_embedded_null.test string_test_ilike_embedded_null.test >/dev/null
+python3 tools/import_slt.py --drop-matching "contains\(NULL,NULL\)" \
+  $REF/sql/function/string/test_contains.test string_test_contains.test >/dev/null
+python3 tools/import_slt.py --drop-matching "A:'a'" \
+  $REF/sql/function/string/path_join.test string_path_join.test >/dev/null
+
+#   hex: COLUMNS(*) applies-to-all syntax in two records (duckdb-only)
+python3 tools/import_slt.py --drop-matching "(?i)columns\\(" \
+  $REF/sql/function/string/hex.test string_hex.test >/dev/null
+#   regex_search: '\X' is invalid in RE2 (reference errors) but valid in
+#     Java regex (grapheme matcher) — opposite outcomes
+python3 tools/import_slt.py --drop-matching "\\\\X" \
+  $REF/sql/function/string/regex_search.test string_regex_search.test >/dev/null
+
 # files that converted but fail on genuine engine-semantics divergence —
 # dropped with reasons (see git history of this list):
 #   corr() NULL-vs-NaN; duckdb-only routines (product, sem, weighted_avg,
@@ -48,6 +87,26 @@ while read -r t; do
   rm -f "src/test/resources/sql/ref/$t"
   sed -i "\\|^$t\$|d; \\|^sqlite:$t\$|d" src/test/resources/sql/ref/MANIFEST
 done <<'EOF'
+generic_case_condition.test
+generic_case_short_circuit.test
+generic_test_null_if.test
+operator_test_in_empty_table.test
+decimal_decimal_overflow_table.test
+generic_table_func_varargs.test
+generic_test_boolean_test.test
+generic_test_table_param.test
+numeric_test_bit_count.test
+numeric_test_unary.test
+projection_test_value_list.test
+select_test_positional_reference.test
+select_test_select_alias_prefix_colon.test
+select_test_schema_reference.test
+select_test_select_into.test
+select_test_select_locking.test
+select_test_select_qualified_view.test
+setops_ambiguous_order_by.test
+setops_test_setops.test
+decimal_large_decimal_constants.test
 aggregates_test_aggr_string.test
 aggregates_test_arg_min_max_null.test
 aggregates_test_corr.test
