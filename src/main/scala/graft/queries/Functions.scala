@@ -74,6 +74,48 @@ object Functions extends Pack {
       .orderBy("doc_id")
   }
 
+  // ---- reference-name scalar surface (SQL spellings pinned by the imported
+  // sqllogictest corpus; here additionally oracle-gated through the driver) --
+  // chr/unicode are full-Unicode codepoint functions (reference chr.cpp,
+  // unicode.cpp — Spark's builtin chr is ASCII-mod-256, shadowed by the
+  // Registry); to_base/to_hex/prefix/suffix/mismatches/editdist3/
+  // parse_formatted_bytes per function_list.cpp. Both sides run the same
+  // SQL names through the graft registry resp. DuckDB builtins.
+  q("q_fn_string3",
+    """SELECT p_partkey,
+      |  chr(CAST(35 + p_partkey % 90 AS INTEGER)) AS ch_ascii,
+      |  chr(CAST(945 + p_partkey % 25 AS INTEGER)) AS ch_greek,
+      |  CAST(unicode(p_name) AS BIGINT) AS uc,
+      |  CAST(ord(p_brand) AS BIGINT) AS oc,
+      |  to_base(p_partkey, 16) AS b16,
+      |  to_base(p_partkey, 2, 12) AS b2,
+      |  to_hex(p_partkey + 255) AS th,
+      |  prefix(p_name, 'a') AS pre,
+      |  suffix(p_name, 'e') AS suf,
+      |  CAST(mismatches(substr(p_name, 1, 6), substr(p_name, 3, 6)) AS BIGINT) AS mm,
+      |  round(jaccard(p_name, p_brand), 6) AS jac,
+      |  CAST(editdist3(p_brand, p_type) AS BIGINT) AS ed
+      |FROM part WHERE p_partkey <= 500 AND length(p_name) >= 8
+      |ORDER BY p_partkey""") { (s, dir) =>
+    graft.engine.EngineSession.configure(s)
+    Tables.part(s, dir)
+      .filter(col("p_partkey") <= 500 && length(col("p_name")) >= 8)
+      .selectExpr("p_partkey",
+        "chr(CAST(35 + p_partkey % 90 AS INT)) AS ch_ascii",
+        "chr(CAST(945 + p_partkey % 25 AS INT)) AS ch_greek",
+        "CAST(unicode(p_name) AS BIGINT) AS uc",
+        "CAST(ord(p_brand) AS BIGINT) AS oc",
+        "to_base(p_partkey, 16) AS b16",
+        "to_base(p_partkey, 2, 12) AS b2",
+        "to_hex(p_partkey + 255) AS th",
+        "prefix(p_name, 'a') AS pre",
+        "suffix(p_name, 'e') AS suf",
+        "CAST(mismatches(substr(p_name, 1, 6), substr(p_name, 3, 6)) AS BIGINT) AS mm",
+        "round(jaccard(p_name, p_brand), 6) AS jac",
+        "CAST(editdist3(p_brand, p_type) AS BIGINT) AS ed")
+      .orderBy("p_partkey")
+  }
+
   // ---- math (reference scalar/math) ---------------------------------------
   q("q_fn_math",
     """SELECT l_orderkey, l_linenumber,
