@@ -48,7 +48,11 @@ object Registry {
     f2("json_merge_patch", JsonMergePatch(_, _))
     f1("json_structure", JsonStructure(_))
     f1("json_pretty", JsonPretty(_))
-    f2("nextafter", NextAfter(_, _))
+    // explicit double casts so NULL/int literals resolve like the
+    // reference's implicit numeric->double binding
+    f2("nextafter", (a, b) =>
+      NextAfter(Cast(a, org.apache.spark.sql.types.DoubleType),
+        Cast(b, org.apache.spark.sql.types.DoubleType)))
     reg.createOrReplaceTempFunction("uuidv7", _ => UuidV7(), "scala_udf")
 
     // ---- reference SQL-name compatibility surface, pinned by the
@@ -273,10 +277,182 @@ object Registry {
     // TRY(expr): NULL on runtime error (reference TRY expression wrapper);
     // Spark's TryEval is the same catch-to-null semantics, codegen'd
     f1("try", TryEval(_))
+    // ---- aggregate spellings (reference function_list.cpp) ----
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    f2("argmin", MinBy(_, _)); f2("arg_min", MinBy(_, _))
+    f2("argmax", MaxBy(_, _)); f2("arg_max", MaxBy(_, _))
+    // arbitrary/first: any value of the group (reference first.cpp)
+    f1("arbitrary", First(_, ignoreNulls = false))
+    // Kahan-compensated sum/avg (graft KahanSum DeclarativeAggregate)
+    val DT = org.apache.spark.sql.types.DoubleType
+    f1("fsum", e => KahanSum(Cast(e, DT)))
+    f1("sumkahan", e => KahanSum(Cast(e, DT)))
+    f1("kahan_sum", e => KahanSum(Cast(e, DT)))
+    f1("favg", e => Divide(KahanSum(Cast(e, DT)).toAggregateExpression(),
+      Cast(Count(Seq(e)).toAggregateExpression(), DT)))
+    // skewness / kurtosis: the reference's SAMPLE estimators from raw
+    // power sums (skew.cpp:74-77, kurtosis.cpp G2 branch) — Spark's
+    // builtins are the population estimators, so shadow the SQL names
+    // with the same composition q_skew_kurt verifies against the oracle
+    locally {
+      val DTd = org.apache.spark.sql.types.DoubleType
+      def powSum(x: Expression, k: Int): Expression = {
+        val d = Cast(x, DTd)
+        Sum((1 until k).foldLeft(d: Expression)((a, _) =>
+          Multiply(a, d))).toAggregateExpression()
+      }
+      def moments(e: Expression) = {
+        val n = Cast(Count(Seq(e)).toAggregateExpression(), DTd)
+        (n, powSum(e, 1), powSum(e, 2), powSum(e, 3), powSum(e, 4))
+      }
+      def lit(d: Double) = Literal(d)
+      val nullD = Literal.create(null, DTd)
+      // the guard must stay OUTSIDE the divisions: in ANSI mode a zero
+      // divisor errors (even during constant folding of kurtosis(NULL)),
+      // while the reference returns NULL below the minimum n
+      reg.createOrReplaceTempFunction("skewness", es => {
+        val (n, s1, s2, s3, _) = moments(es.head)
+        val temp = Divide(lit(1.0), n)
+        val variance = Multiply(temp,
+          Subtract(s2, Multiply(Multiply(s1, s1), temp)))
+        val num = Subtract(Add(s3, Multiply(Multiply(lit(2.0),
+          Multiply(Multiply(s1, s1), s1)), Multiply(temp, temp))),
+          Multiply(lit(3.0), Multiply(Multiply(s2, s1), temp)))
+        If(LessThanOrEqual(n, lit(2.0)), nullD,
+          If(LessThanOrEqual(variance, lit(0.0)), nullD,
+            Multiply(Divide(Sqrt(Multiply(n, Subtract(n, lit(1.0)))),
+              Subtract(n, lit(2.0))),
+              Divide(Multiply(temp, num), Sqrt(Pow(variance, lit(3.0)))))))
+      }, "scala_udf")
+      reg.createOrReplaceTempFunction("kurtosis", es => {
+        val (n, s1, s2, s3, s4) = moments(es.head)
+        val temp = Divide(lit(1.0), n)
+        val variance = Multiply(temp,
+          Subtract(s2, Multiply(Multiply(s1, s1), temp)))
+        val m4 = Multiply(temp, Add(
+          Subtract(s4, Multiply(Multiply(lit(4.0), Multiply(s3, s1)), temp)),
+          Subtract(Multiply(Multiply(lit(6.0), Multiply(s2, Multiply(s1, s1))),
+            Multiply(temp, temp)),
+            Multiply(lit(3.0), Multiply(Pow(s1, lit(4.0)),
+              Multiply(Multiply(temp, temp), temp))))))
+        If(LessThanOrEqual(n, lit(3.0)), nullD,
+          If(LessThanOrEqual(variance, lit(0.0)), nullD,
+            Divide(Multiply(Subtract(n, lit(1.0)),
+              Subtract(Divide(Multiply(Add(n, lit(1.0)), m4),
+                Multiply(variance, variance)),
+                Multiply(lit(3.0), Subtract(n, lit(1.0))))),
+              Multiply(Subtract(n, lit(2.0)), Subtract(n, lit(3.0))))))
+      }, "scala_udf")
+    }
+    // kurtosis_pop = the population estimator = Spark's builtin
+    f1("kurtosis_pop", Kurtosis(_))
+    // geomean = exp(avg(ln(x))) (reference geomean is the same fold)
+    f1("geomean", e => Exp(Average(Log(Cast(e,
+      org.apache.spark.sql.types.DoubleType))).toAggregateExpression()))
+    f1("geometric_mean", e => Exp(Average(Log(Cast(e,
+      org.apache.spark.sql.types.DoubleType))).toAggregateExpression()))
+    // ---- scalar spellings ----
+    f1("sha256", e => Sha2(e, Literal(256)))
+    for (nm <- Seq("roundbankers", "round_even"))
+      reg.createOrReplaceTempFunction(nm, es => es.length match {
+        case 1 => BRound(es(0), Literal(0))
+        case 2 => BRound(es(0), es(1))
+        case n => throw new IllegalArgumentException(
+          s"$nm expects 1-2 args, got $n")
+      }, "scala_udf")
+    // even(x): round |x| up to the next even integer, away from zero,
+    // double-domain (saturating — no long round-trip)
+    f1("even", EvenFn(_))
+    f1("signbit", SignBit(_))
+    f1("format_bytes", FormatBytes(_))
+    f1("pg_size_pretty", FormatBytes(_))
+    f1("formatreadablesize", FormatBytes(_))
+    f1("formatreadabledecimalsize", FormatBytesDecimal(_))
+    f1("md5_number_upper", Md5Half(_, upper = true))
+    f1("md5_number_lower", Md5Half(_, upper = false))
+    // isnan(NULL) is NULL in the reference (Spark's IsNaN says false)
+    f1("isnan", e => If(IsNull(e),
+      Literal.create(null, org.apache.spark.sql.types.BooleanType), IsNaN(e)))
+    // array_extract / list_extract over VARCHAR: 1-based single
+    // grapheme; a negative index counts from the end (list semantics);
+    // out of range -> ''
+    for (nm <- Seq("array_extract", "list_extract"))
+    f2(nm, (s, i) => {
+      val it = org.apache.spark.sql.types.IntegerType
+      val idx = Cast(i, it)
+      val pos = If(LessThan(idx, Literal(0)),
+        Add(Add(Cast(LengthGrapheme(s), it), idx), Literal(1)), idx)
+      If(LessThanOrEqual(pos, Literal(0)),
+        If(IsNull(s), Literal.create(null,
+          org.apache.spark.sql.types.StringType),
+          Literal.create("", org.apache.spark.sql.types.StringType)),
+        SubstringGrapheme(s, pos, Literal(1)))
+    })
+    // substring/substr: reference semantics (substring.cpp) — negative
+    // offsets count from the end, offset 0 consumes a length unit,
+    // negative lengths scan backwards; positive args match Spark exactly
+    for (nm <- Seq("substring", "substr"))
+      reg.createOrReplaceTempFunction(nm, es => es.length match {
+        // 2-arg: to end of string; 2^32-1 is the reference's max length
+        case 2 => GraftSubstring(es(0), es(1), Literal(4294967295L))
+        case 3 => GraftSubstring(es(0), es(1), es(2))
+        case n => throw new IllegalArgumentException(
+          s"$nm expects 2-3 args, got $n")
+      }, "scala_udf")
+    // grapheme-indexed left/right (reference left_right.cpp grapheme
+    // variants); negative n drops from the other end, like left/right
+    def strNullGuard(s: Expression, n: Expression, body: Expression): Expression =
+      If(Or(IsNull(s), IsNull(n)),
+        Literal.create(null, org.apache.spark.sql.types.StringType), body)
+    f2("left_grapheme", (s, n) => strNullGuard(s, n,
+      SubstringGrapheme(s, Literal(1), Cast(
+        If(GreaterThanOrEqual(n, Literal(0)), n,
+          Greatest(Seq(Literal(0), Add(Cast(LengthGrapheme(s),
+            org.apache.spark.sql.types.IntegerType), n)))),
+        org.apache.spark.sql.types.IntegerType))))
+    f2("right_grapheme", (s, n) => {
+      val it = org.apache.spark.sql.types.IntegerType
+      val lg = Cast(LengthGrapheme(s), it)
+      val take = Cast(If(GreaterThanOrEqual(n, Literal(0)), n,
+        Greatest(Seq(Literal(0), Add(lg, n)))), it)
+      strNullGuard(s, n, SubstringGrapheme(s, Greatest(Seq(Literal(1),
+        Add(Subtract(lg, take), Literal(1)))), take))
+    })
+    // decode(blob): reference 1-arg decode = bytes -> VARCHAR; Spark's
+    // 2-arg charset decode still works
+    reg.createOrReplaceTempFunction("decode", es => es.length match {
+      case 1 => StringDecode(es(0),
+        Literal.create("UTF-8", org.apache.spark.sql.types.StringType))
+      case 2 => StringDecode(es(0), es(1))
+      case n => throw new IllegalArgumentException(
+        s"decode expects 1-2 args, got $n")
+    }, "scala_udf")
+    // LEFT/RIGHT with negative n drop |n| chars from the other end
+    // (reference left_right.cpp; Spark's builtins return '')
+    val emptyStr = Literal.create("", org.apache.spark.sql.types.StringType)
+    val nullStr = Literal.create(null, org.apache.spark.sql.types.StringType)
+    def posLen(s: Expression, n: Expression): Expression =
+      Greatest(Seq(Literal(0), Add(Length(s), n)))
+    def nullGuard(s: Expression, n: Expression, body: Expression): Expression =
+      If(Or(IsNull(s), IsNull(n)), nullStr, body)
+    f2("left", (s, n) => nullGuard(s, n,
+      If(GreaterThanOrEqual(n, Literal(0)),
+        Substring(s, Literal(1), n), Substring(s, Literal(1), posLen(s, n)))))
+    f2("right", (s, n) => nullGuard(s, n,
+      If(GreaterThanOrEqual(n, Literal(0)),
+        If(EqualTo(n, Literal(0)), emptyStr,
+          If(GreaterThanOrEqual(n, Length(s)), s,
+            Substring(s, UnaryMinus(n), n))),
+        If(GreaterThan(posLen(s, n), Literal(0)),
+          Substring(s, UnaryMinus(posLen(s, n)), posLen(s, n)), emptyStr))))
     f1("parse_formatted_bytes", ParseFormattedBytes(_))
     f1("length_grapheme", LengthGrapheme(_))
-    reg.createOrReplaceTempFunction("substring_grapheme",
-      es => SubstringGrapheme(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("substring_grapheme", es => es.length match {
+      case 2 => SubstringGrapheme(es(0), es(1), Literal(Int.MaxValue))
+      case 3 => SubstringGrapheme(es(0), es(1), es(2))
+      case n => throw new IllegalArgumentException(
+        s"substring_grapheme expects 2-3 args, got $n")
+    }, "scala_udf")
     registered = true
   }
 }

@@ -325,10 +325,25 @@ case class Gcd(left: Expression, right: Expression)
 }
 
 object Gcd {
+  // Euclid in the NEGATIVE domain so |Long.MinValue| never overflows
+  // (math.abs(Long.MinValue) is negative, which used to leak a negative
+  // gcd out of the loop for gcd(MinValue, odd))
   def compute(a: Long, b: Long): Long = {
-    var x = math.abs(a); var y = math.abs(b)
+    var x = if (a > 0) -a else a
+    var y = if (b > 0) -b else b
     while (y != 0) { val t = x % y; x = y; y = t }
-    x
+    if (x == Long.MinValue)
+      throw new ArithmeticException("gcd: result out of range")
+    -x
+  }
+}
+
+object Lcm {
+  // overflow errors like the reference's lcm (TryMultiplyOperator)
+  def compute(a: Long, b: Long): Long = {
+    if (a == 0 || b == 0) return 0
+    val g = Gcd.compute(a, b)
+    math.abs(Math.multiplyExact(a / g, b))
   }
 }
 
@@ -347,13 +362,8 @@ case class Lcm(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-object Lcm {
-  def compute(a: Long, b: Long): Long =
-    if (a == 0 || b == 0) 0L else math.abs(a / Gcd.compute(a, b) * b)
-}
-
-/** Hamming distance; null on unequal lengths (the reference errors — we go
-  * null-safe for pipeline use).
+/** Hamming distance; errors on empty or unequal-length inputs like the
+  * reference (hamming.cpp / Mismatch Function).
   */
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -22,6 +22,107 @@ object TextFns {
     UTF8String.fromString(new String(Character.toChars(cp)))
   }
 
+  // format_bytes: binary units capped at PiB (Long.MaxValue renders
+  // "8191.9 PiB"), one decimal digit truncated (never rounded up past
+  // the unit boundary), "N byte(s)" below 1 KiB
+  def formatBytes(n: Long): UTF8String = {
+    if (n == Long.MinValue) // |MinValue| = 2^63 exactly = 8192 PiB
+      return UTF8String.fromString("-8192.0 PiB")
+    val neg = n < 0
+    val a = math.abs(n)
+    val s =
+      if (a < 1024) s"$a byte" + (if (a == 1) "" else "s")
+      else {
+        val units = Array("KiB", "MiB", "GiB", "TiB", "PiB")
+        var k = 0
+        var v = a
+        while (v >= 1024L * 1024 && k < units.length - 1) { v /= 1024; k += 1 }
+        val tenths = v * 10 / 1024 // truncated single decimal
+        s"${tenths / 10}.${tenths % 10} ${units(k)}"
+      }
+    UTF8String.fromString(if (neg) "-" + s else s)
+  }
+
+  // formatReadableDecimalSize (clickhouse-compat pack): 1000-based
+  // units with a lowercase k, same truncated single decimal
+  def formatBytesDecimal(n: Long): UTF8String = {
+    val neg = n < 0
+    val a = if (n == Long.MinValue) Long.MaxValue else math.abs(n)
+    val s =
+      if (a < 1000) s"$a byte" + (if (a == 1) "" else "s")
+      else {
+        val units = Array("kB", "MB", "GB", "TB", "PB", "EB")
+        var k = 0
+        var v = a
+        while (v >= 1000L * 1000 && k < units.length - 1) { v /= 1000; k += 1 }
+        val tenths = v / 100 // truncated single decimal of v/1000
+        s"${tenths / 10}.${tenths % 10} ${units(k)}"
+      }
+    UTF8String.fromString(if (neg) "-" + s else s)
+  }
+
+  // md5_number_upper/lower: the first/second 8 md5 bytes as a
+  // little-endian UNSIGNED 64-bit number, in DECIMAL(20,0) (the
+  // reference returns UBIGINT, which exceeds signed long)
+  def md5Half(s: UTF8String, upper: Boolean): org.apache.spark.sql.types.Decimal = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val off = if (upper) 0 else 8
+    var v = java.math.BigInteger.ZERO
+    var i = 7
+    while (i >= 0) { // little-endian: most significant byte last
+      v = v.shiftLeft(8).or(java.math.BigInteger.valueOf(d(off + i) & 0xffL))
+      i -= 1
+    }
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(v), 20, 0)
+  }
+
+  // even(x): round away from zero to the next even integer, saturating
+  // (no long round-trip — even(1.79e308) is the input, not an overflow)
+  def even(x: Double): Double = {
+    val r = math.ceil(math.abs(x) / 2.0) * 2.0
+    if (x < 0) -r else r
+  }
+
+  // reference substring semantics (substring.cpp SubstringStartEnd):
+  // codepoint-indexed; offset<0 counts from the end, offset=0 consumes
+  // one length unit before the first char, length<0 scans backwards
+  // reference substring.cpp bounds: offsets/lengths past ±2^32 error
+  private val SubstringBound = 4294967295L
+  private def checkSubstringRange(offset: Long, length: Long): Unit = {
+    if (offset < -SubstringBound - 1 || offset > SubstringBound)
+      throw new IllegalArgumentException(
+        "Substring offset outside of supported range")
+    if (length < -SubstringBound - 1 || length > SubstringBound)
+      throw new IllegalArgumentException(
+        "Substring length outside of supported range")
+  }
+
+  def substringRef(s: UTF8String, offset: Long, length: Long): UTF8String = {
+    checkSubstringRange(offset, length)
+    val str = s.toString
+    val n: Long = str.codePointCount(0, str.length)
+    if (length == 0) return UTF8String.EMPTY_UTF8
+    var start = 0L
+    var len = length
+    if (offset > 0) start = math.min(n, offset - 1)
+    else if (offset < 0) start = math.max(n + offset, 0)
+    else {
+      start = 0
+      len -= 1
+      if (len <= 0) return UTF8String.EMPTY_UTF8
+    }
+    var end = 0L
+    if (len > 0) end = if (len > n - start) n else start + len
+    else {
+      end = start
+      start = math.max(0, start + len)
+    }
+    if (start >= end) return UTF8String.EMPTY_UTF8
+    val a = str.offsetByCodePoints(0, start.toInt)
+    val b = str.offsetByCodePoints(a, (end - start).toInt)
+    UTF8String.fromString(str.substring(a, b))
+  }
+
   // unicode/ord: codepoint of the first character; '' -> -1 (reference
   // unicode.cpp returns -1 on empty input rather than erroring)
   def firstCodePoint(s: UTF8String): Int = {
@@ -288,19 +389,33 @@ object TextFns {
     UTF8String.fromString(out.toString)
   }
 
-  // substring_grapheme(s, start, len): 1-based cluster offsets, negative
-  // start counts from the end (reference substring semantics)
+  // substring_grapheme(s, start, len): 1-based cluster offsets, the
+  // same SubstringStartEnd algorithm as substringRef (negative start
+  // from the end, start 0 consumes a length unit, negative length
+  // scans backwards) over grapheme clusters
   def substringGrapheme(s: UTF8String, start: Int, len: Int): UTF8String = {
     val cl = clusters(s.toString)
-    val n = cl.size
-    val begin0 =
-      if (start > 0) start - 1
-      else if (start < 0) math.max(n + start, 0)
-      else 0
-    val end0 = math.min(begin0 + math.max(len, 0), n)
+    val n = cl.size.toLong
+    if (len == 0) return UTF8String.EMPTY_UTF8
+    var begin = 0L
+    var l = len.toLong
+    if (start > 0) begin = math.min(n, start - 1L)
+    else if (start < 0) begin = math.max(n + start, 0L)
+    else {
+      begin = 0
+      l -= 1
+      if (l <= 0) return UTF8String.EMPTY_UTF8
+    }
+    var end = 0L
+    if (l > 0) end = if (l > n - begin) n else begin + l
+    else {
+      end = begin
+      begin = math.max(0, begin + l)
+    }
+    if (begin >= end) return UTF8String.EMPTY_UTF8
     val sb = new java.lang.StringBuilder
-    var i = math.min(begin0, n)
-    while (i < end0) { sb.append(cl.get(i)); i += 1 }
+    var i = begin.toInt
+    while (i < end) { sb.append(cl.get(i)); i += 1 }
     UTF8String.fromString(sb.toString)
   }
 }
@@ -547,4 +662,113 @@ case class SubstringGrapheme(str: Expression, pos: Expression, len: Expression)
       s"${ev.value} = org.apache.spark.sql.graft.TextFns.substringGrapheme($s, $p, $l);")
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression) = copy(str = a, pos = b, len = c)
+}
+
+/** format_bytes / pg_size_pretty (reference format_bytes.cpp): binary
+  * units, one decimal digit TRUNCATED (1048575 -> "1023.9 KiB"), plural
+  * "bytes" below 1 KiB.
+  */
+case class FormatBytes(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "format_bytes"
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextFns.formatBytes(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.formatBytes($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** signbit(x): true iff the IEEE sign bit is set — unlike x < 0 this is
+  * true for -0.0 and negative NaNs (reference signbit.cpp).
+  */
+case class SignBit(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "signbit"
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]) < 0
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = Double.doubleToRawLongBits($a) < 0;")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** even(x) without a long round-trip — DOUBLE in, DOUBLE out, exact on
+  * the reference's saturation cases (even(1.79e308) = 1.79e308).
+  */
+case class EvenFn(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "even"
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = TextFns.even(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.even($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Reference-exact substring (substring.cpp): negative offsets count
+  * from the end, offset 0 consumes a length unit, negative lengths scan
+  * backwards. Codepoint-indexed like the reference's UTF-8 scan.
+  */
+case class GraftSubstring(str: Expression, off: Expression, len: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "substring"
+  override def first: Expression = str
+  override def second: Expression = off
+  override def third: Expression = len
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, LongType, LongType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(s: Any, o: Any, l: Any): Any =
+    TextFns.substringRef(s.asInstanceOf[UTF8String],
+      o.asInstanceOf[Long], l.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, o, l) =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.substringRef($s, $o, $l);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression) = copy(str = a, off = b, len = c)
+}
+
+/** formatReadableDecimalSize (1000-based, lowercase kB). */
+case class FormatBytesDecimal(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "formatreadabledecimalsize"
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextFns.formatBytesDecimal(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.formatBytesDecimal($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** md5_number_upper / md5_number_lower: an 8-byte md5 half as a
+  * little-endian unsigned 64-bit number (reference UBIGINT), carried
+  * in DECIMAL(20,0).
+  */
+case class Md5Half(child: Expression, upper: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String =
+    if (upper) "md5_number_upper" else "md5_number_lower"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DecimalType(20, 0)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextFns.md5Half(v.asInstanceOf[UTF8String], upper)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.md5Half($a, $upper);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

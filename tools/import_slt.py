@@ -3,10 +3,18 @@
 src/test/resources/sql/ref/ for graft.SqlLogicSpec.
 
 The reference runner (test/sqlite/sqllogic_test_runner.cpp) supports
-loops, requires, connection labels, regex expectations etc.; ours
+requires, connection labels, regex expectations etc.; ours
 deliberately doesn't. This importer REJECTS any file using those, and
 applies only mechanical dialect transforms, recorded in the emitted
 header:
+
+  - `loop var lo hi` / `foreach var v1 v2 ...` blocks are UNROLLED
+    (`${var}`/`{var}` substituted); loops past 6 iterations keep an
+    evenly-spaced sample incl. endpoints (iterations are independent
+    records, so sampling thins repetition without changing semantics);
+    `foreach` over type groups (`<numeric>`) still rejects
+  - `expr::TYPE` -> CAST(expr AS TYPE) (balanced-paren operand scan;
+    `::uuid` drops the cast — uuid literals compare as strings)
 
   - `//` integer division  -> ` div `
   - `range(N) t(i)` / bare `range(N)` -> subquery aliasing Spark's `id`
@@ -40,15 +48,19 @@ import re
 import sys
 import os
 
-REJECT = ["loop", "endloop", "foreach", "require ", "mode ", "skipif",
+REJECT = ["require ", "mode ", "skipif",
           "onlyif", "hash-threshold", "restart", "load ", "sleep ",
           "query error", "<REGEX>", "<FILE>", "PRAGMA",
-          "ATTACH", "::", "EXCLUDE", "COLUMNS(", "ASOF", "POSITIONAL",
+          "ATTACH", "EXCLUDE", "COLUMNS(", "ASOF", "POSITIONAL",
           "SUMMARIZE", "DESCRIBE", "SHOW ", "CREATE INDEX", "SEQUENCE",
-          "INSTALL", "EXPORT", "reorder", "UNION BY NAME", "MACRO",
+          "INSTALL", "EXPORT", "reorder", "BY NAME", "MACRO",
           " TIME", "STRUCT", "MAP(", "LIST", "[", "PREPARE", "EXECUTE",
           "rowid", "DELETE FROM", "duckdb_connection_count",
-          "pragma_", "COPY ", "USING SAMPLE", "using sample"]
+          "pragma_", "COPY ", "USING SAMPLE", "using sample",
+          # unsigned ints have no Spark type with matching overflow
+          # behavior; CREATE TYPE is the duckdb enum/alias DDL
+          "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT",
+          "INT32", "CREATE TYPE", "DATA_DIR", "UNION("]
 
 
 DIRECTIVE_REJECT = ["loop", "endloop", "foreach", "require ", "mode ",
@@ -78,6 +90,124 @@ def reject_reason(text: str, sql_only: str):
 # ---- string-literal masking -------------------------------------------------
 
 LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def unroll_loops(lines, max_iters=6):
+    """Unroll the runner's `loop var lo hi` / `foreach var v1 v2 ...`
+    blocks (terminated by `endloop`), substituting `${var}` and `{var}`
+    in the body. Nesting is supported. Loops longer than max_iters keep
+    an evenly-spaced sample of iterations (endpoints always included) —
+    each iteration is an independent record, so sampling only thins
+    repetition, it never changes a kept record's semantics. `foreach`
+    type groups (`<numeric>` etc.) are left in place for the reject
+    pass — they expand to types whose coverage differs per build."""
+    out = []
+    i = 0
+    while i < len(lines):
+        s = lines[i].strip()
+        m = re.match(r"loop\s+(\w+)\s+(-?\d+)\s+(-?\d+)\s*$", s)
+        f = re.match(r"foreach\s+(\w+)\s+(\S.*)$", s)
+        if f and "<" in f.group(2):
+            f = None  # type-group foreach: unsupported, leave for reject
+        if m or f:
+            depth, j = 1, i + 1
+            while j < len(lines):
+                t = lines[j].strip()
+                if re.match(r"(loop|foreach)\b", t):
+                    depth += 1
+                elif t == "endloop":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= len(lines):  # unterminated — leave for the reject pass
+                out.append(lines[i])
+                i += 1
+                continue
+            body = lines[i + 1:j]
+            if m:
+                var = m.group(1)
+                vals = [str(v) for v in range(int(m.group(2)), int(m.group(3)))]
+            else:
+                var = f.group(1)
+                vals = f.group(2).split()
+            if len(vals) > max_iters:
+                n = len(vals)
+                idxs = sorted({0, n // 4, n // 2, (3 * n) // 4, n - 2, n - 1})
+                vals = [vals[k] for k in idxs]
+            inner = unroll_loops(body, max_iters)
+            for v in vals:
+                for ln in inner:
+                    out.append(ln.replace("${%s}" % var, v)
+                                 .replace("{%s}" % var, v))
+            i = j + 1
+        else:
+            out.append(lines[i])
+            i += 1
+    return out
+
+
+PAREN_TYPES = {"DECIMAL", "NUMERIC", "DEC", "VARCHAR", "CHAR", "BIT"}
+# types whose cast Spark lacks but whose untyped value compares the same
+# way for this corpus (uuid literals are strings on both engines)
+DROP_CAST_TYPES = {"UUID"}
+
+
+def rewrite_casts(sql: str) -> str:
+    """`expr::TYPE` -> `CAST(expr AS TYPE)` on masked SQL. The operand
+    scan handles mask tokens, dotted identifiers, and balanced
+    parenthesized groups (including a preceding function name), so
+    chained casts fold left-to-right."""
+    while True:
+        k = sql.find("::")
+        if k < 0:
+            return sql
+        if k == 0:
+            return sql  # malformed; bail rather than loop forever
+        if sql[k - 1] == ")":
+            depth, p = 0, k - 1
+            while p >= 0:
+                if sql[p] == ")":
+                    depth += 1
+                elif sql[p] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                p -= 1
+            q = p - 1
+            while q >= 0 and (sql[q].isalnum() or sql[q] in "_."):
+                q -= 1
+            start = q + 1
+        else:
+            p = k - 1
+            while p >= 0 and (sql[p].isalnum() or sql[p] in "_.\x00\x01"):
+                p -= 1
+            start = p + 1
+        operand = sql[start:k]
+        mt = re.match(r"\s*([A-Za-z_]\w*)", sql[k + 2:])
+        if not mt or not operand.strip():
+            # un-rewritable '::' — surface it so the reject pass sees it
+            return sql
+        tend = k + 2 + mt.end()
+        if mt.group(1).upper() in PAREN_TYPES:
+            ma = re.match(r"\s*\(", sql[tend:])
+            if ma:
+                depth, p2 = 0, tend + ma.end() - 1
+                while p2 < len(sql):
+                    if sql[p2] == "(":
+                        depth += 1
+                    elif sql[p2] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    p2 += 1
+                tend = p2 + 1
+        typ = sql[k + 2:tend].strip()
+        if typ.upper() in DROP_CAST_TYPES:
+            repl = operand
+        else:
+            repl = "CAST(%s AS %s)" % (operand, typ)
+        sql = sql[:start] + repl + sql[tend:]
 
 
 def mask_literals(sql: str):
@@ -203,16 +333,34 @@ def values_alias(sql: str) -> str:
 
 
 def transform_sql(sql: str, sqlite_mode: bool) -> str:
-    out = blob_to_hex(sql)
+    # '...'::BLOB -> BLOB '...' so blob_to_hex sees the literal spelling
+    out = re.sub(r"'((?:[^']|'')*)'\s*::\s*BLOB\b", r"BLOB '\1'", sql,
+                 flags=re.I)
+    out = blob_to_hex(out)
     out, lits = mask_literals(out)
     if sqlite_mode:
         # the reference runs this corpus with integer_division=true
         out = re.sub(r"(?<![/*])/(?![/*])", " div ", out)
     else:
         out = out.replace("//", " div ")
+    out = rewrite_casts(out)
     out = range_subquery(out)
     out = re.sub(r",(\s*\n\s*FROM\b)", r"\1", out)
     out = re.sub(r",(\s*FROM\b)", r"\1", out)
+    # duckdb also tolerates a trailing comma before the closing paren
+    out = re.sub(r",(\s*\))", r"\1", out)
+    # SUBSTRING is dedicated grammar in Spark (registry shadows can't
+    # intercept it) — normalize FROM/FOR to commas and route to substr,
+    # which resolves through the registry's reference-semantics shadow
+    out = re.sub(r"(?i)\b(substring|substr)\s*\(\s*([^()]+?)\s+FROM\s+"
+                 r"([^()]+?)(?:\s+FOR\s+([^()]+?))?\s*\)",
+                 lambda m: "substr(%s, %s%s)" % (
+                     m.group(2), m.group(3),
+                     ", " + m.group(4) if m.group(4) else ""), out)
+    # FOR without FROM: start defaults to 1
+    out = re.sub(r"(?i)\b(substring|substr)\s*\(\s*([^()]+?)\s+FOR\s+"
+                 r"([^()]+?)\s*\)", r"substr(\2, 1, \3)", out)
+    out = re.sub(r"(?i)\bsubstring\s*\(", "substr(", out)
     # Spark type spellings
     out = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", out)
     # TEXT only in type position (cast target / column def) — `text` is
@@ -222,6 +370,20 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     out = re.sub(r"\bINT64\b", "BIGINT", out)
     out = re.sub(r"\bHUGEINT\b", "DECIMAL(38,0)", out)
     out = re.sub(r"\bDOUBLE\s+PRECISION\b", "DOUBLE", out)
+    # duckdb width-suffixed aliases; BLOB is Spark BINARY; TIMESTAMPTZ
+    # pins to the session TZ on both engines (UTC here)
+    out = re.sub(r"(?i)\bINT1\b", "TINYINT", out)
+    out = re.sub(r"(?i)\bINT2\b", "SMALLINT", out)
+    out = re.sub(r"(?i)\bINT4\b", "INTEGER", out)
+    out = re.sub(r"(?i)\bINT8\b", "BIGINT", out)
+    out = re.sub(r"(?i)\bFLOAT4\b", "FLOAT", out)
+    out = re.sub(r"(?i)\bFLOAT8\b", "DOUBLE", out)
+    out = re.sub(r"(?i)\bTIMESTAMPTZ\b", "TIMESTAMP", out)
+    out = re.sub(r"(?i)\bTIMESTAMP_(S|MS|NS)\b", "TIMESTAMP", out)
+    out = re.sub(r"(?i)\bBLOB\b", "BINARY", out)
+    # bare DECIMAL defaults to (18,3) in the reference, (10,0) in Spark
+    out = re.sub(r"(?i)\b(DEC|DECIMAL|NUMERIC)\s*\(\s*\)", "DECIMAL(18,3)", out)
+    out = re.sub(r"(?i)\b(DEC|DECIMAL|NUMERIC)\b(?!\s*\()", "DECIMAL(18,3)", out)
     # Spark's v1 catalog has no REPLACE TABLE; the importer already
     # emits DROP TABLE IF EXISTS before every kept CREATE
     out = re.sub(r"(?i)\bCREATE\s+OR\s+REPLACE\s+TABLE\b", "CREATE TABLE", out)
@@ -232,6 +394,13 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     out = out.replace("!~~", " NOT LIKE ").replace("~~", " LIKE ")
     out = re.sub(r"(\x00\d+\x01|[\w.]+(?:\([^()]*\))?)\s*\^@\s*(\x00\d+\x01|[\w.]+)",
                  r"startswith(\1, \2)", out)
+    # duckdb '**' and '^' are exponentiation (Spark's '^' is xor) — must
+    # run after the '^@' starts-with rewrite above
+    out = out.replace("**", "^")
+    for _ in range(3):  # chained a ^ b ^ c folds left
+        out = re.sub(r"(\x00\d+\x01|[\w.]+(?:\([^()]*\))?)\s*\^\s*"
+                     r"(-?\s*(?:\x00\d+\x01|[\w.]+(?:\([^()]*\))?))",
+                     r"power(\1, \2)", out)
     # ILIKE has no ESCAPE form in Spark's grammar: case-fold to LIKE
     # (NOT ILIKE first, and the plain rule must not eat the NOT keyword)
     out = re.sub(r"(?i)(\x00\d+\x01|[\w.]+)\s+NOT\s+ILIKE\s+(\x00\d+\x01|[\w.]+)"
@@ -459,8 +628,9 @@ def main():
         drop_matching = re.compile(args[k + 1], re.S)
         del args[k:k + 2]
     src, dest_name = args
-    text = open(src).read()
-    records = list(parse_records(text.splitlines()))
+    lines = unroll_loops(open(src).read().splitlines())
+    text = "\n".join(lines)
+    records = list(parse_records(lines))
     # transactions are meaningless for a stateless runner
     records = [r for r in records
                if not (r[0] == "statement" and TXN_RE.match("\n".join(r[2])))]
@@ -479,6 +649,13 @@ def main():
         print(f"REJECT {src}: uses '{r}'")
         sys.exit(2)
     views, rest = merge_tables(records)
+    # '::' casts not reachable by rewrite_casts (exotic operand/type
+    # position) would emit SQL Spark can't parse — reject the file
+    probe = [transform_sql(v, sqlite_mode) for v in views] + \
+            [transform_sql("\n".join(b), sqlite_mode) for _, _, b, _ in rest]
+    if any("::" in p for p in probe):
+        print(f"REJECT {src}: unrewritable '::' cast")
+        sys.exit(2)
     dest_dir = os.path.join(os.path.dirname(__file__), "..",
                             "src", "test", "resources", "sql", "ref")
     os.makedirs(dest_dir, exist_ok=True)

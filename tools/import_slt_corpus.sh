@@ -76,13 +76,44 @@ python3 tools/import_slt.py --drop-matching "(?i)columns\\(" \
 #     Java regex (grapheme matcher) — opposite outcomes
 python3 tools/import_slt.py --drop-matching "\\\\X" \
   $REF/sql/function/string/regex_search.test string_regex_search.test >/dev/null
+#   md5_number (full 128-bit): 39 digits exceed DECIMAL(38,0) — the
+#     upper/lower UBIGINT halves are kept (DECIMAL(20,0))
+python3 tools/import_slt.py --drop-matching "md5_number\(" \
+  $REF/sql/function/string/md5.test string_md5.test >/dev/null
+#   kurtosis: the 2e30x overflow battery expects "out of range" errors
+#     where Spark's double aggregation yields inf/NaN without raising
+#     …and ORDER BY ALL null ordering: the reference defaults NULLS
+#     LAST, Spark NULLS FIRST, and ALL can't carry a null-order clause
+python3 tools/import_slt.py --drop-matching "(?i)2e30[4-7]|ORDER BY ALL|kurtosis(.*) over" \
+  $REF/sql/aggregate/aggregates/test_kurtosis.test aggregates_test_kurtosis.test >/dev/null
+#   pow: the ieee_floating_point_ops=false section re-runs the same two
+#     statements expecting errors — content-addressed drop removes both
+#     modes of those statements plus the SET/RESET records
+python3 tools/import_slt.py --drop-matching "(?i)ieee_floating_point_ops|0\.0::float8" \
+  $REF/sql/function/numeric/test_pow.test numeric_test_pow.test >/dev/null
+#   IN (SELECT NULL): ANSI says NULL; Spark's null-aware rewrite yields
+#     false for the uncorrelated single-NULL case
+python3 tools/import_slt.py --drop-matching "(?i)IN\s*\(\s*SELECT\s+(CAST\s*\(\s*)?NULL" \
+  $REF/sql/subquery/exists/test_uncorrelated_exists_subquery.test \
+  exists_test_uncorrelated_exists_subquery.test >/dev/null
 
 # files that converted but fail on genuine engine-semantics divergence —
 # dropped with reasons (see git history of this list):
 #   corr() NULL-vs-NaN; duckdb-only routines (product, sem, weighted_avg,
-#   arg_min_null, histogram); DISTINCT ON; EXPLAIN-shape regex; mixed
+#   arg_min_null, histogram, mad, bar, can_cast_implicitly,
+#   current_setting, gamma); DISTINCT ON; EXPLAIN-shape regex; mixed
 #   cube()/() grouping syntax; expected-error cases Spark accepts;
-#   FULL-join USING column merge; lateral column alias chains
+#   FULL-join USING column merge; lateral column alias chains;
+#   double->int casts (reference rounds, Spark truncates: floor_ceil,
+#   trigo, *_integer_cast); round() on DOUBLE (reference rounds the
+#   binary value, Spark the decimal rendering); DECIMAL type-derivation
+#   rules (reference mod/div/promotion widths differ from Spark's, and
+#   typeof renders them); overflow batteries expecting errors where
+#   Spark wraps or saturates (division_overflow, bitwise shifts,
+#   decimal_overflow, hugeint extremes past DECIMAL(38)); inline VALUES
+#   mixing int and float/NaN rows (Spark's inline-table type union
+#   rejects); UNION-in-recursive-CTE and USING KEY recursion syntax;
+#   IS NULL over TRY division rows (ANSI-mode row set differs)
 while read -r t; do
   rm -f "src/test/resources/sql/ref/$t"
   sed -i "\\|^$t\$|d; \\|^sqlite:$t\$|d" src/test/resources/sql/ref/MANIFEST
@@ -182,6 +213,59 @@ cte_test_issue_5673.test
 cte_test_nested_recursive_cte.test
 cte_test_outer_joins_recursive_cte.test
 filter_test_alias_filter.test
+distinct_issue19616.test
+filter_test_try_filter_doesnt_mutate_columns.test
+numeric_decimal_mod.test
+numeric_test_round.test
+numeric_test_floor_ceil.test
+numeric_test_trigo.test
+numeric_test_type_resolution.test
+numeric_test_pg_math.test
+numeric_test_gamma.test
+numeric_test_round_integers.test
+numeric_test_is_nan.test
+numeric_test_sign_bit.test
+numeric_test_nextafter.test
+numeric_hugeint_try_cast.test
+operator_test_division_overflow.test
+operator_test_bitwise_ops.test
+cast_boolean_autocast.test
+cast_test_string_cast.test
+cast_double_float_cast.test
+cast_decimal_float_cast.test
+cast_decimal_integer_cast.test
+cast_float_integer_cast.test
+decimal_decimal_aggregates.test
+decimal_decimal_arithmetic.test
+decimal_decimal_average.test
+decimal_decimal_division.test
+decimal_decimal_exponent.test
+decimal_decimal_overflow.test
+decimal_decimal_promotion.test
+decimal_test_decimal.test
+decimal_test_decimal_from_string.test
+group_group_by_limits.test
+float_ieee_floating_points.test
+float_infinity_test.test
+float_nan_aggregates.test
+float_nan_functions.test
+float_nan_join.test
+float_nan_ordering.test
+float_nan_test.test
+order_hugeint_order_by_extremes.test
+aggregates_test_mad.test
+aggregates_test_arg_min_max.test
+string_test_bar.test
+string_test_url_encode.test
+generic_can_cast_implicitly.test
+generic_test_set.test
+cte_recursive_cte_complex_pipelines.test
+cte_recursive_cte_key_snapshot.test
+cte_recursive_cte_parallel_union_all_sink.test
+cte_recursive_cte_parallel_union_distinct_sink.test
+window_test_split_partition_heap.test
+any_all_test_row_not_equal_any_null_semantics.test
+topn_test_top_n_structs.test
 filter_test_constant_comparisons.test
 filter_test_obsolete_filters.test
 filter_test_transitive_filters.test
