@@ -346,6 +346,146 @@ object Registry {
     }
     // kurtosis_pop = the population estimator = Spark's builtin
     f1("kurtosis_pop", Kurtosis(_))
+    // reference date_add(date, INTERVAL) returns TIMESTAMP (Spark's
+    // builtin wants an int day count and stays DATE)
+    f2("date_add", (d, iv) =>
+      Add(Cast(d, org.apache.spark.sql.types.TimestampType), iv))
+    // dow: Sunday=0..Saturday=6 (Spark's EXTRACT(DOW) is 1-based)
+    f1("dow", e => Cast(Subtract(DayOfWeek(e), Literal(1)),
+      org.apache.spark.sql.types.LongType))
+    // to_years(n) etc: scalar -> interval constructors (reference
+    // interval.cpp to_* family)
+    locally {
+      val IT = org.apache.spark.sql.types.IntegerType
+      def ym(yrs: Expression, mos: Expression) = MakeYMInterval(yrs, mos)
+      val zero = Literal(0)
+      f1("to_years", e => ym(Cast(e, IT), zero))
+      f1("to_decades", e => ym(Multiply(Cast(e, IT), Literal(10)), zero))
+      f1("to_centuries", e => ym(Multiply(Cast(e, IT), Literal(100)), zero))
+      f1("to_millennia", e => ym(Multiply(Cast(e, IT), Literal(1000)), zero))
+      f1("to_months", e => ym(zero, Cast(e, IT)))
+      f1("to_quarters", e => ym(zero, Multiply(Cast(e, IT), Literal(3))))
+      def dt(d: Expression, h: Expression, m: Expression, s: Expression) =
+        MakeDTInterval(d, h, m, s)
+      val zeroS = Literal(org.apache.spark.sql.types.Decimal(0),
+        org.apache.spark.sql.types.DecimalType(26, 6))
+      f1("to_days", e => dt(Cast(e, IT), zero, zero, zeroS))
+      f1("to_weeks", e => dt(Multiply(Cast(e, IT), Literal(7)), zero, zero, zeroS))
+      f1("to_hours", e => dt(zero, Cast(e, IT), zero, zeroS))
+      f1("to_minutes", e => dt(zero, zero, Cast(e, IT), zeroS))
+      f1("to_seconds", e => dt(zero, zero, zero,
+        Cast(e, org.apache.spark.sql.types.DecimalType(26, 6))))
+      f1("to_milliseconds", e => dt(zero, zero, zero,
+        Cast(Divide(Cast(e, org.apache.spark.sql.types.DoubleType),
+          Literal(1000.0)), org.apache.spark.sql.types.DecimalType(26, 6))))
+      f1("to_microseconds", e => dt(zero, zero, zero,
+        Cast(Divide(Cast(e, org.apache.spark.sql.types.DoubleType),
+          Literal(1000000.0)), org.apache.spark.sql.types.DecimalType(26, 6))))
+    }
+    f1("make_timestamp_ms", MillisToTimestamp(_))
+    f1("make_timestamp_ns", e =>
+      MicrosToTimestamp(IntegralDivide(e, Literal(1000L))))
+    // make_timestamp(micros) 1-arg overload (reference make_timestamp.cpp)
+    reg.createOrReplaceTempFunction("make_timestamp", es => es.length match {
+      case 1 => MicrosToTimestamp(es(0))
+      case 6 => MakeTimestamp(es(0), es(1), es(2), es(3), es(4), es(5))
+      case n => throw new IllegalArgumentException(
+        s"make_timestamp expects 1 or 6 args, got $n")
+    }, "scala_udf")
+    // strftime/strptime: C %-format converted to a Java pattern at bind
+    // time (format must be constant, like the reference's compiled path)
+    def cFmtToJava(f: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < f.length) {
+        if (f(i) == '%' && i + 1 < f.length) {
+          val (c, pad) =
+            if (f(i + 1) == '-' && i + 2 < f.length) (f(i + 2), false)
+            else (f(i + 1), true)
+          val m = c match {
+            case 'a' => "EEE";  case 'A' => "EEEE"
+            case 'b' => "MMM";  case 'B' => "MMMM"
+            case 'd' => if (pad) "dd" else "d"
+            case 'f' => "SSSSSS"
+            case 'H' => if (pad) "HH" else "H"
+            case 'I' => if (pad) "hh" else "h"
+            case 'j' => if (pad) "DDD" else "D"
+            case 'm' => if (pad) "MM" else "M"
+            case 'M' => if (pad) "mm" else "m"
+            case 'p' => "a"
+            case 'S' => if (pad) "ss" else "s"
+            case 'y' => "yy";   case 'Y' => "yyyy"
+            case '%' => "%"
+            case other => throw new IllegalArgumentException(
+              s"strftime: unsupported format specifier %$other")
+          }
+          sb.append(m)
+          i += (if (pad) 2 else 3)
+        } else {
+          val ch = f(i)
+          if (ch.isLetter) { sb.append('\''); sb.append(ch); sb.append('\'') }
+          else sb.append(ch)
+          i += 1
+        }
+      }
+      sb.toString
+    }
+    def constFmt(e: Expression, who: String): Literal = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Literal.create(cFmtToJava(s.toString),
+          org.apache.spark.sql.types.StringType)
+      case _ => throw new IllegalArgumentException(
+        s"$who format must be a constant string")
+    }
+    f2("strftime", (x, f) => DateFormatClass(
+      Cast(x, org.apache.spark.sql.types.TimestampType),
+      constFmt(f, "strftime")))
+    f2("strptime", (s, f) => GetTimestamp(s, constFmt(f, "strptime"),
+      org.apache.spark.sql.types.TimestampType))
+    f2("try_strptime", (s, f) => TryEval(GetTimestamp(s,
+      constFmt(f, "strptime"), org.apache.spark.sql.types.TimestampType)))
+    // date-part functions Spark's EXTRACT grammar lacks (reference
+    // date_part.cpp): the importer rewrites extract(decade FROM x) to
+    // decade(x) etc.
+    locally {
+      val LT = org.apache.spark.sql.types.LongType
+      def yr(e: Expression) = Cast(Year(e), LT)
+      // decade(1992) = 199; C-style truncating division like the
+      // reference's `year / 10`
+      f1("decade", e => IntegralDivide(yr(e), Literal(10L)))
+      // century/millennium are 1-based (2000 -> 20th century)
+      def oneBased(e: Expression, span: Long): Expression = {
+        val y = yr(e)
+        If(GreaterThan(y, Literal(0L)),
+          Add(IntegralDivide(Subtract(y, Literal(1L)), Literal(span)),
+            Literal(1L)),
+          Subtract(IntegralDivide(Add(y, Literal(1L)), Literal(span)),
+            Literal(1L)))
+      }
+      f1("century", oneBased(_, 100))
+      f1("millennium", oneBased(_, 1000))
+      // epoch: seconds since 1970-01-01 (BIGINT on both engines)
+      f1("epoch", e => Cast(UnixTimestamp(e,
+        Literal.create("yyyy-MM-dd HH:mm:ss",
+          org.apache.spark.sql.types.StringType)), LT))
+      // isodow: Monday=1..Sunday=7 (Spark dayofweek is Sunday=1)
+      f1("isodow", e => Cast(Add(Pmod(Add(DayOfWeek(e), Literal(5)),
+        Literal(7)), Literal(1)), LT))
+      // seconds-of-minute including the fractional part, in micro/milli
+      // units (reference date_part microseconds/milliseconds)
+      def microsOfMinute(e: Expression): Expression =
+        Pmod(UnixMicros(Cast(e, org.apache.spark.sql.types.TimestampType)),
+          Literal(60000000L))
+      f1("microseconds", microsOfMinute(_))
+      f1("microsecond", microsOfMinute(_))
+      f1("milliseconds", e => IntegralDivide(microsOfMinute(e), Literal(1000L)))
+      f1("millisecond", e => IntegralDivide(microsOfMinute(e), Literal(1000L)))
+      f1("era", e => If(GreaterThan(yr(e), Literal(0L)),
+        Literal(1L), Literal(0L)))
+      // yearweek: ISO year * 100 + ISO week (reference date_part.cpp)
+      f1("yearweek", e => Add(Multiply(Cast(YearOfWeek(e), LT),
+        Literal(100L)), Cast(WeekOfYear(e), LT)))
+    }
     // geomean = exp(avg(ln(x))) (reference geomean is the same fold)
     f1("geomean", e => Exp(Average(Log(Cast(e,
       org.apache.spark.sql.types.DoubleType))).toAggregateExpression()))

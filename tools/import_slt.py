@@ -333,8 +333,25 @@ def values_alias(sql: str) -> str:
 
 
 def transform_sql(sql: str, sqlite_mode: bool) -> str:
+    # date_diff('day', a, b) -> datediff(day, a, b): Spark wants the
+    # unit unquoted (pre-mask so the quoted unit is visible)
+    out = re.sub(r"(?i)\b(?:date_diff|datediff)\s*\(\s*'(\w+)'\s*,",
+                 lambda m: "datediff(%s," % m.group(1), sql)
+    # abbreviated interval-literal units -> full spellings Spark parses
+    def expand_iv(m):
+        body = m.group(1)
+        for a, b in [("usecs", "microseconds"), ("usec", "microseconds"),
+                     ("msecs", "milliseconds"), ("msec", "milliseconds"),
+                     ("secs", "seconds"), ("sec", "seconds"),
+                     ("mins", "minutes"), ("min", "minutes"),
+                     ("hrs", "hours"), ("hr", "hours"),
+                     ("mons", "months"), ("mon", "months"),
+                     ("yrs", "years"), ("yr", "years")]:
+            body = re.sub(r"(?i)\b%s\b" % a, b, body)
+        return "INTERVAL '%s'" % body
+    out = re.sub(r"(?i)\bINTERVAL\s+'([^']*)'", expand_iv, out)
     # '...'::BLOB -> BLOB '...' so blob_to_hex sees the literal spelling
-    out = re.sub(r"'((?:[^']|'')*)'\s*::\s*BLOB\b", r"BLOB '\1'", sql,
+    out = re.sub(r"'((?:[^']|'')*)'\s*::\s*BLOB\b", r"BLOB '\1'", out,
                  flags=re.I)
     out = blob_to_hex(out)
     out, lits = mask_literals(out)
@@ -357,6 +374,36 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
                  lambda m: "substr(%s, %s%s)" % (
                      m.group(2), m.group(3),
                      ", " + m.group(4) if m.group(4) else ""), out)
+    # interval units Spark's literals lack, folded to supported ones
+    def fold_unit(m):
+        n, unit = int(m.group(1)), m.group(2).lower()
+        if unit.startswith("decade"):
+            return "interval %d year" % (n * 10)
+        if unit.startswith("centur"):
+            return "interval %d year" % (n * 100)
+        if unit.startswith("millenni"):
+            return "interval %d year" % (n * 1000)
+        if unit.startswith("quarter"):
+            return "interval %d month" % (n * 3)
+        return "interval %d day" % (n * 7)  # weeks
+    out = re.sub(r"(?i)\binterval\s+(\d+)\s+(decades?|centur(?:y|ies)|"
+                 r"millenni(?:um|a)|quarters?|weeks?)\b", fold_unit, out)
+    # variable-count interval: `interval (i) days` -> scalar * unit
+    # interval (week has no Spark unit: folded to 7 days)
+    def var_interval(m):
+        expr, unit = m.group(1), m.group(2).lower()
+        if unit == "week":
+            return "(CAST(%s AS INT) * INTERVAL '7' DAY)" % expr
+        return "(CAST(%s AS INT) * INTERVAL '1' %s)" % (expr, unit.upper())
+    out = re.sub(r"(?i)\binterval\s*\(([^()]+)\)\s*"
+                 r"(year|month|week|day|hour|minute|second)s?\b",
+                 var_interval, out)
+    # EXTRACT fields Spark's grammar lacks -> the reference's function
+    # spellings (registered in graft Registry): decade(x), century(x)...
+    out = re.sub(r"(?i)\bextract\s*\(\s*(decade|century|millennium|epoch|"
+                 r"isodow|dow|yearweek|microseconds?|milliseconds?|era)\s+FROM\s+"
+                 r"((?:[^()]|\([^()]*\))+?)\s*\)",
+                 lambda m: "%s(%s)" % (m.group(1).lower(), m.group(2)), out)
     # FOR without FROM: start defaults to 1
     out = re.sub(r"(?i)\b(substring|substr)\s*\(\s*([^()]+?)\s+FOR\s+"
                  r"([^()]+?)\s*\)", r"substr(\2, 1, \3)", out)
@@ -631,6 +678,31 @@ def main():
     lines = unroll_loops(open(src).read().splitlines())
     text = "\n".join(lines)
     records = list(parse_records(lines))
+    # a single `statement ok` may carry several ';'-separated statements
+    # (Spark runs one statement per call) — split them into one record
+    # each, keeping the expected block on the last
+    split = []
+    for kind, header, body, exp in records:
+        if kind == "statement" and sum(
+                1 for ln in body if ln.rstrip().endswith(";")) > 1:
+            group = []
+            groups = []
+            for ln in body:
+                group.append(ln)
+                if ln.rstrip().endswith(";"):
+                    groups.append(group)
+                    group = []
+            if group:
+                groups.append(group)
+            for gi, g in enumerate(groups):
+                # strip the trailing ';' so CREATE/INSERT pairs still
+                # match merge_tables' patterns
+                g = g[:-1] + [g[-1].rstrip().rstrip(";")] if g else g
+                split.append((kind, header, g,
+                              exp if gi == len(groups) - 1 else []))
+        else:
+            split.append((kind, header, body, exp))
+    records = split
     # transactions are meaningless for a stateless runner
     records = [r for r in records
                if not (r[0] == "statement" and TXN_RE.match("\n".join(r[2])))]

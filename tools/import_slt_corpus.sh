@@ -30,7 +30,11 @@ for f in $(ls $REF/sql/window/*.test $REF/sql/join/*.test \
     $REF/sql/projection/*.test $REF/sql/select/*.test \
     $REF/sql/setops/*.test $REF/sql/topn/*.test \
     $REF/sql/function/numeric/*.test $REF/sql/function/generic/*.test \
-    $REF/sql/function/operator/*.test $REF/sql/function/string/*.test 2>/dev/null); do
+    $REF/sql/function/operator/*.test $REF/sql/function/string/*.test \
+    $REF/sql/types/date/*.test $REF/sql/types/timestamp/*.test \
+    $REF/sql/types/interval/*.test $REF/sql/types/time/*.test \
+    $REF/sql/function/date/*.test $REF/sql/function/timestamp/*.test \
+    $REF/sql/function/interval/*.test 2>/dev/null); do
   base=$(basename $(dirname $f))_$(basename $f)
   python3 tools/import_slt.py "$f" "$base" >/dev/null 2>&1 || true
 done
@@ -96,6 +100,17 @@ python3 tools/import_slt.py --drop-matching "(?i)ieee_floating_point_ops|0\.0::f
 python3 tools/import_slt.py --drop-matching "(?i)IN\s*\(\s*SELECT\s+(CAST\s*\(\s*)?NULL" \
   $REF/sql/subquery/exists/test_uncorrelated_exists_subquery.test \
   exists_test_uncorrelated_exists_subquery.test >/dev/null
+
+#   to_timestamp(secs) returns TIMESTAMPTZ (renders +00) — no Spark
+#     analogue; the make_timestamp family in the same file is kept
+python3 tools/import_slt.py --drop-matching "(?i)to_timestamp\(" \
+  $REF/sql/function/timestamp/epoch.test timestamp_epoch.test >/dev/null
+#   date - date: the reference yields BIGINT days, Spark a DT interval
+python3 tools/import_slt.py --drop-matching "\(i \+ 5\) - i|'1992(-01)?'::DATE" \
+  $REF/sql/types/date/test_date.test date_test_date.test >/dev/null
+#   bare-number interval strings ('47.210' = seconds) don't parse in Spark
+python3 tools/import_slt.py --drop-matching "(?i)'-?[0-9. ]+' *AS *interval|'-?[0-9. ]+'::interval|'-?[0-9]+\.[0-9]+ *[a-z]+'::interval|interval *'-?[0-9]+\.[0-9]+' *[a-z]+" \
+  $REF/sql/types/interval/interval_constants.test interval_interval_constants.test >/dev/null
 
 # files that converted but fail on genuine engine-semantics divergence —
 # dropped with reasons (see git history of this list):
@@ -214,6 +229,31 @@ cte_test_nested_recursive_cte.test
 cte_test_outer_joins_recursive_cte.test
 filter_test_alias_filter.test
 distinct_issue19616.test
+date_date_diff_extreme_dates.test
+date_test_strftime_exhaustive.test
+date_date_trunc_4202.test
+date_date_implicit_cast.test
+date_date_limits.test
+date_date_parsing.test
+date_date_try_cast.test
+date_test_bc_dates.test
+date_test_time_bucket_date.test
+interval_test_extract.test
+interval_test_interval_muldiv.test
+interval_test_interval_trunc.test
+interval_frac_interval.test
+interval_test_interval.test
+interval_interval_alias.test
+interval_interval_try_cast.test
+interval_test_interval_between.test
+interval_test_interval_comparison.test
+time_time_limits.test
+time_time_parsing.test
+time_time_try_cast.test
+timestamp_bc_timestamp.test
+timestamp_timestamp_limits.test
+timestamp_timestamp_try_cast.test
+timestamp_test_timestamp_tz.test
 filter_test_try_filter_doesnt_mutate_columns.test
 numeric_decimal_mod.test
 numeric_test_round.test
