@@ -226,6 +226,45 @@ object Functions extends Pack {
       .orderBy("o_orderkey")
   }
 
+  // date-part long tail (reference date_part.cpp / strftime.cpp), added
+  // round 7 with the imported date/time corpus: both sides run the SAME
+  // SQL names — graft registers decade/century/millennium/isodow/
+  // yearweek/to_* interval constructors/strftime/strptime (Registry),
+  // DuckDB has them natively. Interval results are materialized as
+  // dates (parquet can't carry INTERVAL columns).
+  q("q_fn_datetime2",
+    """SELECT o_orderkey,
+      |  CAST(decade(o_orderdate) AS BIGINT) AS dec_,
+      |  CAST(century(o_orderdate) AS BIGINT) AS cent,
+      |  CAST(millennium(o_orderdate) AS BIGINT) AS mil,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+      |  CAST(isodow(o_orderdate) AS BIGINT) AS idow,
+      |  CAST(yearweek(o_orderdate) AS BIGINT) AS yw,
+      |  strftime(o_orderdate, '%Y/%m/%d %a') AS fmt,
+      |  CAST(o_orderdate + to_years(2) AS DATE) AS plus2y,
+      |  CAST(o_orderdate + to_months(7) AS DATE) AS plus7mo,
+      |  CAST(o_orderdate + to_days(45) AS DATE) AS plus45d,
+      |  CAST(o_orderdate + to_weeks(3) AS DATE) AS plus3w,
+      |  CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS roundtrip
+      |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""") { (s, dir) =>
+    graft.engine.EngineSession.configure(s)
+    Tables.orders(s, dir).filter(col("o_orderkey") < 500)
+      .selectExpr("o_orderkey",
+        "decade(o_orderdate) AS dec_",
+        "century(o_orderdate) AS cent",
+        "millennium(o_orderdate) AS mil",
+        "epoch(o_orderdate) AS ep",
+        "isodow(o_orderdate) AS idow",
+        "yearweek(o_orderdate) AS yw",
+        "strftime(o_orderdate, '%Y/%m/%d %a') AS fmt",
+        "CAST(o_orderdate + to_years(2) AS DATE) AS plus2y",
+        "CAST(o_orderdate + to_months(7) AS DATE) AS plus7mo",
+        "CAST(o_orderdate + to_days(45) AS DATE) AS plus45d",
+        "CAST(o_orderdate + to_weeks(3) AS DATE) AS plus3w",
+        "CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS roundtrip")
+      .orderBy("o_orderkey")
+  }
+
   // ---- json (reference extension/json) -------------------------------------
   // even (round away from zero to the next even integer) + nextafter
   // (IEEE-754 step toward) — the last §2.8 math-family gaps
