@@ -283,6 +283,15 @@ object Registry {
     f2("argmax", MaxBy(_, _)); f2("arg_max", MaxBy(_, _))
     // arbitrary/first: any value of the group (reference first.cpp)
     f1("arbitrary", First(_, ignoreNulls = false))
+    // string_agg defaults to ',' in the reference (Spark's listagg
+    // concatenates with no separator)
+    reg.createOrReplaceTempFunction("string_agg", es => es.length match {
+      case 1 => ListAgg(es(0),
+        Literal.create(",", org.apache.spark.sql.types.StringType))
+      case 2 => ListAgg(es(0), es(1))
+      case n => throw new IllegalArgumentException(
+        s"string_agg expects 1-2 args, got $n")
+    }, "scala_udf")
     // Kahan-compensated sum/avg (graft KahanSum DeclarativeAggregate)
     val DT = org.apache.spark.sql.types.DoubleType
     f1("fsum", e => KahanSum(Cast(e, DT)))

@@ -118,8 +118,11 @@ class SqlLogicSpec extends AnyFunSuite {
   // CompareValues casts both sides to the SQL type): "1" matches true,
   // "1.5" matches "1.50". Mirror that leniency for imported files.
   private def tokenMatches(got: String, exp: String): Boolean =
-    got == exp || got.trim == exp || ((got, exp) match {
-      case ("true", "1") | ("false", "0") | ("1", "true") | ("0", "false") => true
+    got == exp || got.trim == exp || ((got.toLowerCase, exp.toLowerCase) match {
+      // booleans: type-lenient ("1"/"true") and case-lenient — some
+      // reference files carry Python-style "True"/"False" expectations
+      case ("true", "1") | ("false", "0") | ("1", "true") | ("0", "false") |
+           ("true", "true") | ("false", "false") => true
       case _ =>
         val g = scala.util.Try(got.toDouble).toOption
         val e = scala.util.Try(exp.toDouble).toOption

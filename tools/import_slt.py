@@ -81,8 +81,9 @@ def reject_reason(text: str, sql_only: str):
         if tok in sql_only:
             return tok
     # ORDER BY inside an aggregate call (duckdb ordered aggregates —
-    # Spark has no general equivalent)
-    if re.search(r"\w+\s*\([^()]*ORDER\s+BY", sql_only, re.I):
+    # Spark has no general equivalent). `OVER (ORDER BY ...)` window
+    # specs are NOT ordered aggregates and must not trip this.
+    if re.search(r"\b(?!over\b)\w+\s*\([^()]*ORDER\s+BY", sql_only, re.I):
         return "ordered aggregate"
     return None
 
@@ -293,7 +294,9 @@ def values_alias(sql: str) -> str:
         start = pos + m.start()
         # a CTE body `name(cols) AS (VALUES...)` already names its
         # columns, and `IN (VALUES...)` is not a table reference
-        if re.search(r"(?i)\b(AS|IN)\s*$", out[:start]):
+        # `INSERT INTO t (VALUES ...)` takes no table alias either
+        if re.search(r"(?i)\b(AS|IN)\s*$", out[:start]) or \
+                re.search(r"(?i)\bINSERT\s+INTO\s+[\w.`]+\s*$", out[:start]):
             pos = start + 1
             continue
         # find the matching close paren
@@ -362,10 +365,17 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
         out = out.replace("//", " div ")
     out = rewrite_casts(out)
     out = range_subquery(out)
-    out = re.sub(r",(\s*\n\s*FROM\b)", r"\1", out)
-    out = re.sub(r",(\s*FROM\b)", r"\1", out)
-    # duckdb also tolerates a trailing comma before the closing paren
+    out = re.sub(r"(?i),(\s*\n\s*FROM\b)", r"\1", out)
+    out = re.sub(r"(?i),(\s*FROM\b)", r"\1", out)
+    # duckdb also tolerates a trailing comma before the closing paren,
+    # before ';', and at the end of a statement
     out = re.sub(r",(\s*\))", r"\1", out)
+    out = re.sub(r",(\s*;)", r"\1", out)
+    out = re.sub(r",\s*$", "", out)
+    # NOTE on null ordering: the corpus expectations are generated with
+    # the reference's default ASC null order, which matches Spark's
+    # NULLS FIRST — no rewrite needed (kurtosis' ORDER BY ALL record,
+    # which diverges, is dropped in import_slt_corpus.sh)
     # SUBSTRING is dedicated grammar in Spark (registry shadows can't
     # intercept it) — normalize FROM/FOR to commas and route to substr,
     # which resolves through the registry's reference-semantics shadow
@@ -408,8 +418,11 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     out = re.sub(r"(?i)\b(substring|substr)\s*\(\s*([^()]+?)\s+FOR\s+"
                  r"([^()]+?)\s*\)", r"substr(\2, 1, \3)", out)
     out = re.sub(r"(?i)\bsubstring\s*\(", "substr(", out)
+    # persistent CREATE VIEW would reference our merged TEMP views —
+    # make every view temporary (DROP VIEW handles both)
+    out = re.sub(r"(?i)\bCREATE\s+VIEW\b", "CREATE OR REPLACE TEMPORARY VIEW", out)
     # Spark type spellings
-    out = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", out)
+    out = re.sub(r"(?i)\bVARCHAR\b(?!\s*\()", "STRING", out)
     # TEXT only in type position (cast target / column def) — `text` is
     # also a legitimate column name in this repo's fixtures
     out = re.sub(r"(?i)(\bAS\s+)TEXT\b", r"\1STRING", out)
@@ -703,6 +716,20 @@ def main():
         else:
             split.append((kind, header, body, exp))
     records = split
+    # normalize statement bodies: trailing ';' defeats merge_tables'
+    # CREATE/INSERT patterns, and `INSERT INTO t (VALUES ...)` is the
+    # same statement with a redundant paren
+    norm = []
+    for kind, header, body, exp in records:
+        if body:
+            body = body[:-1] + [body[-1].rstrip().rstrip(";")]
+            sql = "\n".join(body)
+            m = re.match(r"(?is)^\s*(insert\s+into\s+[\w.`]+)\s*"
+                         r"\(\s*(values\b.*)\)\s*$", sql)
+            if m:
+                body = (m.group(1) + " " + m.group(2)).splitlines()
+        norm.append((kind, header, body, exp))
+    records = norm
     # transactions are meaningless for a stateless runner
     records = [r for r in records
                if not (r[0] == "statement" and TXN_RE.match("\n".join(r[2])))]

@@ -95,6 +95,16 @@ python3 tools/import_slt.py --drop-matching "(?i)2e30[4-7]|ORDER BY ALL|kurtosis
 #     modes of those statements plus the SET/RESET records
 python3 tools/import_slt.py --drop-matching "(?i)ieee_floating_point_ops|0\.0::float8" \
   $REF/sql/function/numeric/test_pow.test numeric_test_pow.test >/dev/null
+#   ntile(NULL): the reference returns a NULL column, Spark rejects a
+#     VOID bucket count at analysis
+python3 tools/import_slt.py --drop-matching "(?i)ntile\((null)?\)" \
+  $REF/sql/window/test_ntile.test window_test_ntile.test >/dev/null
+
+#   rank: the issue8315 record orders NULLs last (newer default) while
+#     the rest of the corpus orders them first — Spark matches the rest
+python3 tools/import_slt.py --drop-matching "issue8315" \
+  $REF/sql/window/test_rank.test window_test_rank.test >/dev/null
+
 #   IN (SELECT NULL): ANSI says NULL; Spark's null-aware rewrite yields
 #     false for the uncorrelated single-NULL case
 python3 tools/import_slt.py --drop-matching "(?i)IN\s*\(\s*SELECT\s+(CAST\s*\(\s*)?NULL" \
@@ -304,6 +314,16 @@ cte_recursive_cte_key_snapshot.test
 cte_recursive_cte_parallel_union_all_sink.test
 cte_recursive_cte_parallel_union_distinct_sink.test
 window_test_split_partition_heap.test
+window_test_boundary_expr.test
+window_test_negative_range.test
+window_test_nthvalue.test
+window_test_window_wisconsin.test
+window_test_lead_lag.test
+window_test_scalar_window.test
+window_test_window_filter.test
+float_nan_window.test
+interval_test_interval_ops.test
+scalar_test_complex_correlated_subquery.test
 any_all_test_row_not_equal_any_null_semantics.test
 topn_test_top_n_structs.test
 filter_test_constant_comparisons.test
