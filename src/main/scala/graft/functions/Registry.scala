@@ -38,6 +38,17 @@ object Registry {
     f2("vec_l2_distance", VecL2(_, _))
     f1("vec_norm", VecNorm(_))
     f2("jaro_winkler", JaroWinkler(_, _))
+    // optional 3rd arg = rapidfuzz score_cutoff: scores below it go to 0
+    reg.createOrReplaceTempFunction("jaro_winkler_similarity",
+      es => es.length match {
+        case 2 => JaroWinkler(es(0), es(1))
+        case 3 =>
+          val jw = JaroWinkler(es(0), es(1))
+          If(LessThan(jw, Cast(es(2),
+            org.apache.spark.sql.types.DoubleType)), Literal(0.0), jw)
+        case n => throw new IllegalArgumentException(
+          s"jaro_winkler_similarity expects 2-3 args, got $n")
+      }, "scala_udf")
     f2("damerau_levenshtein", DamerauLevenshtein(_, _))
     f2("hamming_distance", HammingDistance(_, _))
     f2("jaccard_sim", JaccardChars(_, _))

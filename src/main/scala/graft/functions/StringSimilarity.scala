@@ -71,7 +71,8 @@ object StringSim {
   def jaro(sa: UTF8String, sb: UTF8String): Double = {
     val s = sa.getBytes; val t = sb.getBytes
     val n = s.length; val m = t.length
-    if (n == 0 && m == 0) return 1.0
+    // rapidfuzz (and the reference's jaro.cpp) score empty-vs-empty as
+    // 0, not 1 — pinned by test_jaro_winkler.test #9
     if (n == 0 || m == 0) return 0.0
     val window = math.max(math.max(n, m) / 2 - 1, 0)
     val sMatch = new Array[Boolean](n)

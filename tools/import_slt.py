@@ -48,9 +48,9 @@ import re
 import sys
 import os
 
-REJECT = ["require ", "mode ", "skipif",
+REJECT = ["mode ", "skipif",
           "onlyif", "hash-threshold", "restart", "load ", "sleep ",
-          "query error", "<REGEX>", "<FILE>", "PRAGMA",
+          "query error", "<REGEX>", "<FILE>",
           "ATTACH", "EXCLUDE", "COLUMNS(", "ASOF", "POSITIONAL",
           "SUMMARIZE", "DESCRIBE", "SHOW ", "CREATE INDEX", "SEQUENCE",
           "INSTALL", "EXPORT", "reorder", "BY NAME", "MACRO",
@@ -68,11 +68,38 @@ DIRECTIVE_REJECT = ["loop", "endloop", "foreach", "require ", "mode ",
                     "load ", "sleep ", "query error", "concurrent"]
 
 
+# requires that only mark the environment (word size, vector size,
+# storage mode) — droppable; feature requires (tpch, icu) still reject
+SAFE_REQUIRE = re.compile(
+    r"(?i)^require\s+(64bit|vector_size|strinline|skip_reload|"
+    r"noforcestorage|no_alternative_verify|ram|notwindows|"
+    r"exact_vector_size|longdouble|parquet|json)\b")
+# pragmas that change SEMANTICS reject the file; all others are
+# execution tuning (threads, memory_limit, verification, optimizer
+# toggles) and their records are simply dropped
+PRAGMA_DENY = re.compile(
+    r"(?i)\b(pragma|set)\s+(default_order|"
+    r"default_collation|integer_division|ieee_floating_point|calendar|"
+    r"timezone|old_implicit_casting)")
+# default_null_order='nulls_first' matches Spark's default — harmless;
+# any OTHER value diverges
+NULL_ORDER_SET = re.compile(r"(?i)\b(pragma|set)\s+default_null_order")
+NULL_ORDER_OK = re.compile(
+    r"(?i)\b(pragma|set)\s+default_null_order\s*=?\s*'?\s*nulls_first")
+
+
 def reject_reason(text: str, sql_only: str):
     for tok in DIRECTIVE_REJECT:
         for line in text.splitlines():
             if line.strip().startswith(tok):
+                if tok == "require " and SAFE_REQUIRE.match(line.strip()):
+                    continue
                 return tok
+    if PRAGMA_DENY.search(sql_only):
+        return "semantic pragma"
+    for m in NULL_ORDER_SET.finditer(sql_only):
+        if not NULL_ORDER_OK.match(sql_only, m.start()):
+            return "semantic pragma"
     # connection labels ride on the record header (statement ok con1)
     for line in text.splitlines():
         if re.match(r"(statement|query)\b.*\bcon\d+\b", line.strip()):
@@ -730,6 +757,12 @@ def main():
                 body = (m.group(1) + " " + m.group(2)).splitlines()
         norm.append((kind, header, body, exp))
     records = norm
+    # execution-tuning pragmas (threads, memory_limit, verification,
+    # optimizer toggles) are no-ops for a correctness runner — dropped;
+    # semantics-changing ones rejected the whole file above
+    records = [r for r in records
+               if not (r[0] == "statement"
+                       and re.match(r"(?is)^\s*pragma\b", "\n".join(r[2])))]
     # transactions are meaningless for a stateless runner
     records = [r for r in records
                if not (r[0] == "statement" and TXN_RE.match("\n".join(r[2])))]

@@ -306,6 +306,7 @@ order_hugeint_order_by_extremes.test
 aggregates_test_mad.test
 aggregates_test_arg_min_max.test
 string_test_bar.test
+string_test_jaro_winkler.test
 string_test_url_encode.test
 generic_can_cast_implicitly.test
 generic_test_set.test
@@ -316,6 +317,20 @@ cte_recursive_cte_parallel_union_distinct_sink.test
 window_test_split_partition_heap.test
 window_test_boundary_expr.test
 window_test_negative_range.test
+window_test_mad_window.test
+window_test_mode_window.test
+window_test_volatile_independence.test
+cte_cte_with_replacement_scan.test
+cte_test_cte.test
+cte_test_recursive_cte_tutorial.test
+cte_test_recursive_cte_union.test
+generic_test_sleep.test
+generic_test_stats.test
+string_parse_path.test
+join_non_inner_decorrelation_regressions.test
+limit_streaming_limit_pipeline_flush.test
+limit_test_limit0.test
+scalar_test_scalar_subquery_cte.test
 window_test_nthvalue.test
 window_test_window_wisconsin.test
 window_test_lead_lag.test
@@ -339,6 +354,8 @@ order_order_by_all.test
 order_order_overflow.test
 order_test_limit_cte.test
 order_test_order_by.test
+order_test_nulls_first.test
+order_test_order_pragma.test
 order_test_order_by_exceptions.test
 order_test_order_by_non_ordinal_literal.test
 scalar_test_delete_subquery.test
