@@ -77,9 +77,12 @@ SAFE_REQUIRE = re.compile(
 # pragmas that change SEMANTICS reject the file; all others are
 # execution tuning (threads, memory_limit, verification, optimizer
 # toggles) and their records are simply dropped
+# NOT denied: ieee_floating_point_ops — the corpus' non-IEEE sections
+# either match IEEE results anyway (fdiv/fmod NaN cases) or have their
+# divergent records dropped per-file (test_pow)
 PRAGMA_DENY = re.compile(
     r"(?i)\b(pragma|set)\s+(default_order|"
-    r"default_collation|integer_division|ieee_floating_point|calendar|"
+    r"default_collation|integer_division|calendar|"
     r"timezone|old_implicit_casting)")
 # default_null_order='nulls_first' matches Spark's default — harmless;
 # any OTHER value diverges
