@@ -613,6 +613,86 @@ object Registry {
       case n => throw new IllegalArgumentException(
         s"substring_grapheme expects 2-3 args, got $n")
     }, "scala_udf")
+
+    // ---- reference LIST/STRUCT/MAP surface (list_extract.cpp,
+    // array_slice.cpp, core_functions/scalar/list/) — bracket subscript
+    // and slice arrive from the imported corpus as graft_subscript /
+    // graft_slice (tools/import_slt.py) ----
+    f2("graft_subscript", DuckSubscript(_, _))
+    fn("graft_slice", 3)(es => DuckSlice(es(0), es(1), es(2)))
+    fn("list_slice", 3)(es => DuckSlice(es(0), es(1), es(2)))
+    // list_extract/array_extract/list_element: string variant keeps the
+    // grapheme semantics registered above only for VARCHAR — the duck
+    // subscript dispatches identically for strings, so one expression
+    // serves lists, maps, structs and strings
+    // overrides the string-only registration above: same grapheme
+    // semantics for VARCHAR, plus LIST/MAP/STRUCT dispatch
+    for (nm <- Seq("list_element", "list_extract", "array_extract",
+        "struct_extract", "map_extract_value"))
+      f2(nm, DuckSubscript(_, _))
+    reg.createOrReplaceTempFunction("list_value",
+      es => CreateArray(es), "scala_udf")
+    reg.createOrReplaceTempFunction("list_pack",
+      es => CreateArray(es), "scala_udf")
+    f1("list_distinct", ListDistinct(_))
+    f1("list_unique", ListUnique(_))
+    f2("list_position", ListPosition(_, _))
+    f2("list_indexof", ListPosition(_, _))
+    f2("list_contains", (l, v) =>
+      DuckContains(l, v))
+    f2("array_contains", (l, v) => DuckContains(l, v))
+    f2("array_has", (l, v) => DuckContains(l, v))
+    f2("contains", DuckContains(_, _))
+    f2("map_contains", DuckContains(_, _))
+    reg.createOrReplaceTempFunction("list_concat",
+      es => ListConcat(es), "scala_udf")
+    reg.createOrReplaceTempFunction("list_cat",
+      es => ListConcat(es), "scala_udf")
+    f2("list_append", ArrayAppend(_, _))
+    f2("array_push_back", ArrayAppend(_, _))
+    // reference arg order: list_prepend(element, list)
+    f2("list_prepend", (e, l) => ArrayPrepend(l, e))
+    f2("array_push_front", (l, e) => ArrayPrepend(l, e))
+    val sortArgs: PartialFunction[(String, String), (Boolean, Boolean)] = {
+      case ("asc", "nulls first") => (true, true)
+      case ("asc", "nulls last") => (true, false)
+      case ("desc", "nulls first") => (false, true)
+      case ("desc", "nulls last") => (false, false)
+    }
+    def lit(e: Expression): String = e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        s.toString.toLowerCase.trim
+      case other => String.valueOf(other).toLowerCase.trim
+    }
+    reg.createOrReplaceTempFunction("list_sort", es => es.length match {
+      // reference defaults (list_sort.cpp): ASC, NULLS FIRST
+      case 1 => ListSortFull(es(0), asc = true, nullsFirst = true)
+      case 2 =>
+        val asc = lit(es(1)) == "asc"
+        ListSortFull(es(0), asc, nullsFirst = asc)
+      case 3 =>
+        val (a, nf) = sortArgs((lit(es(1)), lit(es(2))))
+        ListSortFull(es(0), a, nf)
+      case n => throw new IllegalArgumentException(
+        s"list_sort expects 1-3 args, got $n")
+    }, "scala_udf")
+    f1("list_reverse_sort", ListSortFull(_, asc = false, nullsFirst = false))
+    f1("list_reverse", Reverse(_))
+    reg.createOrReplaceTempFunction("list_resize", es => es.length match {
+      case 2 => ListResize(es(0), es(1),
+        Literal.create(null, org.apache.spark.sql.types.NullType))
+      case 3 => ListResize(es(0), es(1), es(2))
+      case n => throw new IllegalArgumentException(
+        s"list_resize expects 2-3 args, got $n")
+    }, "scala_udf")
+    f2("array_to_string", (l, s) => ArrayJoin(l, s, None))
+    f1("len", DuckLen(_))
+    f1("array_length", DuckLen(_))
+    f1("list_length", DuckLen(_))
+    reg.createOrReplaceTempFunction("range", es =>
+      GenSeries(es, inclusive = false), "scala_udf")
+    reg.createOrReplaceTempFunction("generate_series", es =>
+      GenSeries(es, inclusive = true), "scala_udf")
     registered = true
   }
 }

@@ -50,11 +50,11 @@ import os
 
 REJECT = ["mode ", "skipif",
           "onlyif", "hash-threshold", "restart", "load ", "sleep ",
-          "query error", "<REGEX>", "<FILE>",
+          "<REGEX>", "<FILE>",
           "ATTACH", "EXCLUDE", "COLUMNS(", "ASOF", "POSITIONAL",
           "SUMMARIZE", "DESCRIBE", "SHOW ", "CREATE INDEX", "SEQUENCE",
           "INSTALL", "EXPORT", "reorder", "BY NAME", "MACRO",
-          " TIME", "STRUCT", "MAP(", "LIST", "[", "PREPARE", "EXECUTE",
+          " TIME", "PREPARE", "EXECUTE",
           "rowid", "DELETE FROM", "duckdb_connection_count",
           "pragma_", "COPY ", "USING SAMPLE", "using sample",
           # unsigned ints have no Spark type with matching overflow
@@ -65,7 +65,7 @@ REJECT = ["mode ", "skipif",
 
 DIRECTIVE_REJECT = ["loop", "endloop", "foreach", "require ", "mode ",
                     "skipif", "onlyif", "restart",
-                    "load ", "sleep ", "query error", "concurrent"]
+                    "load ", "sleep ", "concurrent"]
 
 
 # requires that only mark the environment (word size, vector size,
@@ -558,9 +558,10 @@ def parse_records(lines):
             i += 1
 
 
-def split_top(s: str):
-    """Split on top-level commas (outside parens and quotes) — so
-    DECIMAL(18,3) columns and 'a,b' literals survive."""
+def split_top(s: str, sep: str = ","):
+    """Split on top-level separators (outside parens, brackets, braces
+    and quotes) — so DECIMAL(18,3) columns, [1,2] lists, {'a': 1}
+    structs and 'a,b' literals survive."""
     parts, depth, in_str, start = [], 0, False, 0
     i = 0
     while i < len(s):
@@ -570,11 +571,11 @@ def split_top(s: str):
                 in_str = False
         elif c == "'":
             in_str = True
-        elif c == "(":
+        elif c in "([{":
             depth += 1
-        elif c == ")":
+        elif c in ")]}":
             depth -= 1
-        elif c == "," and depth == 0:
+        elif c == sep and depth == 0:
             parts.append(s[start:i])
             start = i + 1
         i += 1
@@ -584,7 +585,7 @@ def split_top(s: str):
 
 def split_tuples(s: str):
     """Extract top-level parenthesized tuples from a VALUES tail,
-    respecting quotes and nested parens."""
+    respecting quotes and nested parens/brackets/braces."""
     tuples, depth, in_str, start = [], 0, False, None
     i = 0
     while i < len(s):
@@ -594,11 +595,11 @@ def split_tuples(s: str):
                 in_str = False
         elif c == "'":
             in_str = True
-        elif c == "(":
-            if depth == 0:
+        elif c in "([{":
+            if depth == 0 and c == "(":
                 start = i + 1
             depth += 1
-        elif c == ")":
+        elif c in ")]}":
             depth -= 1
             if depth == 0 and start is not None:
                 tuples.append(s[start:i])
