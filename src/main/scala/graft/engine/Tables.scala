@@ -37,12 +37,23 @@ object Tables {
     perSession.computeIfAbsent((dir, name), _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events") {
-        // ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it arrives as
-        // epoch-nanos LongType. Convert to Spark's native µs timestamp
-        // (integer DIV — the ns epoch exceeds double's 2^53 mantissa).
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        // ts arrives either as TIMESTAMP(NANOS) read with nanosAsLong
+        // (epoch-nanos LongType — older fixture generations) or as a
+        // native µs timestamp (current generation). Normalize to µs
+        // timestamp (integer DIV — ns epoch exceeds double's mantissa).
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts DIV 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            // session TZ is pinned UTC, so NTZ -> LTZ preserves the
+            // wall clock; downstream uses unix_micros/watermarks which
+            // want the LTZ type
+            df.withColumn("ts", org.apache.spark.sql.functions
+              .col("ts").cast("timestamp"))
+          case _ => df
+        }
       } else df
     })
   }

@@ -620,6 +620,15 @@ object Registry {
     // graft_slice (tools/import_slt.py) ----
     f2("graft_subscript", DuckSubscript(_, _))
     fn("graft_slice", 3)(es => DuckSlice(es(0), es(1), es(2)))
+    // MAP(keys_list, values_list) constructor (map.cpp MapFunction);
+    // MAP() is the empty map — `MAP {k: v}` literals arrive as Spark's
+    // own map(k, v, ...) from the importer
+    reg.createOrReplaceTempFunction("graft_map", {
+      case Seq() => CreateMap(Nil)
+      case Seq(k, v) => MapFromArrays(k, v)
+      case es => throw new IllegalArgumentException(
+        s"MAP() expects 0 or 2 arguments, got ${es.length}")
+    }, "scala_udf")
     fn("list_slice", 3)(es => DuckSlice(es(0), es(1), es(2)))
     // list_extract/array_extract/list_element: string variant keeps the
     // grapheme semantics registered above only for VARCHAR — the duck

@@ -15,16 +15,26 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet raw schema (ts = epoch nanos as long, see Tables). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events.parquet raw schema — ts arrives as epoch-nanos long (older
+    * fixture generations, read with nanosAsLong) or a native timestamp
+    * (current generation); probe the file footer once.
+    */
+  def rawSchema(spark: SparkSession, path: String): StructType = {
+    val fileType = spark.read.parquet(path).schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", fileType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
 
-  /** Streaming read of an events parquet directory (ns → µs timestamp). */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** Streaming read of an events parquet directory (ts → µs timestamp). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val schema = rawSchema(spark, path)
+    val raw = spark.readStream.schema(schema).parquet(path)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
 
   /** Tumbling-window counts/sums with a watermark — works on both a
     * streaming and a batch frame.

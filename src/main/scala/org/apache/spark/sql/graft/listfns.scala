@@ -123,6 +123,11 @@ case class DuckSubscript(left: Expression, right: Expression)
         val s = base.asInstanceOf[UTF8String]
         val n = TextFns.lengthGrapheme(s)
         val i0 = idx.asInstanceOf[java.lang.Number].longValue
+        // reference substring offsets are uint32-bounded (string
+        // subscript past that raises Out of Range, substring.cpp)
+        if (i0 > 4294967295L || i0 < -4294967295L)
+          throw new ArithmeticException(
+            "Substring offset outside of supported range (> 4294967295)")
         val pos = if (i0 < 0) n + i0 + 1 else i0
         if (pos < 1 || pos > n) UTF8String.fromString("")
         else TextFns.substringGrapheme(s, pos.toInt, 1)
@@ -283,7 +288,7 @@ case class DuckContains(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def prettyName: String = "contains"
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    case _: ArrayType | _: MapType | _: StringType =>
+    case _: ArrayType | _: MapType | _: StringType | NullType =>
       TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(s"cannot apply contains to $other")

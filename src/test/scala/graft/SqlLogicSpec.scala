@@ -101,6 +101,20 @@ class SqlLogicSpec extends AnyFunSuite {
       val micros = t.getNanos / 1000
       if (micros == 0) base
       else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+    case r: org.apache.spark.sql.Row =>
+      // reference STRUCT rendering (value.cpp ToString): keys quoted,
+      // nested values bare
+      val names =
+        if (r.schema != null) r.schema.fieldNames
+        else Array.tabulate(r.length)(j => s"v${j + 1}")
+      (0 until r.length).map { j =>
+        s"'${names(j)}': ${cellRef(r.get(j), sqliteMode)}"
+      }.mkString("{", ", ", "}")
+    case m: scala.collection.Map[_, _] =>
+      // reference MAP rendering: {k=v, ...}
+      m.map { case (k, v) =>
+        s"${cellRef(k, sqliteMode)}=${cellRef(v, sqliteMode)}"
+      }.mkString("{", ", ", "}")
     case other => other.toString
   }
 

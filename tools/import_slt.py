@@ -178,7 +178,8 @@ def unroll_loops(lines, max_iters=6):
     return out
 
 
-PAREN_TYPES = {"DECIMAL", "NUMERIC", "DEC", "VARCHAR", "CHAR", "BIT"}
+PAREN_TYPES = {"DECIMAL", "NUMERIC", "DEC", "VARCHAR", "CHAR", "BIT",
+               "ROW", "STRUCT", "MAP"}
 # types whose cast Spark lacks but whose untyped value compares the same
 # way for this corpus (uuid literals are strings on both engines)
 DROP_CAST_TYPES = {"UUID"}
@@ -195,12 +196,15 @@ def rewrite_casts(sql: str) -> str:
             return sql
         if k == 0:
             return sql  # malformed; bail rather than loop forever
-        if sql[k - 1] == ")":
+        if sql[k - 1] in ")]}":
+            # balanced scan back over the group — brackets/braces are
+            # list/struct literals not yet rewritten at this stage
+            close, opn = sql[k - 1], {")": "(", "]": "[", "}": "{"}[sql[k - 1]]
             depth, p = 0, k - 1
             while p >= 0:
-                if sql[p] == ")":
+                if sql[p] == close:
                     depth += 1
-                elif sql[p] == "(":
+                elif sql[p] == opn:
                     depth -= 1
                     if depth == 0:
                         break
@@ -233,12 +237,272 @@ def rewrite_casts(sql: str) -> str:
                             break
                     p2 += 1
                 tend = p2 + 1
+        # duckdb array-type suffixes: ::INTEGER[] / ::STRUCT(..)[3]
+        while True:
+            ms = re.match(r"\s*\[\s*\d*\s*\]", sql[tend:])
+            if not ms:
+                break
+            tend += ms.end()
         typ = sql[k + 2:tend].strip()
         if typ.upper() in DROP_CAST_TYPES:
             repl = operand
         else:
             repl = "CAST(%s AS %s)" % (operand, typ)
         sql = sql[:start] + repl + sql[tend:]
+
+
+TYPE_TAIL = re.compile(
+    r"(?i)\s+(NOT\s+NULL|NULL|DEFAULT|PRIMARY|UNIQUE|CHECK|REFERENCES)\b.*$",
+    re.S)
+
+
+def duck_type(t: str) -> str:
+    """duckdb nested-type spelling -> Spark DDL: `T[]`/`T[3]` ->
+    ARRAY<T>, ROW(a T,...)/STRUCT(a T,...) -> STRUCT<a: T,...>,
+    MAP(K, V) -> MAP<K, V>. Scalar spellings pass through (the scalar
+    alias regexes in transform_sql run on the whole statement later)."""
+    t = t.strip()
+    m = re.match(r"^(.*)\[\s*\d*\s*\]$", t, re.S)
+    if m:
+        return "ARRAY<%s>" % duck_type(m.group(1))
+    m = re.match(r"(?is)^(ROW|STRUCT)\s*\((.*)\)$", t)
+    if m:
+        fields = []
+        for c in split_top(m.group(2)):
+            cm = re.match(r'\s*(`[^`]+`|"[^"]+"|\w+)\s+(.*)$', c, re.S)
+            if not cm:
+                return t  # unparsable — leave for the reject pass
+            fields.append("%s: %s" % (cm.group(1), duck_type(cm.group(2))))
+        return "STRUCT<%s>" % ", ".join(fields)
+    m = re.match(r"(?is)^MAP\s*\((.*)\)$", t)
+    if m:
+        kv = split_top(m.group(1))
+        if len(kv) == 2:
+            return "MAP<%s, %s>" % (duck_type(kv[0]), duck_type(kv[1]))
+    return t
+
+
+CAST_RE = re.compile(r"(?i)\b(?:TRY_)?CAST\s*\(")
+
+
+def _split_last_top_as(s: str):
+    """Index of the last top-level ' AS ' (outside parens/brackets/
+    braces) in a masked CAST body, or -1."""
+    depth, best = 0, -1
+    for m in re.finditer(r"(?i)\sAS\s", s):
+        d = 0
+        for c in s[:m.start()]:
+            if c in "([{":
+                d += 1
+            elif c in ")]}":
+                d -= 1
+        if d == 0:
+            best = m.start()
+    return best
+
+
+def rewrite_cast_types(sql: str) -> str:
+    """Convert the type operand of every CAST/TRY_CAST to Spark DDL
+    spelling via duck_type (recursing into nested casts)."""
+    m = CAST_RE.search(sql)
+    if not m:
+        return sql
+    start = sql.index("(", m.start())
+    depth, i = 0, start
+    while i < len(sql):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    if i >= len(sql):
+        return sql
+    inner = rewrite_cast_types(sql[start + 1:i])
+    k = _split_last_top_as(inner)
+    if k >= 0:
+        inner = inner[:k] + " AS " + duck_type(inner[k + 4:])
+    return sql[:start + 1] + inner + ")" + rewrite_cast_types(sql[i + 1:])
+
+
+def rewrite_create_types(sql: str) -> str:
+    """Convert nested column types in a CREATE TABLE statement."""
+    m = re.match(r"(?is)^(\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                 r"[\w.`]+\s*)\(", sql)
+    if not m:
+        return sql
+    start = m.end() - 1
+    depth, i = 0, start
+    while i < len(sql):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    if i >= len(sql):
+        return sql
+    cols = []
+    for c in split_top(sql[start + 1:i]):
+        cm = re.match(r'\s*(`[^`]+`|"[^"]+"|\w+)\s+(.*)$', c, re.S)
+        if cm and cm.group(1).upper() not in (
+                "PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT"):
+            ty = cm.group(2)
+            tail = ""
+            tm = TYPE_TAIL.search(ty)
+            if tm:
+                ty, tail = ty[:tm.start()], " " + tm.group(0).strip()
+            cols.append("%s %s%s" % (cm.group(1), duck_type(ty), tail))
+        else:
+            cols.append(c.strip())
+    return sql[:start + 1] + ", ".join(cols) + ")" + sql[i + 1:]
+
+
+# keywords that can directly precede a list literal with no space
+NOT_SUBSCRIPT = {"select", "values", "when", "then", "else", "and", "or",
+                 "not", "in", "on", "by", "as", "from", "where", "union",
+                 "all", "distinct", "return", "set", "case", "end",
+                 "array", "having", "limit", "offset", "row", "using"}
+
+
+def _top_level_colon(s: str):
+    """Index of a top-level ':' (outside parens/brackets/braces), -1 if
+    none — distinguishes slice bounds from nested struct literals."""
+    depth = 0
+    for i, c in enumerate(s):
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif c == ":" and depth == 0:
+            return i
+    return -1
+
+
+def rewrite_brackets(sql: str) -> str:
+    """On masked SQL (after type rewrites): innermost-first, convert
+    `[a, b]` list literals -> array(a, b), `e[i]` -> graft_subscript(e,
+    i), `e[lo:hi]` (either bound optional) -> graft_slice(e, lo, hi).
+    A '[' is a subscript iff the char immediately before it is an
+    identifier char, a mask-token end, or a close paren — duckdb's own
+    disambiguation (transform_expression.cpp subscript binding)."""
+    while True:
+        close = sql.find("]")
+        if close < 0:
+            return sql
+        opn = sql.rfind("[", 0, close)
+        if opn < 0:
+            return sql  # stray ']' — leave for the reject pass
+        body = sql[opn + 1:close]
+        prev = sql[opn - 1] if opn > 0 else ""
+        is_sub = prev.isalnum() or prev in "_\x01)"
+        if is_sub:
+            # scan back the operand like rewrite_casts
+            if prev == ")":
+                depth, p = 0, opn - 1
+                while p >= 0:
+                    if sql[p] == ")":
+                        depth += 1
+                    elif sql[p] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    p -= 1
+                q = p - 1
+                while q >= 0 and (sql[q].isalnum() or sql[q] in "_."):
+                    q -= 1
+                start = q + 1
+            else:
+                p = opn - 1
+                while p >= 0 and (sql[p].isalnum() or sql[p] in "_.\x00\x01"):
+                    p -= 1
+                start = p + 1
+            operand = sql[start:opn]
+            bare = operand.strip().lower()
+            if bare in NOT_SUBSCRIPT or not bare:
+                is_sub = False
+        if not is_sub:
+            # postgres-style ARRAY[...] constructor: drop the keyword
+            m = re.search(r"(?i)\bARRAY\s*$", sql[:opn])
+            if m:
+                opn_text_start = m.start()
+                sql = (sql[:opn_text_start] + "array(" + body + ")"
+                       + sql[close + 1:])
+                continue
+        if is_sub:
+            k = _top_level_colon(body)
+            if k >= 0:
+                lo = body[:k].strip() or "NULL"
+                hi = body[k + 1:].strip() or "NULL"
+                if _top_level_colon(body[k + 1:]) >= 0:
+                    return sql  # step slice — reject pass will see '['
+                repl = "graft_slice(%s, %s, %s)" % (operand, lo, hi)
+            else:
+                repl = "graft_subscript(%s, %s)" % (operand, body.strip())
+            sql = sql[:start] + repl + sql[close + 1:]
+        else:
+            sql = sql[:opn] + "array(" + body + ")" + sql[close + 1:]
+
+
+def rewrite_braces(sql: str) -> str:
+    """Innermost-first: `{'k': v, ...}` -> named_struct('k', v, ...);
+    `MAP {'k': v}` -> map('k', v, ...). Runs after rewrite_brackets so
+    list elements inside are already array(...) calls."""
+    while True:
+        close = sql.find("}")
+        if close < 0:
+            return sql
+        opn = sql.rfind("{", 0, close)
+        if opn < 0:
+            return sql
+        body = sql[opn + 1:close]
+        before = sql[:opn].rstrip()
+        is_map = bool(re.search(r"(?i)\bMAP$", before))
+        pairs = []
+        for part in split_top(body):
+            k = _top_level_colon(part)
+            if k < 0:
+                if part.strip():
+                    return sql  # not a literal — leave for reject pass
+                continue
+            pairs.append((part[:k].strip(), part[k + 1:].strip()))
+        flat = ", ".join("%s, %s" % kv for kv in pairs)
+        if is_map:
+            repl = "map(%s)" % flat
+            sql = before[:len(before) - 3] + repl + sql[close + 1:]
+        else:
+            repl = "named_struct(%s)" % flat
+            sql = sql[:opn] + repl + sql[close + 1:]
+
+
+def rewrite_struct_pack(sql: str) -> str:
+    """struct_pack(a := 1, b := 2) -> named_struct('a', 1, 'b', 2)."""
+    while True:
+        m = re.search(r"(?i)\bstruct_pack\s*\(", sql)
+        if not m:
+            return sql
+        start = sql.index("(", m.start())
+        depth, i = 0, start
+        while i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if i >= len(sql):
+            return sql
+        args = []
+        for part in split_top(sql[start + 1:i]):
+            am = re.match(r"\s*(\w+)\s*:=\s*(.*)$", part, re.S)
+            if not am:
+                return sql
+            args.append("'%s', %s" % (am.group(1), am.group(2).strip()))
+        sql = (sql[:m.start()] + "named_struct(" + ", ".join(args) + ")"
+               + sql[i + 1:])
 
 
 def mask_literals(sql: str):
@@ -393,7 +657,26 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
         out = re.sub(r"(?<![/*])/(?![/*])", " div ", out)
     else:
         out = out.replace("//", " div ")
+    # duckdb's current lambda spelling `lambda x, y: e` -> Spark/duck-
+    # classic `(x, y) -> e` (must run before the brace/slice rewrites,
+    # which treat ':' as structural)
+    out = re.sub(r"(?i)\blambda\s+(\w+(?:\s*,\s*\w+)*)\s*:", r"(\1) ->", out)
     out = rewrite_casts(out)
+    # nested-type spellings (type position) must convert BEFORE the
+    # bracket/brace literal rewrites eat `INTEGER[]` / `ROW(...)`
+    out = rewrite_cast_types(out)
+    out = rewrite_create_types(out)
+    out = rewrite_struct_pack(out)
+    out = rewrite_brackets(out)
+    # value-position MAP(keys_list, values_list) / MAP() constructor —
+    # must run BEFORE rewrite_braces (which emits Spark's own map(k, v,
+    # ...) for `MAP {k: v}` literals, not to be re-rewritten)
+    out = re.sub(r"(?i)\bMAP\s*\(", "graft_map(", out)
+    out = rewrite_braces(out)
+    # remaining ROW( are value constructors (type positions consumed
+    # above); UNNEST -> explode works in both SELECT and FROM position
+    out = re.sub(r"(?i)\bROW\s*\(", "struct(", out)
+    out = re.sub(r"(?i)\bUNNEST\s*\(", "explode(", out)
     out = range_subquery(out)
     out = re.sub(r"(?i),(\s*\n\s*FROM\b)", r"\1", out)
     out = re.sub(r"(?i),(\s*FROM\b)", r"\1", out)
@@ -791,6 +1074,11 @@ def main():
             [transform_sql("\n".join(b), sqlite_mode) for _, _, b, _ in rest]
     if any("::" in p for p in probe):
         print(f"REJECT {src}: unrewritable '::' cast")
+        sys.exit(2)
+    # leftover bracket/brace outside string literals means a rewrite
+    # bailed (step slice, non-literal brace) — Spark can't parse it
+    if any(re.search(r"[\[{]", LITERAL_RE.sub("", p)) for p in probe):
+        print(f"REJECT {src}: unrewritable bracket/brace")
         sys.exit(2)
     dest_dir = os.path.join(os.path.dirname(__file__), "..",
                             "src", "test", "resources", "sql", "ref")

@@ -39,6 +39,28 @@ for f in $(ls $REF/sql/window/*.test $REF/sql/join/*.test \
   python3 tools/import_slt.py "$f" "$base" >/dev/null 2>&1 || true
 done
 
+# nested-type packs (STRUCT/MAP/LIST literal + subscript syntax handled
+# by the r8 importer rewrites) — explicit prefixes because sql/types/list
+# and sql/function/list share a dirname
+import_pref() {  # import_pref PREFIX GLOB...
+  local pref=$1; shift
+  for f in "$@"; do
+    [ -f "$f" ] || continue
+    python3 tools/import_slt.py "$f" "${pref}_$(basename $f)" \
+      >/dev/null 2>&1 || true
+  done
+}
+import_pref tstruct $REF/sql/types/struct/*.test
+import_pref tlist   $REF/sql/types/list/*.test
+import_pref tmap    $REF/sql/types/map/*.test
+import_pref narray  $REF/sql/types/nested/array/*.test
+import_pref flist   $REF/sql/function/list/*.test
+import_pref flagg   $REF/sql/function/list/aggregates/*.test
+import_pref flambda $REF/sql/function/list/lambdas/*.test
+import_pref fnested $REF/sql/function/nested/*.test
+import_pref farray  $REF/sql/function/array/*.test
+import_pref lateral $REF/sql/subquery/lateral/*.test
+
 # the classic sqlite select corpus: md5-hash expectations, integer
 # division mode (the reference sets integer_division=true for these)
 python3 tools/import_slt.py --sqlite --max-queries 250 \
