@@ -31,7 +31,11 @@ object Bench {
     */
   val headlineExtra: Seq[String] = Seq(
     "q_ds11_channel_growth", "q_join_range", "q_geo_distance",
-    "q_dedup_span", "q_window_groups")
+    "q_dedup_span", "q_window_groups",
+    // round-8 additions: ClickBench/JOB/h2o representatives + the
+    // two-heap running median
+    "q_cb09", "q_cb33", "q_job06a", "q_job09a", "q_h2o_g10", "q_h2o_j05",
+    "q_window_median_unbounded")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

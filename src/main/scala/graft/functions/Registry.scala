@@ -623,6 +623,49 @@ object Registry {
     // MAP(keys_list, values_list) constructor (map.cpp MapFunction);
     // MAP() is the empty map — `MAP {k: v}` literals arrive as Spark's
     // own map(k, v, ...) from the importer
+    // json_transform family + SQL (de)serialization (JsonSql)
+    reg.createOrReplaceTempFunction("json_transform",
+      es => JsonSql.transformExpr(es, strict = false), "scala_udf")
+    reg.createOrReplaceTempFunction("from_json_graft",
+      es => JsonSql.transformExpr(es, strict = false), "scala_udf")
+    reg.createOrReplaceTempFunction("json_transform_strict",
+      es => JsonSql.transformExpr(es, strict = true), "scala_udf")
+    reg.createOrReplaceTempFunction("json_serialize_sql",
+      es => JsonSql.serializeExpr(spark, es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_deserialize_sql",
+      es => JsonSql.deserializeExpr(es), "scala_udf")
+
+    // reference list math / construction aliases
+    // (core_functions/scalar/list/list_distance.cpp etc.) — the duck
+    // binder implicitly casts any numeric list; mirror with an explicit
+    // ARRAY<FLOAT> cast in front of the strict vec kernels
+    def vf(e: Expression): Expression = Cast(e,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    f2("list_cosine_similarity", (a, b) => VecCosine(vf(a), vf(b)))
+    f2("array_cosine_similarity", (a, b) => VecCosine(vf(a), vf(b)))
+    f2("list_distance", (a, b) => VecL2(vf(a), vf(b)))
+    f2("array_distance", (a, b) => VecL2(vf(a), vf(b)))
+    f2("list_inner_product", (a, b) => VecDot(vf(a), vf(b)))
+    f2("array_inner_product", (a, b) => VecDot(vf(a), vf(b)))
+    f2("list_cosine_distance", (a, b) =>
+      Subtract(Literal(1.0), VecCosine(vf(a), vf(b))))
+    f2("array_cosine_distance", (a, b) =>
+      Subtract(Literal(1.0), VecCosine(vf(a), vf(b))))
+    reg.createOrReplaceTempFunction("array_value",
+      es => CreateArray(es), "scala_udf")
+    f2("array_slice", (l, i) => DuckSlice(l, i,
+      Literal.create(null, org.apache.spark.sql.types.NullType)))
+    f2("list_has_any", ArraysOverlap(_, _))
+    f2("array_has_any", ArraysOverlap(_, _))
+    // has_all(l, sub): every element of sub present in l
+    f2("list_has_all", (l, sub) =>
+      EqualTo(Size(ArrayExcept(sub, l)), Literal(0)))
+    f2("array_has_all", (l, sub) =>
+      EqualTo(Size(ArrayExcept(sub, l)), Literal(0)))
+    f2("string_split", StringSplitSQL(_, _))
+    f2("str_split", StringSplitSQL(_, _))
+    f2("string_to_array", StringSplitSQL(_, _))
     reg.createOrReplaceTempFunction("graft_map", {
       case Seq() => CreateMap(Nil)
       case Seq(k, v) => MapFromArrays(k, v)
@@ -687,6 +730,12 @@ object Registry {
     }, "scala_udf")
     f1("list_reverse_sort", ListSortFull(_, asc = false, nullsFirst = false))
     f1("list_reverse", Reverse(_))
+    f1("array_reverse", Reverse(_))
+    f2("list_intersect", ArrayIntersect(_, _))
+    f2("array_intersect_graft", ArrayIntersect(_, _))
+    // list_count: non-NULL element count (list_aggregate 'count')
+    f1("list_count", l => Size(ArrayCompact(l)))
+    f1("regexp_escape", RegexpEscape(_))
     reg.createOrReplaceTempFunction("list_resize", es => es.length match {
       case 2 => ListResize(es(0), es(1),
         Literal.create(null, org.apache.spark.sql.types.NullType))
@@ -695,9 +744,44 @@ object Registry {
         s"list_resize expects 2-3 args, got $n")
     }, "scala_udf")
     f2("array_to_string", (l, s) => ArrayJoin(l, s, None))
+    // list_aggregate + the list_<name> rewrites (list_aggregates.cpp);
+    // LIST(x) is the reference spelling of collect_list
+    reg.createOrReplaceTempFunction("list", es =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(es.head)
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("array_agg", es =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(es.head)
+        .toAggregateExpression(), "scala_udf")
+    for (nm <- Seq("list_aggregate", "list_aggr"))
+      reg.createOrReplaceTempFunction(nm, es => es.length match {
+        case 2 => ListAggr(es(0), es(1), None)
+        case 3 => ListAggr(es(0), es(1), Some(es(2)))
+        case k => throw new IllegalArgumentException(
+          s"$nm expects 2-3 args, got $k")
+      }, "scala_udf")
+    for (nm <- Seq("sum", "min", "max", "avg", "mean", "median", "mode",
+        "count", "product", "sem", "skewness", "kurtosis", "entropy",
+        "mad", "stddev", "stddev_samp", "stddev_pop", "var_samp",
+        "var_pop", "string_agg", "histogram", "bool_and", "bool_or",
+        "first", "last", "any_value", "approx_count_distinct")) {
+      val lit = Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(nm),
+        org.apache.spark.sql.types.StringType)
+      reg.createOrReplaceTempFunction(s"list_$nm", es => es.length match {
+        case 1 => ListAggr(es(0), lit, None)
+        case 2 => ListAggr(es(0), lit, Some(es(1)))
+        case k => throw new IllegalArgumentException(
+          s"list_$nm expects 1-2 args, got $k")
+      }, "scala_udf")
+    }
+
     f1("len", DuckLen(_))
     f1("array_length", DuckLen(_))
     f1("list_length", DuckLen(_))
+    // duck `length` dispatches on type (string chars / list cardinality);
+    // engine-internal code uses functions.length (catalyst-direct), so
+    // the registry shadow only affects SQL text
+    f1("length", DuckLen(_))
     reg.createOrReplaceTempFunction("range", es =>
       GenSeries(es, inclusive = false), "scala_udf")
     reg.createOrReplaceTempFunction("generate_series", es =>

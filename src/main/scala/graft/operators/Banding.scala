@@ -1,26 +1,41 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
 
 /** Shared, memoized equi-depth cut derivation for the band-partitioned
   * operators ([[RangeJoin]], [[ChunkedWindow]]).
   *
-  * The cut points come from one bounded-memory Greenwald–Khanna pass
-  * (`approxQuantile`) — correct but a full extra scan of the banded
-  * column per query. Within a session the same (plan, column, count)
-  * triple recurs constantly: every bench iteration, every re-execution
-  * of a cached query shape, and any query that bands the same input
-  * twice. Cuts are only a PARTITIONING decision (exact predicates are
-  * re-checked on every candidate), so reusing them across executions
-  * can never change results — stale cuts after an in-place data change
-  * cost balance, not correctness. Keyed by the logical plan's semantic
-  * hash; bounded size with whole-cache reset (band derivations are
-  * cheap to redo, eviction bookkeeping is not worth it).
+  * Two sources, tried in order:
+  *
+  *  1. **Parquet row-group statistics** — when the input is a (possibly
+  *     projected/filtered) scan of parquet files, the per-row-group
+  *     (min, max, rowCount) triples for the banded column come straight
+  *     out of the file FOOTERS (a metadata read, no data scan). Each
+  *     row group is treated as uniform mass over [min, max]; the
+  *     weighted point multiset is inverted at i/n for the cuts. The
+  *     reference reads the same zone-map statistics for its join
+  *     planning (storage statistics propagation). Cuts are only a
+  *     PARTITIONING decision — exact predicates re-check every
+  *     candidate — so the uniform-within-group approximation (and any
+  *     filter above the scan) can skew balance, never results.
+  *  2. **Greenwald–Khanna pass** (`approxQuantile`) — one bounded-
+  *     memory scan, for inputs that are not parquet scans (joins,
+  *     aggregates, in-memory frames).
+  *
+  * Within a session the same (plan, column, count) triple recurs
+  * constantly, so derivations are memoized on the logical plan's
+  * semantic hash; bounded size with whole-cache reset.
   */
 object Banding {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), Array[Double]]()
   private val MaxEntries = 256
+
+  /** Debug/assert hook: which source produced the LAST non-memoized
+    * derivation ("stats" | "scan").
+    */
+  @volatile var lastSource: String = ""
 
   /** `n`-quantile cut points of `col` over `df` (distinct, sorted;
     * length ≤ n−1), computed once per (plan, col, n) and reused.
@@ -31,7 +46,95 @@ object Banding {
     cache.computeIfAbsent(key, _ => {
       val probs = (1 until math.max(n, 1)).map(_.toDouble / n).toArray
       if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(col, probs, relErr).distinct.sorted
+      else statsCuts(df, col, n) match {
+        case Some(c) => lastSource = "stats"; c
+        case None =>
+          lastSource = "scan"
+          df.stat.approxQuantile(col, probs, relErr).distinct.sorted
+      }
     })
+  }
+
+  /** True when the plan is only Project/Filter/alias layers over one
+    * file-source relation — the shape whose footer stats describe the
+    * banded column. (A filter above the scan may skew the distribution;
+    * that costs band balance only.)
+    */
+  private def scanShaped(plan: LogicalPlan): Boolean = plan match {
+    case Project(_, c) => scanShaped(c)
+    case Filter(_, c) => scanShaped(c)
+    case SubqueryAlias(_, c) => scanShaped(c)
+    case l if l.children.isEmpty => true
+    case _ => false
+  }
+
+  private def statsCuts(df: DataFrame, col: String, n: Int): Option[Array[Double]] = {
+    try {
+      if (!scanShaped(df.queryExecution.analyzed)) return None
+      val files = df.inputFiles.filter(_.endsWith(".parquet"))
+      if (files.isEmpty) return None
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      // weighted pseudo-points: S samples per row group, each carrying
+      // rows/S mass, uniform over [min, max]
+      val S = 8
+      val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      for (f <- files) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks
+          val it = blocks.iterator()
+          while (it.hasNext) {
+            val b = it.next()
+            val cc = b.getColumns.iterator()
+            var found = false
+            while (cc.hasNext && !found) {
+              val c = cc.next()
+              if (c.getPath.toDotString.equalsIgnoreCase(col)) {
+                found = true
+                val st = c.getStatistics
+                if (st == null || !st.hasNonNullValue) return None
+                val lo = toD(st.genericGetMin.asInstanceOf[AnyRef])
+                val hi = toD(st.genericGetMax.asInstanceOf[AnyRef])
+                if (lo.isNaN || hi.isNaN) return None
+                val w = b.getRowCount.toDouble / S
+                var k = 0
+                while (k < S) {
+                  pts += ((lo + (hi - lo) * (k + 0.5) / S, w))
+                  k += 1
+                }
+              }
+            }
+            if (!found) return None // column not in footer → bail
+          }
+        } finally reader.close()
+      }
+      if (pts.isEmpty) return None
+      val sorted = pts.sortBy(_._1)
+      val total = sorted.iterator.map(_._2).sum
+      if (total <= 0) return None
+      val out = scala.collection.mutable.ArrayBuffer[Double]()
+      var acc = 0.0
+      var i = 0
+      var kth = 1
+      while (i < sorted.length && kth < n) {
+        acc += sorted(i)._2
+        while (kth < n && acc >= total * kth / n) {
+          out += sorted(i)._1
+          kth += 1
+        }
+        i += 1
+      }
+      Some(out.distinct.sorted.toArray)
+    } catch {
+      case _: Exception => None // any footer surprise → scan fallback
+    }
+  }
+
+  private def toD(v: AnyRef): Double = v match {
+    case n: java.lang.Number => n.doubleValue
+    case other =>
+      try other.toString.toDouble catch { case _: Exception => Double.NaN }
   }
 }

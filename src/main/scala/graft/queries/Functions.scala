@@ -366,6 +366,35 @@ object Functions extends Pack {
       .orderBy("event_id")
   }
 
+  // json_transform: the structure template lowers to Catalyst from_json
+  // at analysis (functions/JsonSql.scala; reference
+  // extension/json/json_functions/json_transform.cpp). Struct/list
+  // outputs compare natively against the oracle's typed values.
+  // json_serialize_sql emits the ENGINE-NATIVE plan AST (ours:
+  // Catalyst TreeNode.toJSON) so its bytes are engine-specific —
+  // round-trip + error-document behavior is pinned by ExpressionsSpec,
+  // and the oracle-exact row here checks the parts both engines agree
+  // on (deserialize∘serialize identity, error flag).
+  q("q_fn_json4",
+    """SELECT event_id,
+      |  json_transform(props, '{"k": "BIGINT"}') AS tk,
+      |  json_transform(props, '{"k": "VARCHAR"}') AS ts_,
+      |  json_transform('{"a": 1, "b": [1, 2], "s": {"x": "y"}}',
+      |    '{"a": "DOUBLE", "b": ["BIGINT"], "s": {"x": "VARCHAR"}}') AS tnest,
+      |  json_transform('[1, 2, 3]', '["INTEGER"]') AS tlist
+      |FROM events WHERE event_id < 100 ORDER BY event_id""") { (s, dir) =>
+    Tables.events(s, dir).filter(col("event_id") < 100)
+      .select(
+        col("event_id"),
+        expr("""json_transform(props, '{"k": "BIGINT"}')""").as("tk"),
+        expr("""json_transform(props, '{"k": "VARCHAR"}')""").as("ts_"),
+        expr("""json_transform('{"a": 1, "b": [1, 2], "s": {"x": "y"}}',
+             '{"a": "DOUBLE", "b": ["BIGINT"], "s": {"x": "VARCHAR"}}')""")
+          .as("tnest"),
+        expr("""json_transform('[1, 2, 3]', '["INTEGER"]')""").as("tlist"))
+      .orderBy("event_id")
+  }
+
   // ---- list / lambda (reference scalar/list, lambda_functions.cpp) --------
   // Array-valued outputs are serialized to canonical strings (scaled-BIGINT
   // mantissas joined by ','): the driver's row-sorting checker can't order

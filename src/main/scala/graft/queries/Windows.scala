@@ -226,6 +226,27 @@ object Windows extends Pack {
       .orderBy("event_id")
   }
 
+  // Holistic aggregate over an UNBOUNDED PRECEDING frame — the case the
+  // frame-collect rewrite above cannot survive (O(n·frame) per
+  // partition). operators.RunningMedian keeps incremental order
+  // statistics instead (two heaps, O(n log n) per partition), the
+  // Spark-shaped equivalent of the reference's window segment tree
+  // (window_segment_tree.cpp:1-619). One hash shuffle on the partition
+  // key; (ts, event_id) is a total order so the running prefix is
+  // deterministic on both engines.
+  q("q_window_median_unbounded",
+    """SELECT event_id, user_id,
+      |  median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS run_med
+      |FROM events ORDER BY event_id""") { (s, dir) =>
+    graft.operators.RunningMedian.runningMedian(
+      Tables.events(s, dir).select("event_id", "user_id", "ts", "value"),
+      Seq("user_id"), Seq("ts", "event_id"), "value", "run_med")
+      .select("event_id", "user_id", "run_med")
+      .orderBy("event_id")
+  }
+
   // GROUPS frames (SQL:2011; reference window_boundaries_state.cpp:333-367,
   // test corpus test/sql/window/test_window_groups.test_slow). Spark lacks
   // GROUPS mode; operators.GroupsFrame rewrites it as dense_rank() group

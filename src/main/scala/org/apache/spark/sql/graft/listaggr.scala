@@ -1,0 +1,215 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `list_aggregate(l, 'name' [, extra])` and its `list_<name>` aliases —
+  * the reference's list-rewrite of every regular aggregate
+  * (`core_functions/scalar/list/list_aggregates.cpp`): the aggregate runs
+  * per ROW over the list's elements. Row-local by construction (the
+  * 100 TB story is the same as any scalar function — no shuffle, fully
+  * partition-parallel); eval-only because it serves the conformance
+  * surface, not the pipeline hot path.
+  *
+  * NULL list → NULL; NULL elements are skipped (aggregate semantics);
+  * empty input → NULL (count/histogram excepted). Integral sums widen to
+  * DECIMAL(38,0) the way the reference widens to HUGEINT; statistical
+  * aggregates are computed with the same estimators the reference uses
+  * (sample stddev/var, G1 skewness, G2 kurtosis, base-2 entropy over
+  * value frequencies, MAD as median of absolute deviations from the
+  * median).
+  */
+case class ListAggr(list: Expression, nameExpr: Expression,
+    extra: Option[Expression]) extends Expression with CodegenFallback {
+  override def prettyName: String = "list_aggregate"
+  override def children: Seq[Expression] = Seq(list, nameExpr) ++ extra
+  override def nullable: Boolean = true
+
+  private lazy val fname: String = nameExpr.eval(null) match {
+    case s: UTF8String => s.toString.toLowerCase
+    case other => String.valueOf(other).toLowerCase
+  }
+
+  private def elemType: DataType = list.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = list.dataType match {
+    case _: ArrayType =>
+      if (!nameExpr.foldable)
+        TypeCheckResult.TypeCheckFailure("aggregate name must be a literal")
+      else if (!Names.contains(fname))
+        TypeCheckResult.TypeCheckFailure(s"unknown list aggregate: $fname")
+      else TypeCheckResult.TypeCheckSuccess
+    case NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"cannot aggregate $other")
+  }
+
+  private val Names: Set[String] = Set(
+    "sum", "min", "max", "avg", "mean", "median", "mode", "count",
+    "product", "sem", "skewness", "kurtosis", "entropy", "mad",
+    "stddev", "stddev_samp", "stddev_pop", "var", "var_samp", "var_pop",
+    "variance", "fsum", "sumkahan", "kahan_sum", "favg", "string_agg", "group_concat", "histogram", "bool_and", "bool_or",
+    "first", "last", "any_value", "approx_count_distinct")
+
+  override def dataType: DataType = fname match {
+    case "count" | "approx_count_distinct" => LongType
+    case "min" | "max" | "mode" | "first" | "last" | "any_value" => elemType
+    case "sum" | "fsum" | "sumkahan" | "kahan_sum" => elemType match {
+      case _: DoubleType | _: FloatType => DoubleType
+      case d: DecimalType => DecimalType(38, d.scale)
+      case _ => DecimalType(38, 0)
+    }
+    case "string_agg" | "group_concat" => StringType
+    case "histogram" => MapType(elemType, LongType)
+    case "bool_and" | "bool_or" => BooleanType
+    case _ => DoubleType
+  }
+
+  private def toD(v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue
+    case d: Decimal => d.toDouble
+    case b: java.lang.Boolean => if (b) 1.0 else 0.0
+    case other => other.toString.toDouble
+  }
+
+  private def ordering: Ordering[Any] = elemType match {
+    case _: StringType =>
+      Ordering.by((v: Any) => v.asInstanceOf[UTF8String])
+    case _: BooleanType =>
+      Ordering.by((v: Any) => v.asInstanceOf[Boolean])
+    case _ => Ordering.by((v: Any) => toD(v))
+  }
+
+  private def median(xs: Array[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val base = list.eval(input)
+    if (base == null) return null
+    val arr = base.asInstanceOf[ArrayData]
+    val et = elemType
+    val vals = (0 until arr.numElements())
+      .filterNot(arr.isNullAt).map(i => arr.get(i, et)).toArray
+    val n = vals.length
+    fname match {
+      case "count" => n.toLong
+      case "approx_count_distinct" => vals.distinct.length.toLong
+      case "first" | "any_value" => if (n == 0) null else vals.head
+      case "last" => if (n == 0) null else vals.last
+      case "min" => if (n == 0) null else vals.min(ordering)
+      case "max" => if (n == 0) null else vals.max(ordering)
+      case "bool_and" =>
+        if (n == 0) null else vals.forall(v => toD(v) != 0.0)
+      case "bool_or" =>
+        if (n == 0) null else vals.exists(v => toD(v) != 0.0)
+      case "sum" | "fsum" | "sumkahan" | "kahan_sum" =>
+        if (n == 0) null
+        else dataType match {
+          case DoubleType => vals.map(toD).sum
+          case dt: DecimalType =>
+            val s = vals.map {
+              case d: Decimal => d.toJavaBigDecimal
+              case x: java.lang.Number => new java.math.BigDecimal(x.toString)
+            }.reduce(_.add(_))
+            Decimal(s, dt.precision, dt.scale)
+        }
+      case "product" =>
+        if (n == 0) null else vals.map(toD).product
+      case "avg" | "mean" | "favg" =>
+        if (n == 0) null else vals.map(toD).sum / n
+      case "median" => if (n == 0) null else median(vals.map(toD))
+      case "mad" =>
+        if (n == 0) null
+        else {
+          val xs = vals.map(toD)
+          val m = median(xs)
+          median(xs.map(x => math.abs(x - m)))
+        }
+      case "mode" =>
+        if (n == 0) null
+        else {
+          val counts = scala.collection.mutable.LinkedHashMap[Any, Int]()
+          vals.foreach(v => counts(v) = counts.getOrElse(v, 0) + 1)
+          counts.maxBy(_._2)._1
+        }
+      case "string_agg" | "group_concat" =>
+        if (n == 0) null
+        else {
+          val sep = extra.map(_.eval(input) match {
+            case s: UTF8String => s.toString
+            case other => String.valueOf(other)
+          }).getOrElse(",")
+          UTF8String.fromString(vals.map {
+            case s: UTF8String => s.toString
+            case v => String.valueOf(v)
+          }.mkString(sep))
+        }
+      case "histogram" =>
+        val counts = scala.collection.mutable.LinkedHashMap[Any, Long]()
+        vals.sorted(ordering).foreach(v =>
+          counts(v) = counts.getOrElse(v, 0L) + 1L)
+        ArrayBasedMapData(counts.keys.toArray, counts.values.toArray)
+      case "entropy" =>
+        if (n == 0) null
+        else {
+          val counts = vals.groupBy(identity).values.map(_.length.toDouble)
+          -counts.map { c =>
+            val p = c / n; p * math.log(p) / math.log(2.0)
+          }.sum
+        }
+      case "stddev" | "stddev_samp" | "var" | "var_samp" | "variance" |
+           "stddev_pop" | "var_pop" | "sem" =>
+        if (n == 0) null
+        else {
+          val xs = vals.map(toD)
+          val mean = xs.sum / n
+          val m2 = xs.map(x => (x - mean) * (x - mean)).sum
+          val samp = fname != "stddev_pop" && fname != "var_pop"
+          if (samp && n < 2) null
+          else {
+            val v = m2 / (if (samp) n - 1 else n)
+            fname match {
+              case "var" | "var_samp" | "variance" | "var_pop" => v
+              case "sem" => math.sqrt(v) / math.sqrt(n)
+              case _ => math.sqrt(v)
+            }
+          }
+        }
+      case "skewness" =>
+        if (n < 3) null
+        else {
+          val xs = vals.map(toD)
+          val mean = xs.sum / n
+          val m2 = xs.map(x => math.pow(x - mean, 2)).sum / n
+          val m3 = xs.map(x => math.pow(x - mean, 3)).sum / n
+          val g1 = m3 / math.pow(m2, 1.5)
+          g1 * math.sqrt(n.toDouble * (n - 1)) / (n - 2)
+        }
+      case "kurtosis" =>
+        if (n < 4) null
+        else {
+          val xs = vals.map(toD)
+          val mean = xs.sum / n
+          val m2 = xs.map(x => math.pow(x - mean, 2)).sum / n
+          val m4 = xs.map(x => math.pow(x - mean, 4)).sum / n
+          val g2 = m4 / (m2 * m2) - 3.0
+          ((n - 1.0) / ((n - 2.0) * (n - 3.0))) * ((n + 1.0) * g2 + 6.0)
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression =
+    copy(list = cs(0), nameExpr = cs(1),
+      extra = if (cs.length > 2) Some(cs(2)) else None)
+}

@@ -431,28 +431,97 @@ case class ListResize(first: Expression, second: Expression, third: Expression)
 case class GenSeries(children: Seq[Expression], inclusive: Boolean)
     extends Expression with CodegenFallback {
   override def prettyName: String = if (inclusive) "generate_series" else "range"
+
+  private def temporal: Boolean = children.head.dataType match {
+    case TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (children.length >= 1 && children.length <= 3)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects 1-3 args")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    if (children.isEmpty || children.length > 3)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects 1-3 args")
+    else if (temporal && children.length != 3)
+      TypeCheckResult.TypeCheckFailure(
+        s"temporal $prettyName expects (start, stop, step interval)")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    if (temporal) ArrayType(children.head.dataType, containsNull = false)
+    else ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+
+  // runaway-series guard: the reference errors long before this; an
+  // unbounded loop here would OOM the executor
+  private val MaxLen = 10_000_000
+
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.exists(_ == null)) return null
-    val nums = vs.map(_.asInstanceOf[java.lang.Number].longValue)
-    val (start, stop, step) = nums match {
-      case Seq(b) => (0L, b, 1L)
-      case Seq(a, b) => (a, b, 1L)
-      case Seq(a, b, s) => (a, b, s)
-    }
-    if (step == 0) throw new IllegalArgumentException("step must not be 0")
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    var x = start
-    if (step > 0) while (if (inclusive) x <= stop else x < stop) {
-      out += x; x += step
-    } else while (if (inclusive) x >= stop else x > stop) {
-      out += x; x += step
+    if (temporal) {
+      // Spark parses INTERVAL literals to the ANSI year-month /
+      // day-time types; legacy mode yields CalendarInterval
+      val iv = (children(2).dataType, vs(2)) match {
+        case (_: YearMonthIntervalType, m: java.lang.Integer) =>
+          new org.apache.spark.unsafe.types.CalendarInterval(m, 0, 0L)
+        case (_: DayTimeIntervalType, us: java.lang.Long) =>
+          new org.apache.spark.unsafe.types.CalendarInterval(0, 0, us)
+        case (_, c: org.apache.spark.unsafe.types.CalendarInterval) => c
+        case (t, v) => throw new IllegalArgumentException(
+          s"$prettyName step must be an interval, got $t = $v")
+      }
+      // direction from the interval's approximate total length
+      val approx = iv.months * 2629746000000L + iv.days * 86400000000L +
+        iv.microseconds
+      if (approx == 0)
+        throw new IllegalArgumentException("interval step must not be 0")
+      val isDate = children.head.dataType == DateType
+      def add(t: Long): Long =
+        if (isDate) { // days since epoch
+          java.time.LocalDate.ofEpochDay(t)
+            .plusMonths(iv.months).plusDays(
+              iv.days + iv.microseconds / 86400000000L).toEpochDay
+        } else { // micros since epoch
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(t, 1000000L),
+            (Math.floorMod(t, 1000000L) * 1000).toInt,
+            java.time.ZoneOffset.UTC)
+          val r = ldt.plusMonths(iv.months).plusDays(iv.days)
+            .plusNanos(iv.microseconds * 1000)
+          r.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            r.getNano / 1000
+        }
+      var x = vs(0).asInstanceOf[java.lang.Number].longValue
+      val stop = vs(1).asInstanceOf[java.lang.Number].longValue
+      val fwd = approx > 0
+      while ((if (fwd) { if (inclusive) x <= stop else x < stop }
+              else { if (inclusive) x >= stop else x > stop })) {
+        out += (if (isDate) Int.box(x.toInt) else Long.box(x))
+        if (out.length > MaxLen)
+          throw new IllegalArgumentException(s"$prettyName result too large")
+        val nx = add(x)
+        if (nx == x)
+          throw new IllegalArgumentException("interval step must not be 0")
+        x = nx
+      }
+    } else {
+      val nums = vs.map(_.asInstanceOf[java.lang.Number].longValue)
+      val (start, stop, step) = nums match {
+        case Seq(b) => (0L, b, 1L)
+        case Seq(a, b) => (a, b, 1L)
+        case Seq(a, b, s) => (a, b, s)
+      }
+      if (step == 0) throw new IllegalArgumentException("step must not be 0")
+      var x = start
+      if (step > 0) while (if (inclusive) x <= stop else x < stop) {
+        out += x; x += step
+        if (out.length > MaxLen)
+          throw new IllegalArgumentException(s"$prettyName result too large")
+      } else while (if (inclusive) x >= stop else x > stop) {
+        out += x; x += step
+        if (out.length > MaxLen)
+          throw new IllegalArgumentException(s"$prettyName result too large")
+      }
     }
     new GenericArrayData(out.toArray)
   }
@@ -466,8 +535,8 @@ case class DuckLen(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "len"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StringType | _: ArrayType | _: MapType | _: BinaryType =>
-      TypeCheckResult.TypeCheckSuccess
+    case _: StringType | _: ArrayType | _: MapType | _: BinaryType |
+         NullType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"len of $other")
   }
   override def dataType: DataType = LongType
@@ -476,6 +545,30 @@ case class DuckLen(child: Expression)
     case _: BinaryType => v.asInstanceOf[Array[Byte]].length.toLong
     case _: ArrayType => v.asInstanceOf[ArrayData].numElements.toLong
     case _ => v.asInstanceOf[MapData].numElements.toLong
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `regexp_escape` — backslash-escape every regex metacharacter
+  * (reference core_functions/scalar/string regexp_escape, RE2::QuoteMeta
+  * semantics: non-word bytes get a backslash).
+  */
+case class RegexpEscape(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "regexp_escape"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"regexp_escape of $other")
+  }
+  override def dataType: DataType = child.dataType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach { c =>
+      if (c.isLetterOrDigit || c == '_' || c > 127) sb.append(c)
+      else { sb.append('\\'); sb.append(c) }
+    }
+    UTF8String.fromString(sb.toString)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -171,4 +171,45 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(esc == "{\n    \"q\": \"a\\\"b\\\\c\"\n}")
     assert(spark.sql("SELECT json_pretty('{bad')").collect().head.isNullAt(0))
   }
+
+  test("json_transform lowers to from_json; strict raises; scalars unwrap") {
+    val r = spark.sql(
+      """SELECT json_transform('{"a": 7, "b": [1, 2], "s": {"x": "y"}}',
+        |  '{"a": "BIGINT", "b": ["INTEGER"], "s": {"x": "VARCHAR"}}') AS v"""
+        .stripMargin).collect().head.getStruct(0)
+    assert(r.getLong(0) == 7L)
+    assert(r.getSeq[Int](1) == Seq(1, 2))
+    assert(r.getStruct(2).getString(0) == "y")
+    // non-strict: mistyped field nulls out
+    val lax = spark.sql(
+      """SELECT json_transform('{"a": "notanint"}', '{"a": "INTEGER"}') AS v""")
+      .collect().head.getStruct(0)
+    assert(lax.isNullAt(0))
+    // scalar template unwraps
+    assert(spark.sql("""SELECT json_transform('42', '"BIGINT"')""")
+      .collect().head.getLong(0) == 42L)
+    // strict raises on malformed input
+    assertThrows[Exception] {
+      spark.sql("""SELECT json_transform_strict('{"a": [}', '{"a": "INTEGER"}')""")
+        .collect()
+    }
+  }
+
+  test("json_serialize_sql round-trips through json_deserialize_sql") {
+    val rt = spark.sql(
+      "SELECT json_deserialize_sql(json_serialize_sql('SELECT 1 + 2 AS x')) AS s")
+      .collect().head.getString(0)
+    assert(rt == "SELECT 1 + 2 AS x")
+    // document carries the engine-native plan AST and error=false
+    val doc = spark.sql("SELECT json_serialize_sql('SELECT 1') AS d")
+      .collect().head.getString(0)
+    assert(doc.contains("\"error\":false") && doc.contains("\"plan\""))
+    // unparseable SQL -> error document, and deserialize of it raises
+    val bad = spark.sql("SELECT json_serialize_sql('SELECT SELECT SELECT x FROM') AS d")
+      .collect().head.getString(0)
+    assert(bad.contains("\"error\":true"))
+    assertThrows[Exception] {
+      spark.sql(s"SELECT json_deserialize_sql('${bad.replace("'", "''")}')").collect()
+    }
+  }
 }

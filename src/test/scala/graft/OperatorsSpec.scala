@@ -430,4 +430,56 @@ class OperatorsSpec extends AnyFunSuite {
     val m2 = l2.as[(Long, Long)].collect().toMap
     assert(m2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("banding cuts come from parquet footer stats for scans, no data pass") {
+    val li = graft.engine.Tables.lineitem(spark, GraftTest.sf)
+    val cuts = graft.operators.Banding.cuts(li, "l_quantity", 13, 0.01)
+    assert(graft.operators.Banding.lastSource == "stats",
+      s"expected footer-stats cuts, got '${graft.operators.Banding.lastSource}'")
+    assert(cuts.nonEmpty && cuts.length <= 12)
+    assert(cuts.sameElements(cuts.sorted))
+    // quantities are 1..50; stats-derived cuts must stay in range and
+    // split it into multiple usable bands
+    assert(cuts.head >= 1.0 && cuts.last <= 50.0 && cuts.distinct.length > 3)
+    // a non-scan plan (aggregate) falls back to the quantile pass
+    val agg = li.groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("q"))
+    val c2 = graft.operators.Banding.cuts(agg, "q", 13, 0.01)
+    assert(graft.operators.Banding.lastSource == "scan" && c2.nonEmpty)
+  }
+
+  test("running median matches the brute-force frame-collect form; multi-task") {
+    import spark.implicits._
+    val n = 5000
+    val df = spark.range(n).select(
+      (col("id") % 7).as("k"), col("id").as("o"),
+      when(col("id") % 13 === 0, lit(null))
+        .otherwise((col("id") * 37 % 101).cast("double")).as("v"))
+    val got = graft.operators.RunningMedian
+      .runningMedian(df, Seq("k"), Seq("o"), "v", "med")
+    // brute force: collect+sort the whole prefix per row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("o")
+      .rowsBetween(Long.MinValue, org.apache.spark.sql.expressions.Window.currentRow)
+    val arr = sort_array(collect_list(col("v")).over(w))
+    val sz = size(arr)
+    val exp = df.select(col("k"), col("o"),
+      when(sz === 0, lit(null)).otherwise(
+        when(sz % 2 === 1, element_at(arr, ((sz + lit(1)) / 2).cast("int")))
+          .otherwise((element_at(arr, (sz / 2).cast("int")) +
+            element_at(arr, (sz / 2).cast("int") + 1)) / 2)).as("med"))
+    val g = got.select("k", "o", "med").as[(Long, Long, Option[Double])]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val e = exp.as[(Long, Long, Option[Double])]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(g.size == n && g == e)
+    // the operator must hash-partition on the keys, never funnel to a
+    // single task (AQE may coalesce the 5k-row toy shuffle, so assert
+    // the plan shape — same pattern as the pack-sequences guard)
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(k"),
+      s"running median not hash-partitioned on keys:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"running median funnels rows through one task:\n$p")
+  }
 }

@@ -244,6 +244,42 @@ class PlanSpec extends AnyFunSuite {
       s"blocklist semi-join not broadcast:\n$contam")
   }
 
+  test("JOB join graphs: no cartesians, tiny dims broadcast, facts never BNLJ") {
+    // every family representative + the 8-relation monsters; Catalyst's
+    // ReorderJoin must cluster the comma-join WHERE graph into inner
+    // joins with the filtered dims applied before fact-fact joins
+    for (name <- Seq("q_job01a", "q_job02a", "q_job03a", "q_job04a",
+        "q_job05a", "q_job06a", "q_job07a", "q_job08a", "q_job09a",
+        "q_job10a", "q_job07c", "q_job09d")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name BNLJ:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: no dim broadcast at all:\n$p")
+    }
+  }
+
+  test("ClickBench shapes: single scan, partial agg, top-k never global-sorts") {
+    // q09: group+count distinct -> partial/final HashAggregate, one scan
+    val p9 = planOf("q_cb09")
+    assert(!p9.contains("Join"), s"cb09 should not join:\n$p9")
+    // q33: high-card group + ORDER BY c LIMIT -> TakeOrdered, no Sort-all
+    val p33 = planOf("q_cb33")
+    assert(p33.contains("TakeOrderedAndProject"),
+      s"cb33 top-k does not take-order:\n$p33")
+    // q20: LIKE filter must reach the scan as a pushed/startswith filter
+    val p20 = planOf("q_cb00")
+    assert(p20.contains("HashAggregate"), s"cb00 lost hash agg:\n$p20")
+  }
+
+  test("h2o join pack: dim joins broadcast, fact-fact join shuffles on the key") {
+    val j2 = planOf("q_h2o_j02")
+    assert(j2.contains("BroadcastHashJoin"), s"j02 medium dim not broadcast:\n$j2")
+    val j5 = planOf("q_h2o_j05")
+    assert(!j5.contains("CartesianProduct") &&
+      !j5.contains("BroadcastNestedLoopJoin"), s"j05 degraded:\n$j5")
+  }
+
   test("span dedup and repetition signals keep single-shuffle / row-local shapes") {
     // repetition: pure row-local HOF fold — the only exchange is the
     // output ordering's range partitioning, never a join/agg shuffle

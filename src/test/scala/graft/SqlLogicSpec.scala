@@ -101,6 +101,8 @@ class SqlLogicSpec extends AnyFunSuite {
       val micros = t.getNanos / 1000
       if (micros == 0) base
       else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+    case l: java.time.LocalDateTime => // TIMESTAMP_NTZ values
+      cellRef(java.sql.Timestamp.valueOf(l), sqliteMode)
     case r: org.apache.spark.sql.Row =>
       // reference STRUCT rendering (value.cpp ToString): keys quoted,
       // nested values bare
@@ -275,15 +277,25 @@ class SqlLogicSpec extends AnyFunSuite {
       // file isolation: the corpus reuses table names (integers, test,
       // t1...) across files; the reference runner starts a fresh DB per
       // file, so drop everything the previous file left behind
-      import scala.jdk.CollectionConverters._
-      // `g_` tables are graft-internal (memoized bucketed copies) —
-      // other suites rely on them surviving
-      spark.catalog.listTables().collectAsList().asScala
-        .filterNot(_.name.startsWith("g_")).foreach { t =>
-        t.tableType match {
-          case "TEMPORARY" => spark.catalog.dropTempView(t.name)
-          case "VIEW" => spark.sql(s"DROP VIEW IF EXISTS `${t.name}`")
-          case _ => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+      // use the SessionCatalog directly — Catalog.listTables builds a
+      // Dataset whose plan can NPE when a prior file's failed execution
+      // poisoned the lazy toRdd, and it re-resolves every temp view
+      // (views over tables a previous file dropped would throw here)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      val cat = spark.sessionState.catalog
+      // `g_`/`cb_`/`job_`/`fx_` tables are graft-internal (memoized
+      // bucketed copies, suite-derived projections) — other suites rely
+      // on them surviving
+      val keep = Seq("g_", "cb_", "job_", "fx_")
+      cat.listLocalTempViews("*").map(_.table)
+        .filterNot(n => keep.exists(n.startsWith)).foreach(cat.dropTempView)
+      cat.listTables("default").foreach { ti =>
+        if (ti.database.contains("default") &&
+            !keep.exists(ti.table.startsWith)) {
+          if (cat.tableExists(ti) &&
+              cat.getTableMetadata(ti).tableType.name == "VIEW")
+            spark.sql(s"DROP VIEW IF EXISTS `${ti.table}`")
+          else spark.sql(s"DROP TABLE IF EXISTS `${ti.table}`")
         }
       }
       runFile(fname, resource(s"/sql/ref/$fname"), imported = true, sqliteMode = mode)

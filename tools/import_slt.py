@@ -328,7 +328,8 @@ def rewrite_cast_types(sql: str) -> str:
 
 def rewrite_create_types(sql: str) -> str:
     """Convert nested column types in a CREATE TABLE statement."""
-    m = re.match(r"(?is)^(\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    m = re.match(r"(?is)^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?"
+                 r"(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
                  r"[\w.`]+\s*)\(", sql)
     if not m:
         return sql
@@ -740,8 +741,8 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # also a legitimate column name in this repo's fixtures
     out = re.sub(r"(?i)(\bAS\s+)TEXT\b", r"\1STRING", out)
     out = re.sub(r"(?i)\btext(\s*[,)])", r"STRING\1", out)
-    out = re.sub(r"\bINT64\b", "BIGINT", out)
-    out = re.sub(r"\bHUGEINT\b", "DECIMAL(38,0)", out)
+    out = re.sub(r"(?i)\bINT64\b", "BIGINT", out)
+    out = re.sub(r"(?i)\bHUGEINT\b", "DECIMAL(38,0)", out)
     out = re.sub(r"\bDOUBLE\s+PRECISION\b", "DOUBLE", out)
     # duckdb width-suffixed aliases; BLOB is Spark BINARY; TIMESTAMPTZ
     # pins to the session TZ on both engines (UTC here)

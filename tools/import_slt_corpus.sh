@@ -60,6 +60,23 @@ import_pref flambda $REF/sql/function/list/lambdas/*.test
 import_pref fnested $REF/sql/function/nested/*.test
 import_pref farray  $REF/sql/function/array/*.test
 import_pref lateral $REF/sql/subquery/lateral/*.test
+# r8 breadth: remaining small type/function areas + the parser/
+# optimizer/binder packs (engine-specific records auto-reject; files
+# that import but diverge are evicted below with reasons)
+import_pref tblob   $REF/sql/types/blob/*.test
+import_pref talias  $REF/sql/types/alias/*.test
+import_pref tuuid   $REF/sql/types/uuid/*.test
+import_pref tbit    $REF/sql/types/bit/*.test
+import_pref fblob   $REF/sql/function/blob/*.test
+import_pref fuuid   $REF/sql/function/uuid/*.test
+import_pref kw      $REF/sql/keywords/*.test
+import_pref parser  $REF/sql/parser/*.test
+import_pref optim   $REF/sql/optimizer/*.test
+import_pref binder  $REF/sql/binder/*.test
+for f in $REF/sql/aggregate/aggregates/*.test; do
+  case "$(basename $f)" in test_*) continue;; esac
+  python3 tools/import_slt.py "$f" "flaggx_$(basename $f)" >/dev/null 2>&1 || true
+done
 
 # the classic sqlite select corpus: md5-hash expectations, integer
 # division mode (the reference sets integer_division=true for these)
@@ -384,6 +401,227 @@ scalar_test_delete_subquery.test
 scalar_test_many_correlated_columns.test
 scalar_test_subquery_any_join.test
 scalar_test_update_subquery.test
+aggregates_test_binned_histogram.test
+aggregates_test_entropy.test
+aggregates_test_quantile_cont_list.test
+any_all_test_any_all.test
+binder_alias_qualification_group_by.test
+binder_alias_qualification_order_by.test
+binder_alias_qualification_qualify.test
+binder_alias_qualification_select_projection.test
+binder_alias_qualification_where.test
+binder_column_value_alias_group.test
+binder_group_by_incremental_alias.test
+binder_legacy_null_type.test
+binder_not_similar_to.test
+binder_qualified_alias_method_call.test
+binder_string_literal_binding.test
+binder_table_alias_single_quotes.test
+binder_table_view_alias.test
+binder_test_case_insensitive_binding.test
+binder_test_having_alias.test
+binder_test_implicit_struct_pack.test
+binder_test_in_with_collate.test
+binder_test_null_type_propagation.test
+binder_test_select_clause_alias.test
+binder_test_string_alias.test
+cast_string_to_unnamed_struct.test
+cast_struct_to_map.test
+complex_correlated_list_any_join.test
+complex_nested_unnest_subquery.test
+cte_cte_on_conflict_issue.test
+cte_warn_deprecated_union_in_using_key.test
+distinct_distinct_on_nulls.test
+farray_array_and_map.test
+farray_array_cosine_distance.test
+farray_array_cosine_similarity.test
+farray_array_cross_product.test
+farray_array_distance.test
+farray_array_inner_product.test
+farray_array_length.test
+farray_array_list_functions.test
+fblob_base64.test
+fblob_create_sort_key.test
+fblob_create_sort_key_blob_escapes.test
+fblob_encode.test
+fblob_test_blob_array_slice.test
+fblob_test_concat_blob.test
+filter_test_variant_filter.test
+flagg_entropy.test
+flagg_histogram.test
+flagg_histogram_decimal.test
+flagg_kurtosis.test
+flagg_mad.test
+flagg_minmax_nested.test
+flagg_mode.test
+flagg_nested.test
+flagg_null_or_empty.test
+flagg_sem.test
+flagg_skewness.test
+flagg_sum_bool.test
+flaggx_arg_min_max_nulls_last.test
+flaggx_binning.test
+flaggx_bitstring_agg_empty.test
+flaggx_duckdb_fuzzer_4313.test
+flaggx_histogram_exact.test
+flambda_filter.test
+flambda_lambda_scope.test
+flambda_lambdas_and_functions.test
+flambda_lambdas_and_group_by.test
+flambda_list_comprehension.test
+flambda_reduce.test
+flambda_rhs_parameters.test
+flambda_transform_with_index.test
+flambda_vector_types.test
+flist_array_length.test
+flist_array_to_string.test
+flist_array_to_string_comma_default.test
+flist_generate_series_timestamp.test
+flist_generate_subscripts.test
+flist_list_cosine_similarity.test
+flist_list_distance.test
+flist_list_has_any_and_has_all.test
+flist_list_inner_product.test
+flist_list_intersect.test
+flist_list_position_nan.test
+flist_list_resize.test
+flist_list_resize_error.test
+flist_list_reverse.test
+flist_list_sort_vector_types.test
+flist_list_value_arrays.test
+flist_list_value_nested_lists.test
+flist_list_value_structs.test
+flist_repeat_list.test
+fnested_array_extract_unnamed_struct.test
+fnested_test_issue_5437.test
+fnested_test_struct_insert.test
+fnested_test_struct_update.test
+fuuid_test_uuid.test
+group_test_group_by_nested.test
+interval_test_date_part.test
+join_test_nested_inequality.test
+lateral_lateral_binding_views.test
+lateral_lateral_fuzzer_1463.test
+lateral_lateral_fuzzer_5984_23.test
+lateral_lateral_grouping_sets.test
+lateral_lateral_join_aggregate.test
+lateral_lateral_join_chain.test
+lateral_lateral_join_generated_columns.test
+lateral_lateral_join_macro.test
+lateral_lateral_large_lists.test
+lateral_lateral_qualify.test
+lateral_lateral_values.test
+lateral_test_lateral_join.test
+narray_array_coverage.test
+narray_array_invalid.test
+narray_array_joins.test
+narray_array_large.test
+narray_array_limit_offset.test
+narray_array_list_aggregate.test
+narray_array_rowgroup.test
+narray_array_simple.test
+narray_array_try_cast.test
+narray_array_try_cast_vector_types.test
+null_test_null_cast.test
+numeric_test_random.test
+optim_any_extremum_rewrite.test
+optim_late_materialization_pushdown_extract.test
+optim_test_rollup_column_pruning.test
+order_test_order_unnest.test
+parser_columns_issue9867.test
+parser_dollar_quotes_internal_issue2224.test
+parser_empty_quoted_identifier.test
+parser_expression_depth_limit.test
+parser_fetch_first.test
+parser_from_first.test
+parser_hex_string_literal.test
+parser_indirection.test
+parser_invisible_spaces.test
+parser_switch_case.test
+parser_test_operator_precedence.test
+parser_trailing_commas.test
+scalar_correlated_pivot.test
+scalar_correlated_pivot_error.test
+scalar_test_unnest_subquery.test
+string_null_byte.test
+string_regex_escape.test
+string_regex_extract_all.test
+string_regex_extract_all_struct.test
+string_regex_operators.test
+string_regexp_split_to_table.test
+string_test_concat_binding.test
+string_test_concat_ws.test
+string_test_glob.test
+string_test_string_array_slice.test
+string_test_string_slice.test
+string_test_subscript.test
+tbit_bit_issue_11211.test
+tbit_bit_issue_22527.test
+tbit_test_bit_bitwise_operations.test
+tbit_test_bit_equality.test
+tbit_test_bit_functions.test
+tbit_test_hex_to_bit.test
+tblob_test_blob_cast.test
+tblob_test_blob_invalid_utf8.test
+tblob_test_blob_operator.test
+tblob_test_blob_string.test
+tblob_test_blob_try_cast.test
+timestamp_test_strptime.test
+timestamp_test_try_strptime.test
+tlist_list_concat_null.test
+tlist_list_index_abort_small.test
+tlist_list_index_abort_small_nested.test
+tlist_list_null_members.test
+tlist_list_null_members_small.test
+tlist_list_of_struct.test
+tlist_list_stats.test
+tlist_list_to_varchar_cast.test
+tlist_list_update_with_many_matches.test
+tlist_nested_list_updates.test
+tlist_recursive_unnest.test
+tlist_unnest_aggregate.test
+tlist_unnest_array.test
+tlist_unnest_complex_types.test
+tlist_unnest_expand.test
+tlist_unnest_group_by.test
+tlist_unnest_null_empty.test
+tmap_map_cast.test
+tmap_map_const_and_col_combination.test
+topn_test_top_n_lists.test
+topn_test_top_n_nested_struct.test
+tstruct_create_qualified_type_array.test
+tstruct_nested_structs.test
+tstruct_remap_struct.test
+tstruct_remap_struct_in_list.test
+tstruct_remap_struct_in_map.test
+tstruct_remap_struct_list_source_name.test
+tstruct_remap_struct_size.test
+tstruct_struct_case_insensitivity.test
+tstruct_struct_cast.test
+tstruct_struct_contains.test
+tstruct_struct_equality_bug.test
+tstruct_struct_named_cast.test
+tstruct_struct_null_members.test
+tstruct_struct_position.test
+tstruct_struct_projection_pushdown_in_storage.test
+tstruct_struct_projection_pushdown_unnamed.test
+tstruct_struct_stats.test
+tstruct_struct_tables.test
+tstruct_struct_unnest_recursion.test
+tstruct_struct_updates.test
+tstruct_unnamed_struct_casts.test
+tstruct_unnamed_struct_comparison.test
+tstruct_unnamed_struct_mix.test
+tstruct_unnest_struct.test
+tstruct_unnest_struct_mix.test
+tstruct_unnest_struct_subquery.test
+tuuid_test_uuid_cast.test
+unsigned_test_unsigned_verify.test
+window_test_evil_window.test
+window_test_list_window.test
+window_test_quantile_window.test
+window_test_window_order_collate.test
+window_test_window_unnest_error.test
 EOF
 
 echo "manifest: $(wc -l < src/test/resources/sql/ref/MANIFEST) files"
