@@ -74,10 +74,12 @@ object Banding {
       val files = df.inputFiles.filter(_.endsWith(".parquet"))
       if (files.isEmpty) return None
       val conf = df.sparkSession.sessionState.newHadoopConf()
-      // weighted pseudo-points: S samples per row group, each carrying
-      // rows/S mass, uniform over [min, max]
-      val S = 8
-      val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      // one uniform-mass segment [min, max] × rowCount per row group; the
+      // mixture CDF is piecewise linear, so ANY number of equi-depth cuts
+      // inverts exactly — a fixed per-group sample count would cap the
+      // distinct cuts (and thus the band parallelism) at sample count,
+      // regardless of how many bands the join asked for
+      val segs = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
       for (f <- files) {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f), conf)
@@ -98,35 +100,49 @@ object Banding {
                 val lo = toD(st.genericGetMin.asInstanceOf[AnyRef])
                 val hi = toD(st.genericGetMax.asInstanceOf[AnyRef])
                 if (lo.isNaN || hi.isNaN) return None
-                val w = b.getRowCount.toDouble / S
-                var k = 0
-                while (k < S) {
-                  pts += ((lo + (hi - lo) * (k + 0.5) / S, w))
-                  k += 1
-                }
+                if (b.getRowCount > 0) segs += ((lo, hi, b.getRowCount.toDouble))
               }
             }
             if (!found) return None // column not in footer → bail
           }
         } finally reader.close()
       }
-      if (pts.isEmpty) return None
-      val sorted = pts.sortBy(_._1)
-      val total = sorted.iterator.map(_._2).sum
+      if (segs.isEmpty) return None
+      val total = segs.iterator.map(_._3).sum
       if (total <= 0) return None
-      val out = scala.collection.mutable.ArrayBuffer[Double]()
-      var acc = 0.0
-      var i = 0
-      var kth = 1
-      while (i < sorted.length && kth < n) {
-        acc += sorted(i)._2
-        while (kth < n && acc >= total * kth / n) {
-          out += sorted(i)._1
-          kth += 1
+      // CDF(x) = Σ w · clamp((x−lo)/(hi−lo), 0, 1)  (point mass when lo=hi)
+      def cdf(x: Double): Double = {
+        var acc = 0.0
+        var i = 0
+        while (i < segs.length) {
+          val (lo, hi, w) = segs(i)
+          acc +=
+            (if (x >= hi) w
+             else if (x < lo) 0.0
+             else if (hi == lo) w
+             else w * (x - lo) / (hi - lo))
+          i += 1
         }
-        i += 1
+        acc
       }
-      Some(out.distinct.sorted.toArray)
+      val gMin = segs.iterator.map(_._1).min
+      val gMax = segs.iterator.map(_._2).max
+      val out = new Array[Double](n - 1)
+      var k = 1
+      while (k < n) {
+        // monotone bisection for CDF(x) ≥ k·total/n
+        val target = total * k / n
+        var lo = gMin; var hi = gMax
+        var it2 = 0
+        while (it2 < 60 && hi - lo > math.ulp(hi).max(1e-12)) {
+          val mid = (lo + hi) / 2
+          if (cdf(mid) >= target) hi = mid else lo = mid
+          it2 += 1
+        }
+        out(k - 1) = hi
+        k += 1
+      }
+      Some(out.distinct.sorted)
     } catch {
       case _: Exception => None // any footer surprise → scan fallback
     }
