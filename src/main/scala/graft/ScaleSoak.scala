@@ -98,10 +98,15 @@ object ScaleSoak {
       }
       val t1 = run(src)
       val tn = run(dst)
+      // output cardinality at both scales: a runtime ratio must be read
+      // against output growth (pair-emitting queries grow quadratically
+      // when amplification duplicates content — more real duplicates)
+      val r1 = fn(spark, src).count()
+      val rn = fn(spark, dst).count()
       val eq = planShape(fn(spark, src)) == planShape(fn(spark, dst))
       val ratio = tn / t1
-      println(f"[scale] $q%-28s t1=$t1%7.3fs t$n=$tn%7.3fs ratio=$ratio%5.2f planEq=$eq")
-      (q, t1, tn, ratio, eq)
+      println(f"[scale] $q%-28s t1=$t1%7.3fs t$n=$tn%7.3fs ratio=$ratio%5.2f rows=$r1%d->$rn%d planEq=$eq")
+      (q, t1, tn, ratio, eq, r1, rn)
     }
     val sb = new StringBuilder
     sb.append(s"# SCALE — amplified-fixture soak (facts ×$n from $src)\n\n")
@@ -111,11 +116,22 @@ object ScaleSoak {
       "the 100 TB claim is that plans do NOT mutate under data growth and " +
       "runtime stays ~linear (ratio ≈ amplification, minus fixed per-query " +
       "overhead which makes small queries sub-linear).\n\n")
-    sb.append(s"| query | t_1x (s) | t_${n}x (s) | ratio | plan_equal |\n")
-    sb.append("|---|---|---|---|---|\n")
-    for ((q, t1, tn, r, eq) <- rows)
-      sb.append(f"| $q | $t1%.3f | $tn%.3f | $r%.2f | $eq |\n")
-    val bad = rows.filter(r => !r._5 || r._4 > 3.0 * n)
+    sb.append("`rows` shows output cardinality at both scales: a time ratio " +
+      "is only meaningful against output growth — amplification duplicates " +
+      "document CONTENT, so pair-emitting dedup queries legitimately emit " +
+      "quadratically more (every replica is a real near-duplicate) and their " +
+      "time ratio must stay well below their row ratio.\n\n")
+    sb.append(s"| query | t_1x (s) | t_${n}x (s) | ratio | rows 1x→${n}x | plan_equal |\n")
+    sb.append("|---|---|---|---|---|---|\n")
+    for ((q, t1, tn, r, eq, r1, rn) <- rows)
+      sb.append(f"| $q | $t1%.3f | $tn%.3f | $r%.2f | $r1%d → $rn%d | $eq |\n")
+    // flag: plan mutation, or superlinear runtime NOT explained by
+    // superlinear output (time ratio beyond 3n with time growing faster
+    // than rows)
+    val bad = rows.filter { case (_, _, _, ratio, eq, r1, rn) =>
+      !eq || (ratio > 3.0 * n &&
+        ratio > (if (r1 > 0) rn.toDouble / r1 else n.toDouble))
+    }
     sb.append(s"\n${rows.size} queries; ${bad.size} flagged " +
       s"(plan mutation or ratio > ${3 * n}).\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
