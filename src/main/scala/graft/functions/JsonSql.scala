@@ -68,6 +68,9 @@ object JsonSql {
           "json_transform structure arrays must hold exactly one element")
       ArrayType(schemaOf(node.get(0)))
     } else if (node.isObject) {
+      if (node.isEmpty)
+        throw new IllegalArgumentException(
+          "Binder Error: Empty object in JSON structure")
       val it = node.fields()
       val fields = scala.collection.mutable.ArrayBuffer[StructField]()
       while (it.hasNext) {

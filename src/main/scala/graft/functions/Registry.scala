@@ -56,9 +56,79 @@ object Registry {
     f2("lcm", Lcm(_, _))
     f1("strip_accents", StripAccents(_))
     f1("nfc_normalize", NfcNormalize(_))
-    f2("json_merge_patch", JsonMergePatch(_, _))
+    // variadic like the reference (RFC 7386 fold, left to right)
+    reg.createOrReplaceTempFunction("json_merge_patch", es => {
+      if (es.length < 2) throw new IllegalArgumentException(
+        s"json_merge_patch expects >=2 args, got ${es.length}")
+      es.reduceLeft(JsonMergePatch(_, _))
+    }, "scala_udf")
     f1("json_structure", JsonStructure(_))
     f1("json_pretty", JsonPretty(_))
+    // reference JSON extraction/inspection/modification surface
+    // (jsonnav.scala); the importer lowers `->` / `->>` to
+    // json_extract / json_extract_string. Paths cast to STRING so the
+    // reference's integer-index overload binds too.
+    val str = org.apache.spark.sql.types.StringType
+    for (nm <- Seq("json_extract", "json_extract_path"))
+      f2(nm, JsonNavExpr(_, _, "extract"))
+    for (nm <- Seq("json_extract_string", "json_extract_path_text"))
+      f2(nm, JsonNavExpr(_, _, "extract_string"))
+    f2("json_value", JsonNavExpr(_, _, "value"))
+    f1("json_valid", JsonValidExpr(_))
+    f2("json_contains", JsonContainsExpr(_, _))
+    f2("json_exists", JsonExistsExpr(_, _))
+    f1("json_normalize", JsonUnaryExpr(_, "normalize"))
+    f1("json", JsonUnaryExpr(_, "minify"))
+    f1("json_strip_nulls", JsonUnaryExpr(_, "strip_nulls"))
+    for (nm <- Seq("set", "insert", "replace"))
+      fn(s"json_$nm", 3)(es =>
+        JsonModifyExpr(es(0), Cast(es(1), str), Cast(es(2), str), nm))
+    f2("json_remove", (j, p) =>
+      JsonModifyExpr(j, Cast(p, str), Literal("null"), "remove"))
+    f2("json_merge_patch_diff", JsonMergePatchDiffExpr(_, _))
+    reg.createOrReplaceTempFunction("json_deep_merge", es => {
+      if (es.length < 2) throw new IllegalArgumentException(
+        s"json_deep_merge expects >=2 args, got ${es.length}")
+      JsonDeepMergeExpr(es)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("json_keys", es => es.length match {
+      case 1 => JsonKeysExpr(es.head, Literal("$"))
+      case 2 => JsonKeysExpr(es(0), es(1))
+      case n => throw new IllegalArgumentException(
+        s"json_keys expects 1-2 args, got $n")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("json_type", es => es.length match {
+      case 1 => JsonNavExpr(es.head, Literal("$"), "type")
+      case 2 => JsonNavExpr(es(0), es(1), "type")
+      case n => throw new IllegalArgumentException(
+        s"json_type expects 1-2 args, got $n")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("json_array_length", es => es.length match {
+      case 1 => JsonArrayLengthPath(es.head, Literal("$"))
+      case 2 => JsonArrayLengthPath(es(0), es(1))
+      case n => throw new IllegalArgumentException(
+        s"json_array_length expects 1-2 args, got $n")
+    }, "scala_udf")
+    // json_group_array / json_group_object — the reference's JSON
+    // aggregate macros, composed from Spark's own aggregates
+    reg.createOrReplaceTempFunction("json_group_array", es => {
+      if (es.length != 1) throw new IllegalArgumentException(
+        s"json_group_array expects 1 arg, got ${es.length}")
+      org.apache.spark.sql.catalyst.expressions.StructsToJson(
+        Map.empty[String, String],
+        org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(es.head)
+          .toAggregateExpression())
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("json_group_object", es => {
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"json_group_object expects 2 args, got ${es.length}")
+      import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+      org.apache.spark.sql.catalyst.expressions.StructsToJson(
+        Map.empty[String, String],
+        MapFromArrays(
+          CollectList(Cast(es(0), str)).toAggregateExpression(),
+          CollectList(es(1)).toAggregateExpression()))
+    }, "scala_udf")
     // explicit double casts so NULL/int literals resolve like the
     // reference's implicit numeric->double binding
     f2("nextafter", (a, b) =>

@@ -403,19 +403,43 @@ case class HammingDistance(left: Expression, right: Expression)
   * preserved (original keys first, patch-added keys appended) — the same
   * rendering the reference produces, so results compare byte-identical.
   */
+/** RFC 7386 merge patch with the reference's NULL semantics
+  * (`json_merge_patch.cpp` via the corpus): a SQL NULL patch nulls the
+  * result; a SQL NULL target means "undefined" and the patch applies to
+  * nothing (its null members stripped). Chained variadic calls fold left
+  * through the registry, so `(a, NULL, c)` = `c` with nulls stripped.
+  */
 case class JsonMergePatch(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def prettyName: String = "json_merge_patch"
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
   override def dataType: DataType = StringType
-  override def nullIntolerant: Boolean = true
-  override def nullSafeEval(a: Any, b: Any): Any =
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val p = right.eval(input)
+    if (p == null) return null
+    val t = left.eval(input)
     UTF8String.fromString(JsonMergePatch.merge(
-      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-         |  org.apache.spark.sql.graft.JsonMergePatch.merge($a.toString(), $b.toString()));""".stripMargin)
+      if (t == null) null else t.asInstanceOf[UTF8String].toString,
+      p.asInstanceOf[UTF8String].toString))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val tmp = ctx.freshName("mpTarget")
+    ev.copy(code = code"""
+      |${r.code}
+      |boolean ${ev.isNull} = ${r.isNull};
+      |org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+      |if (!${ev.isNull}) {
+      |  ${l.code}
+      |  String $tmp = ${l.isNull} ? null : ${l.value}.toString();
+      |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+      |    org.apache.spark.sql.graft.JsonMergePatch.merge($tmp, ${r.value}.toString()));
+      |}
+      |""".stripMargin)
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -426,19 +450,31 @@ object JsonMergePatch {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   def merge(target: String, patch: String): String =
-    mapper.writeValueAsString(mergeNodes(mapper.readTree(target), mapper.readTree(patch)))
+    mapper.writeValueAsString(mergeNodes(
+      if (target == null) null else mapper.readTree(target),
+      mapper.readTree(patch)))
 
   private def mergeNodes(target: JsonNode, patch: JsonNode): JsonNode =
     if (!patch.isObject) patch
     else {
-      val out =
-        if (target != null && target.isObject) target.deepCopy[ObjectNode]()
-        else mapper.createObjectNode()
+      // reference key order (json_merge_patch.cpp builder): target keys
+      // the patch doesn't touch FIRST, then the patch's keys in patch
+      // order — a key present in both renders at its patch position
+      val out = mapper.createObjectNode()
+      if (target != null && target.isObject) {
+        val it = target.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (!patch.has(e.getKey)) out.set[JsonNode](e.getKey, e.getValue)
+        }
+      }
       val it = patch.fields()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getValue.isNull) out.remove(e.getKey)
-        else out.set[JsonNode](e.getKey, mergeNodes(out.get(e.getKey), e.getValue))
+        if (!e.getValue.isNull)
+          out.set[JsonNode](e.getKey, mergeNodes(
+            if (target != null && target.isObject) target.get(e.getKey) else null,
+            e.getValue))
       }
       out
     }

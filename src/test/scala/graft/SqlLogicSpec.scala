@@ -36,7 +36,31 @@ class SqlLogicSpec extends AnyFunSuite {
   }
 
   // reference-runner rendering (result_helper.cpp): VARCHAR cast look
-  private def cellRef(v: Any, sqliteMode: Boolean): String = v match {
+  // reference nested-value quoting (vector_cast_helpers.hpp
+  // CalculateEscapedStringLength + nested_to_varchar_cast.cpp lookup):
+  // a string INSIDE a list/struct/map is single-quoted when empty,
+  // whitespace-edged, "null"-like, or containing "'(),:=[]{} — with
+  // backslash escapes for ' and \
+  private def quoteNested(s: String): String = {
+    val special = "\"'(),:=[]{}"
+    // JSON-typed values render RAW inside containers (the reference's
+    // LIST(JSON) -> VARCHAR cast) — a container-shaped string passes
+    // through unquoted
+    if (s.length >= 2 &&
+        ((s.head == '{' && s.last == '}') || (s.head == '[' && s.last == ']')))
+      return s
+    val needs = s.isEmpty || s.head.isWhitespace ||
+      (s.length >= 2 && s.last.isWhitespace) ||
+      s.equalsIgnoreCase("null") || s.exists(special.contains(_))
+    if (!needs) s
+    else "'" + s.flatMap {
+      case '\'' => "\\'"
+      case '\\' => "\\\\"
+      case c => c.toString
+    } + "'"
+  }
+
+  private def cellRef(v: Any, sqliteMode: Boolean, nested: Boolean = false): String = v match {
     case null => "NULL"
     case b: Boolean => if (sqliteMode) { if (b) "1" else "0" } else b.toString
     case d: Double =>
@@ -50,7 +74,9 @@ class SqlLogicSpec extends AnyFunSuite {
       if (sqliteMode)
         d.setScale(0, java.math.RoundingMode.HALF_EVEN).toBigInteger.toString
       else d.toPlainString
-    case s: String => if (s.isEmpty) "(empty)" else s
+    case s: String =>
+      if (nested) quoteNested(s)
+      else if (s.isEmpty) "(empty)" else s
     case b: Array[Byte] =>
       // reference blob rendering (blob.cpp ToString): printable ASCII
       // as-is, everything else \xNN uppercase
@@ -60,7 +86,7 @@ class SqlLogicSpec extends AnyFunSuite {
         else f"\\x$c%02X"
       }.mkString
     case s: scala.collection.Seq[_] =>  // LIST renders [a, b, c]
-      s.map(e => cellRef(e, sqliteMode)).mkString("[", ", ", "]")
+      s.map(e => cellRef(e, sqliteMode, nested = true)).mkString("[", ", ", "]")
     case p: java.time.Period =>
       // reference interval rendering (interval.cpp ToString):
       // "N year(s) N month(s)", zero interval -> "00:00:00"
@@ -110,12 +136,12 @@ class SqlLogicSpec extends AnyFunSuite {
         if (r.schema != null) r.schema.fieldNames
         else Array.tabulate(r.length)(j => s"v${j + 1}")
       (0 until r.length).map { j =>
-        s"'${names(j)}': ${cellRef(r.get(j), sqliteMode)}"
+        s"'${names(j)}': ${cellRef(r.get(j), sqliteMode, nested = true)}"
       }.mkString("{", ", ", "}")
     case m: scala.collection.Map[_, _] =>
       // reference MAP rendering: {k=v, ...}
       m.map { case (k, v) =>
-        s"${cellRef(k, sqliteMode)}=${cellRef(v, sqliteMode)}"
+        s"${cellRef(k, sqliteMode, nested = true)}=${cellRef(v, sqliteMode, nested = true)}"
       }.mkString("{", ", ", "}")
     case other => other.toString
   }

@@ -48,6 +48,12 @@ import re
 import sys
 import os
 
+# --json-arrows: lower `j -> p` / `j ->> p` to json_extract(j, p) /
+# json_extract_string(j, p) (the engine registers those names with the
+# reference's path semantics). Off by default because the list-function
+# corpus spells LAMBDAS with `->`.
+JSON_ARROWS = False
+
 REJECT = ["mode ", "skipif",
           "onlyif", "hash-threshold", "restart", "load ", "sleep ",
           "<REGEX>", "<FILE>",
@@ -279,6 +285,10 @@ def duck_type(t: str) -> str:
         kv = split_top(m.group(1))
         if len(kv) == 2:
             return "MAP<%s, %s>" % (duck_type(kv[0]), duck_type(kv[1]))
+    # the reference's JSON logical type is VARCHAR-backed; the engine's
+    # json functions take STRING
+    if t.upper() == "JSON":
+        return "STRING"
     return t
 
 
@@ -630,6 +640,93 @@ def values_alias(sql: str) -> str:
     return out
 
 
+def rewrite_json_arrows(sql: str) -> str:
+    """On masked SQL: `lhs -> rhs` -> json_extract(lhs, rhs), `->>` ->
+    json_extract_string. lhs may be an identifier chain, a mask token,
+    or a call/paren group; rhs a mask token, integer, or identifier.
+    Leftmost-first so chains fold: a->'x'->'y' becomes
+    json_extract(json_extract(a,'x'),'y')."""
+    while True:
+        m = re.search(r"->>|->", sql)
+        if not m:
+            return sql
+        op = m.group(0)
+        i = m.start() - 1
+        while i >= 0 and sql[i].isspace():
+            i -= 1
+        if i < 0:
+            return sql
+        if sql[i] == ")":
+            depth, p = 0, i
+            while p >= 0:
+                if sql[p] == ")":
+                    depth += 1
+                elif sql[p] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                p -= 1
+            q = p - 1
+            while q >= 0 and (sql[q].isalnum() or sql[q] in "_."):
+                q -= 1
+            start = q + 1
+        elif sql[i] == "\x01":
+            start = sql.rfind("\x00", 0, i)
+        elif sql[i].isalnum() or sql[i] in "_.":
+            p = i
+            while p >= 0 and (sql[p].isalnum() or sql[p] in "_.\x00\x01"):
+                p -= 1
+            start = p + 1
+        else:
+            return sql
+        lhs = sql[start:i + 1]
+        j = m.end()
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j < len(sql) and sql[j] == "(":
+            # parenthesized right operand: take the balanced group
+            depth = 0
+            k2 = j
+            while k2 < len(sql):
+                if sql[k2] == "(":
+                    depth += 1
+                elif sql[k2] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k2 += 1
+            if k2 >= len(sql):
+                return sql
+            fn = "json_extract_string" if op == "->>" else "json_extract"
+            sql = (sql[:start] + "%s(%s, %s)" % (fn, lhs, sql[j:k2 + 1])
+                   + sql[k2 + 1:])
+            continue
+        mr = re.match(r"\x00\d+\x01|-?\d+|[A-Za-z_][\w.]*", sql[j:])
+        if not mr:
+            return sql
+        rhs_end = j + mr.end()
+        # identifier followed by '(' is a call (e.g. array('$.a', ...)):
+        # include the balanced argument list in the right operand
+        if (mr.group(0)[:1].isalpha() or mr.group(0)[:1] == "_") and \
+                rhs_end < len(sql) and sql[rhs_end] == "(":
+            depth = 0
+            k2 = rhs_end
+            while k2 < len(sql):
+                if sql[k2] == "(":
+                    depth += 1
+                elif sql[k2] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k2 += 1
+            if k2 >= len(sql):
+                return sql
+            rhs_end = k2 + 1
+        fn = "json_extract_string" if op == "->>" else "json_extract"
+        sql = (sql[:start] + "%s(%s, %s)" % (fn, lhs, sql[j:rhs_end])
+               + sql[rhs_end:])
+
+
 def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # date_diff('day', a, b) -> datediff(day, a, b): Spark wants the
     # unit unquoted (pre-mask so the quoted unit is visible)
@@ -663,6 +760,8 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # which treat ':' as structural)
     out = re.sub(r"(?i)\blambda\s+(\w+(?:\s*,\s*\w+)*)\s*:", r"(\1) ->", out)
     out = rewrite_casts(out)
+    # JSON typed literals (`JSON '...'`) are plain VARCHAR to the engine
+    out = re.sub(r"(?i)\bJSON\s+(\x00\d+\x01)", r"\1", out)
     # nested-type spellings (type position) must convert BEFORE the
     # bracket/brace literal rewrites eat `INTEGER[]` / `ROW(...)`
     out = rewrite_cast_types(out)
@@ -674,6 +773,11 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # ...) for `MAP {k: v}` literals, not to be re-rewritten)
     out = re.sub(r"(?i)\bMAP\s*\(", "graft_map(", out)
     out = rewrite_braces(out)
+    # JSON arrow operators — after the '::' rewrite (so `x::JSON->'p'`
+    # scans back over the whole CAST) and after the bracket/brace
+    # rewrites (so a list-of-paths right operand is already array(...))
+    if JSON_ARROWS:
+        out = rewrite_json_arrows(out)
     # remaining ROW( are value constructors (type positions consumed
     # above); UNNEST -> explode works in both SELECT and FROM position
     out = re.sub(r"(?i)\bROW\s*\(", "struct(", out)
@@ -997,6 +1101,10 @@ def main():
         k = args.index("--max-queries")
         max_q = int(args[k + 1])
         del args[k:k + 2]
+    if "--json-arrows" in args:
+        global JSON_ARROWS
+        JSON_ARROWS = True
+        args.remove("--json-arrows")
     drop_matching = None
     if "--drop-matching" in args:
         k = args.index("--drop-matching")
@@ -1054,6 +1162,13 @@ def main():
     # transactions are meaningless for a stateless runner
     records = [r for r in records
                if not (r[0] == "statement" and TXN_RE.match("\n".join(r[2])))]
+    # index DDL only exercises the reference's physical planning; query
+    # results are identical without it — drop the statements (a file
+    # whose QUERIES mention indexes still rejects via sql_only below)
+    records = [r for r in records
+               if not (r[0] == "statement" and re.match(
+                   r"(?is)^\s*(CREATE\s+(UNIQUE\s+)?INDEX|DROP\s+INDEX|REINDEX)\b",
+                   "\n".join(r[2])))]
     if drop_matching is not None:
         records = [r for r in records
                    if not drop_matching.search("\n".join(r[2]))]

@@ -51,6 +51,14 @@ import_pref() {  # import_pref PREFIX GLOB...
   done
 }
 import_pref tstruct $REF/sql/types/struct/*.test
+import_pref nmap    $REF/sql/types/nested/map/*.test
+import_pref nmapfe  $REF/sql/types/nested/map/map_from_entries/*.test
+import_pref nlist2  $REF/sql/types/nested/list/*.test
+import_pref nstruct $REF/sql/types/nested/struct/*.test
+import_pref tunion  $REF/sql/types/union/*.test
+import_pref lambda  $REF/sql/function/list/lambdas/*.test
+import_pref larrow  $REF/sql/function/list/lambdas/arrow/*.test
+import_pref collate $REF/sql/collate/*.test
 import_pref tlist   $REF/sql/types/list/*.test
 import_pref tmap    $REF/sql/types/map/*.test
 import_pref narray  $REF/sql/types/nested/array/*.test
@@ -73,6 +81,26 @@ import_pref kw      $REF/sql/keywords/*.test
 import_pref parser  $REF/sql/parser/*.test
 import_pref optim   $REF/sql/optimizer/*.test
 import_pref binder  $REF/sql/binder/*.test
+# JSON packs: `->`/`->>` lowered to json_extract/json_extract_string by
+# the --json-arrows importer flag (those names are registered with
+# reference path semantics in graft.functions.Registry / jsonnav.scala)
+for f in $REF/sql/json/scalar/*.test $REF/sql/json/*.test; do
+  [ -f "$f" ] || continue
+  python3 tools/import_slt.py --json-arrows "$f" "json_$(basename $f)" \
+    >/dev/null 2>&1 || true
+done
+#   wildcard JSON paths ($.*, [*], $..) return LISTs of matches in the
+#   reference — not modeled (jsonnav.scala treats them as missing), so
+#   their records are dropped, content-addressed like the others
+#   (plus: `array(expr for x in ...)` list comprehensions have no Spark
+#   grammar — dropped where they appear)
+#   (and `prepare`/lowercase statements the runner does not model)
+JSON_WILD='(?i)\$\.\.|\$\.\*|\[\*\]|\$\.a\.\.|for l in|prepare |execute '
+for f in test_json_extract test_json_keys test_json_path test_json_type \
+    test_json_value test_json_exists; do
+  python3 tools/import_slt.py --json-arrows --drop-matching "$JSON_WILD" \
+    $REF/sql/json/scalar/$f.test json_$f.test >/dev/null 2>&1 || true
+done
 for f in $REF/sql/aggregate/aggregates/*.test; do
   case "$(basename $f)" in test_*) continue;; esac
   python3 tools/import_slt.py "$f" "flaggx_$(basename $f)" >/dev/null 2>&1 || true
@@ -86,6 +114,8 @@ python3 tools/import_slt.py --sqlite --max-queries 250 \
   $REF/sqlite/select2.test_slow sqlite_select2.test
 python3 tools/import_slt.py --sqlite --max-queries 250 \
   $REF/sqlite/select3.test_slow sqlite_select3.test
+python3 tools/import_slt.py --sqlite --max-queries 250 \
+  $REF/sqlite/select4.test_slow sqlite_select4.test
 
 # records whose expected-error depends on reference-binder strictness that
 # Spark doesn't share (more permissive overload resolution / escape rules) —
@@ -622,6 +652,11 @@ window_test_list_window.test
 window_test_quantile_window.test
 window_test_window_order_collate.test
 window_test_window_unnest_error.test
+json_test_json_dot_syntax.test
+json_test_json_sqlite.test
+json_test_json_macros.test
+json_test_json_group_window_macro.test
+json_test_json_empty_object.test
 EOF
 
 echo "manifest: $(wc -l < src/test/resources/sql/ref/MANIFEST) files"
