@@ -129,6 +129,27 @@ object Registry {
           CollectList(Cast(es(0), str)).toAggregateExpression(),
           CollectList(es(1)).toAggregateExpression()))
     }, "scala_udf")
+    // list lambda spellings (core_functions/scalar/list): Spark's
+    // transform/filter under the reference's names; list_reduce seeds
+    // with the first element and folds the rest (list_reduce.cpp)
+    for (nm <- Seq("list_transform", "array_transform", "list_apply", "apply"))
+      f2(nm, ArrayTransform(_, _))
+    for (nm <- Seq("list_filter", "array_filter"))
+      f2(nm, ArrayFilter(_, _))
+    for (nm <- Seq("list_reduce", "array_reduce", "reduce"))
+      f2(nm, (arr, lam) => {
+        val fin = UnresolvedNamedLambdaVariable(Seq("acc_fin"))
+        ArrayAggregate(
+          Slice(arr, Literal(2), Subtract(Size(arr), Literal(1))),
+          ElementAt(arr, Literal(1)),
+          lam.asInstanceOf[LambdaFunction],
+          LambdaFunction(fin, Seq(fin)))
+      })
+    // map_contains_entry(m, k, v) — entry-wise membership
+    fn("map_contains_entry", 3)(es =>
+      ArrayContains(MapEntries(es(0)),
+        CreateNamedStruct(Seq(Literal("key"), es(1), Literal("value"), es(2)))))
+    f2("map_contains_value", (m, v) => ArrayContains(MapValues(m), v))
     // explicit double casts so NULL/int literals resolve like the
     // reference's implicit numeric->double binding
     f2("nextafter", (a, b) =>

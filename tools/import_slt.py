@@ -759,6 +759,9 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # classic `(x, y) -> e` (must run before the brace/slice rewrites,
     # which treat ':' as structural)
     out = re.sub(r"(?i)\blambda\s+(\w+(?:\s*,\s*\w+)*)\s*:", r"(\1) ->", out)
+    # Spark's lambda grammar takes a BARE single parameter (`x -> e`);
+    # parenthesized single params only parse with >=2 params
+    out = re.sub(r"\(\s*(\w+)\s*\)\s*->", r"\1 ->", out)
     out = rewrite_casts(out)
     # JSON typed literals (`JSON '...'`) are plain VARCHAR to the engine
     out = re.sub(r"(?i)\bJSON\s+(\x00\d+\x01)", r"\1", out)
@@ -844,7 +847,7 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # TEXT only in type position (cast target / column def) — `text` is
     # also a legitimate column name in this repo's fixtures
     out = re.sub(r"(?i)(\bAS\s+)TEXT\b", r"\1STRING", out)
-    out = re.sub(r"(?i)\btext(\s*[,)])", r"STRING\1", out)
+    out = re.sub(r"(?i)\btext(\s*[,)>])", r"STRING\1", out)
     out = re.sub(r"(?i)\bINT64\b", "BIGINT", out)
     out = re.sub(r"(?i)\bHUGEINT\b", "DECIMAL(38,0)", out)
     out = re.sub(r"\bDOUBLE\s+PRECISION\b", "DOUBLE", out)

@@ -657,6 +657,83 @@ json_test_json_sqlite.test
 json_test_json_macros.test
 json_test_json_group_window_macro.test
 json_test_json_empty_object.test
+# r8 imports that converted but diverge on genuinely-unsupported surface:
+#   collate: the reference's collation combinators (NOCASE.NOACCENT,
+#     COLLATE in LIKE/IN, collation-typed comparisons) have no Spark
+#     equivalent beyond the UTF8_LCASE/ICU mapping already covered;
+#   lambda/larrow: list comprehensions (`x*x for x in l if p`), method
+#     syntax (`l.list_transform(...)`), CREATE FUNCTION table macros,
+#     optional lambda index parameters ((acc, x, i));
+#   nmap/nmapfe/nlist2/nstruct/tlist/tstruct: MAP keys of MAP/NULL type,
+#     map() subscript-error expectations, remap_struct, duck-specific
+#     nested-update DDL
+collate_collate_filter_pushdown.test
+collate_collate_in_subquery.test
+collate_collate_like.test
+collate_collate_non_varchar.test
+collate_collate_order_by_alias.test
+collate_test_collate_accent_insensitive.test
+collate_test_collate_between.test
+collate_test_collate_case_insensitive.test
+collate_test_collate_expression.test
+collate_test_collate_list.test
+collate_test_collate_list_contains.test
+collate_test_collate_orderby_column_number.test
+collate_test_collate_pivot.test
+collate_test_collation_propagation.test
+collate_test_combined_collation.test
+collate_test_default_collations.test
+collate_test_strpos_collate.test
+collate_test_unsupported_collations.test
+lambda_filter.test
+lambda_lambda_scope.test
+lambda_lambdas_and_functions.test
+lambda_lambdas_and_group_by.test
+lambda_list_comprehension.test
+lambda_reduce.test
+lambda_rhs_parameters.test
+lambda_transform_with_index.test
+lambda_vector_types.test
+larrow_filter_deprecated.test
+larrow_lambda_scope_deprecated.test
+larrow_lambdas_and_functions_deprecated.test
+larrow_lambdas_and_group_by_deprecated.test
+larrow_list_comprehension_deprecated.test
+larrow_reduce_deprecated.test
+larrow_reduce_initial_deprecated.test
+larrow_rhs_parameters_deprecated.test
+larrow_transform_with_index_deprecated.test
+larrow_warn_deprecated_arrow.test
+nlist2_any_list.test
+nlist2_array.test
+nlist2_list_aggr_parameter.test
+nlist2_test_list_functions_with_null_structs.test
+nlist2_test_list_slice.test
+nlist2_test_nested_list.test
+nlist2_test_scalar_list.test
+nmap_map_error.test
+nmap_test_map_contains.test
+nmap_test_map_entries.test
+nmap_test_map_nested_keys.test
+nmap_test_map_subscript.test
+nmap_test_map_subscript_composite.test
+nmap_test_map_subscript_from_column.test
+nmap_test_map_subscript_vector_types.test
+nmap_test_map_subscript_where.test
+nmap_test_map_vector_types.test
+nmap_test_null_map_interaction.test
+nmapfe_column_null_entry.test
+nmapfe_data_types.test
+nmapfe_nested.test
+nmapfe_null.test
+nmapfe_null_entry.test
+nstruct_struct_aggregates.test
+nstruct_struct_dict.test
+nstruct_struct_is_null.test
+nstruct_test_struct.test
+nstruct_test_struct_keys.test
+tlist_list_index.test
+tstruct_struct_index.test
 EOF
 
 echo "manifest: $(wc -l < src/test/resources/sql/ref/MANIFEST) files"
