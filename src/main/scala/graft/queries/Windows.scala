@@ -247,6 +247,24 @@ object Windows extends Pack {
       .orderBy("event_id")
   }
 
+  // General holistic windowed quantile over the unbounded frame — the
+  // case the two-heap median cannot reach (reference merge-sort tree,
+  // window_merge_sort_tree.cpp): operators.RunningQuantile streams a
+  // Fenwick tree over the group's coordinate-compressed values,
+  // O(log m) insert + select per row. Same single hash exchange.
+  q("q_window_quantile_unbounded",
+    """SELECT event_id, user_id,
+      |  quantile_cont(value, 0.25) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS run_q25
+      |FROM events ORDER BY event_id""") { (s, dir) =>
+    graft.operators.RunningQuantile.runningQuantile(
+      Tables.events(s, dir).select("event_id", "user_id", "ts", "value"),
+      Seq("user_id"), Seq("ts", "event_id"), "value", 0.25, "run_q25")
+      .select("event_id", "user_id", "run_q25")
+      .orderBy("event_id")
+  }
+
   // GROUPS frames (SQL:2011; reference window_boundaries_state.cpp:333-367,
   // test corpus test/sql/window/test_window_groups.test_slow). Spark lacks
   // GROUPS mode; operators.GroupsFrame rewrites it as dense_rank() group

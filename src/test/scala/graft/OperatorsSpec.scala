@@ -448,6 +448,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.operators.Banding.lastSource == "scan" && c2.nonEmpty)
   }
 
+  test("running quantile matches the brute-force frame-collect form; multi-task") {
+    import spark.implicits._
+    val n = 4000
+    val df = spark.range(n).select(
+      (col("id") % 5).as("k"), col("id").as("o"),
+      when(col("id") % 11 === 0, lit(null))
+        .otherwise((col("id") * 53 % 97).cast("double")).as("v"))
+    val got = graft.operators.RunningQuantile
+      .runningQuantile(df, Seq("k"), Seq("o"), "v", 0.3, "qv")
+    // brute force: collect+sort the prefix, interpolate at q*(n-1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("o")
+      .rowsBetween(Long.MinValue, org.apache.spark.sql.expressions.Window.currentRow)
+    val arr = sort_array(expr("filter(collect_list(v) over (partition by k order by o rows between unbounded preceding and current row), x -> x is not null)"))
+    val sz = size(arr)
+    val pos = (sz - 1).cast("double") * lit(0.3)
+    val lo = floor(pos).cast("int")
+    val hi = ceil(pos).cast("int")
+    val vLo = element_at(arr, lo + 1)
+    val vHi = element_at(arr, hi + 1)
+    val exp = df.select(col("k"), col("o"),
+      when(sz === 0, lit(null))
+        .otherwise(vLo + (vHi - vLo) * (pos - lo.cast("double"))).as("qv"))
+    val g = got.select("k", "o", "qv").as[(Long, Long, Option[Double])]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val e = exp.as[(Long, Long, Option[Double])]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(g.size == n)
+    for ((k, ev) <- e) {
+      val gv = g(k)
+      assert((ev, gv) match {
+        case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+        case (a, b) => a == b
+      }, s"mismatch at $k: got $gv expected $ev")
+    }
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(k"),
+      s"running quantile not hash-partitioned on keys:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"running quantile funnels rows through one task:\n$plan")
+  }
+
   test("running median matches the brute-force frame-collect form; multi-task") {
     import spark.implicits._
     val n = 5000
