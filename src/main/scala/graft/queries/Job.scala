@@ -3,10 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.Tables
 
-/** JOB (Join Order Benchmark) families 1-10 — all 35 variants the
-  * reference ships (`/root/reference/benchmark/imdb/01a-10c.benchmark`,
-  * query texts under `benchmark/imdb_plan_cost/queries/`) — paraphrased
-  * onto the TPC-H fixtures. JOB is the canonical join-ORDER stress: a
+/** JOB (Join Order Benchmark) families 1-17 — all 63 variants the
+  * reference ships for them (`/root/reference/benchmark/imdb/
+  * 01a-17f.benchmark`, query texts under
+  * `benchmark/imdb_plan_cost/queries/`) — paraphrased onto the TPC-H
+  * fixtures. JOB is the canonical join-ORDER stress: a
   * large link fact touched 2-3 times, a movie entity, and several tiny
   * dimensions carrying highly selective predicates; a plan that joins
   * fact-to-fact before applying the dim filters explodes, one that
@@ -53,7 +54,8 @@ object Job extends Pack {
   val rels: Seq[(String, String)] = Seq(
     "title" ->
       ("SELECT o_orderkey AS id, concat('Movie #', CAST(o_orderkey AS STRING)) AS title, " +
-        "CAST(year(o_orderdate) AS INT) AS production_year, (o_orderkey % 5) AS kind_id FROM orders"),
+        "CAST(year(o_orderdate) AS INT) AS production_year, (o_orderkey % 5) AS kind_id, " +
+        "CAST(o_orderkey % 200 AS INT) AS episode_nr FROM orders"),
     "movie_companies" ->
       ("SELECT l_orderkey AS movie_id, l_suppkey AS company_id, (l_linenumber % 4) AS company_type_id, " +
         "concat(l_returnflag, '/', l_linestatus, ' (', CAST(l_partkey % 100 AS STRING), ')') AS note FROM lineitem"),
@@ -62,11 +64,13 @@ object Job extends Pack {
         "CAST(l_quantity AS STRING) AS info FROM lineitem"),
     "movie_info" ->
       ("SELECT l_orderkey AS movie_id, (l_partkey % 5) AS info_type_id, " +
-        "concat('Info_', CAST(l_partkey % 20 AS STRING)) AS info FROM lineitem"),
+        "concat('Info_', CAST(l_partkey % 20 AS STRING)) AS info, " +
+        "concat('st_', l_linestatus, '_', CAST(l_linenumber AS STRING)) AS note FROM lineitem"),
     "movie_keyword" ->
       "SELECT l_orderkey AS movie_id, l_partkey AS keyword_id FROM lineitem",
     "movie_link" ->
-      ("SELECT l_orderkey AS linked_movie_id, (l_suppkey % 8) AS link_type_id FROM lineitem"),
+      ("SELECT l_orderkey AS movie_id, l_orderkey AS linked_movie_id, " +
+        "(l_suppkey % 8) AS link_type_id FROM lineitem"),
     "cast_info" ->
       ("SELECT l_orderkey AS movie_id, ((l_orderkey * 7 + l_linenumber) % 10) AS person_id, " +
         "l_partkey AS person_role_id, (l_linenumber % 5) AS role_id, " +
@@ -75,6 +79,10 @@ object Job extends Pack {
     "link_type" -> "SELECT n_nationkey AS id, n_name AS link FROM nation",
     "info_type" -> "SELECT r_regionkey AS id, r_name AS info FROM region",
     "role_type" -> "SELECT r_regionkey AS id, r_name AS role FROM region",
+    "kind_type" -> "SELECT r_regionkey AS id, r_name AS kind FROM region",
+    "aka_title" ->
+      ("SELECT o_orderkey AS movie_id, concat('AKA Movie #', CAST(o_orderkey AS STRING)) AS title " +
+        "FROM orders WHERE o_orderkey % 3 = 0"),
     "company_name" ->
       ("SELECT s_suppkey AS id, s_name AS name, " +
         "concat('[', CAST(s_nationkey % 10 AS STRING), ']') AS country_code FROM supplier"),
@@ -101,7 +109,8 @@ object Job extends Pack {
     for ((n, _) <- rels)
       if (!s.catalog.tableExists(s"job_${n}_$suffix")) {
         val sql = rels.find(_._1 == n).get._2
-        val base = sql.split("FROM ").last.trim
+        // base fixture table = first word after FROM (a WHERE may follow)
+        val base = sql.split("FROM ").last.trim.split("\\s+").head
         Tables.load(s, dir, base).createOrReplaceTempView(s"fx_${base}_$suffix")
         s.sql(sql.replace(s"FROM $base", s"FROM fx_${base}_$suffix"))
           .createOrReplaceTempView(s"job_${n}_$suffix")
@@ -432,4 +441,348 @@ object Job extends Pack {
     """ci.note LIKE '%role 2%'
       |  AND cn.country_code = '[1]'
       |  AND t.production_year > 1995""".stripMargin)
+
+  // ---- family 11: link-typed sequels — cn ⋈ ct ⋈ k ⋈ lt ⋈ mc ⋈ mk ⋈ ml ⋈ t
+  private def f11(name: String, sel: String, filters: String): Unit =
+    job(name)(
+      s"""SELECT $sel
+         |FROM company_name AS cn, company_type AS ct, keyword AS k,
+         |     link_type AS lt, movie_companies AS mc, movie_keyword AS mk,
+         |     movie_link AS ml, title AS t
+         |WHERE $filters
+         |  AND lt.id = ml.link_type_id
+         |  AND ml.movie_id = t.id
+         |  AND t.id = mk.movie_id
+         |  AND mk.keyword_id = k.id
+         |  AND t.id = mc.movie_id
+         |  AND mc.company_type_id = ct.id
+         |  AND mc.company_id = cn.id
+         |  AND ml.movie_id = mk.movie_id
+         |  AND ml.movie_id = mc.movie_id
+         |  AND mk.movie_id = mc.movie_id""")
+  f11("q_job11a",
+    "MIN(cn.name) AS from_company, MIN(lt.link) AS movie_link_type, MIN(t.title) AS sequel_movie",
+    """cn.country_code != '[0]'
+      |  AND (cn.name LIKE '%plier#00000001%' OR cn.name LIKE '%plier#00000002%')
+      |  AND ct.kind = 'NATION_2'
+      |  AND k.keyword = 'PROMO'
+      |  AND lt.link LIKE '%TION_1%'
+      |  AND mc.note IS NOT NULL
+      |  AND t.production_year BETWEEN 1995 AND 2000""".stripMargin)
+  f11("q_job11b",
+    "MIN(cn.name) AS from_company, MIN(lt.link) AS movie_link_type, MIN(t.title) AS sequel_movie",
+    """cn.country_code != '[0]'
+      |  AND (cn.name LIKE '%plier#00000001%' OR cn.name LIKE '%plier#00000002%')
+      |  AND ct.kind = 'NATION_2'
+      |  AND k.keyword = 'PROMO'
+      |  AND lt.link LIKE '%TION_12%'
+      |  AND mc.note IS NOT NULL
+      |  AND t.production_year = 1998
+      |  AND t.title LIKE '%7%'""".stripMargin)
+  f11("q_job11c",
+    "MIN(cn.name) AS from_company, MIN(mc.note) AS production_note, MIN(t.title) AS movie_based_on_book",
+    """cn.country_code != '[0]'
+      |  AND (cn.name LIKE 'Supplier#0000000%' OR cn.name LIKE 'Supplier#0000001%')
+      |  AND ct.kind != 'NATION_2'
+      |  AND ct.kind IS NOT NULL
+      |  AND k.keyword IN ('PROMO', 'ECONOMY', 'SMALL')
+      |  AND mc.note IS NOT NULL
+      |  AND t.production_year > 1995""".stripMargin)
+  f11("q_job11d",
+    "MIN(cn.name) AS from_company, MIN(mc.note) AS production_note, MIN(t.title) AS movie_based_on_book",
+    """cn.country_code != '[0]'
+      |  AND ct.kind != 'NATION_2'
+      |  AND ct.kind IS NOT NULL
+      |  AND k.keyword IN ('PROMO', 'ECONOMY', 'SMALL')
+      |  AND mc.note IS NOT NULL
+      |  AND t.production_year > 1995""".stripMargin)
+
+  // ---- family 12: double info_type fan — cn ⋈ ct ⋈ it1 ⋈ it2 ⋈ mc ⋈ mi ⋈ mi_idx ⋈ t
+  private def f12(name: String, sel: String, filters: String): Unit =
+    job(name)(
+      s"""SELECT $sel
+         |FROM company_name AS cn, company_type AS ct, info_type AS it1,
+         |     info_type AS it2, movie_companies AS mc, movie_info AS mi,
+         |     movie_info_idx AS mi_idx, title AS t
+         |WHERE $filters
+         |  AND t.id = mi.movie_id
+         |  AND t.id = mi_idx.movie_id
+         |  AND mi.info_type_id = it1.id
+         |  AND mi_idx.info_type_id = it2.id
+         |  AND t.id = mc.movie_id
+         |  AND ct.id = mc.company_type_id
+         |  AND cn.id = mc.company_id
+         |  AND mc.movie_id = mi.movie_id
+         |  AND mc.movie_id = mi_idx.movie_id
+         |  AND mi.movie_id = mi_idx.movie_id""")
+  f12("q_job12a",
+    "MIN(cn.name) AS movie_company, MIN(mi_idx.info) AS rating, MIN(t.title) AS drama_horror_movie",
+    """cn.country_code = '[4]'
+      |  AND ct.kind = 'NATION_2'
+      |  AND it1.info = 'ASIA'
+      |  AND it2.info = 'EUROPE'
+      |  AND mi.info IN ('Info_3', 'Info_8')
+      |  AND mi_idx.info > '30'
+      |  AND t.production_year BETWEEN 1996 AND 1999""".stripMargin)
+  f12("q_job12b",
+    "MIN(mi.info) AS budget, MIN(t.title) AS unsuccsessful_movie",
+    """cn.country_code = '[4]'
+      |  AND ct.kind IS NOT NULL
+      |  AND (ct.kind = 'NATION_2' OR ct.kind = 'NATION_5')
+      |  AND it1.info = 'AFRICA'
+      |  AND it2.info = 'AMERICA'
+      |  AND t.production_year > 1997
+      |  AND (t.title LIKE 'Movie #1%' OR t.title LIKE '%3%')""".stripMargin)
+  f12("q_job12c",
+    "MIN(cn.name) AS movie_company, MIN(mi_idx.info) AS rating, MIN(t.title) AS mainstream_movie",
+    """cn.country_code = '[4]'
+      |  AND ct.kind = 'NATION_2'
+      |  AND it1.info = 'ASIA'
+      |  AND it2.info = 'EUROPE'
+      |  AND mi.info IN ('Info_3', 'Info_8', 'Info_12', 'Info_17')
+      |  AND mi_idx.info > '25'
+      |  AND t.production_year BETWEEN 1995 AND 2000""".stripMargin)
+
+  // ---- family 13: kind_type joins in — cn ⋈ ct ⋈ it ⋈ it2 ⋈ kt ⋈ mc ⋈ mi ⋈ miidx ⋈ t
+  private def f13(name: String, sel: String, filters: String): Unit =
+    job(name)(
+      s"""SELECT $sel
+         |FROM company_name AS cn, company_type AS ct, info_type AS it,
+         |     info_type AS it2, kind_type AS kt, movie_companies AS mc,
+         |     movie_info AS mi, movie_info_idx AS miidx, title AS t
+         |WHERE $filters
+         |  AND mi.movie_id = t.id
+         |  AND it2.id = mi.info_type_id
+         |  AND kt.id = t.kind_id
+         |  AND mc.movie_id = t.id
+         |  AND cn.id = mc.company_id
+         |  AND ct.id = mc.company_type_id
+         |  AND miidx.movie_id = t.id
+         |  AND it.id = miidx.info_type_id
+         |  AND mi.movie_id = miidx.movie_id
+         |  AND mi.movie_id = mc.movie_id
+         |  AND miidx.movie_id = mc.movie_id""")
+  f13("q_job13a",
+    "MIN(mi.info) AS release_date, MIN(miidx.info) AS rating, MIN(t.title) AS german_movie",
+    """cn.country_code = '[3]'
+      |  AND ct.kind = 'NATION_2'
+      |  AND it.info = 'EUROPE'
+      |  AND it2.info = 'AFRICA'
+      |  AND kt.kind = 'ASIA'""".stripMargin)
+  f13("q_job13b",
+    "MIN(cn.name) AS producing_company, MIN(miidx.info) AS rating, MIN(t.title) AS movie_about_winning",
+    """cn.country_code = '[4]'
+      |  AND ct.kind = 'NATION_2'
+      |  AND it.info = 'EUROPE'
+      |  AND it2.info = 'AFRICA'
+      |  AND kt.kind = 'ASIA'
+      |  AND t.title != ''
+      |  AND (t.title LIKE '%7%' OR t.title LIKE '%9%')""".stripMargin)
+  f13("q_job13c",
+    "MIN(cn.name) AS producing_company, MIN(miidx.info) AS rating, MIN(t.title) AS movie_about_winning",
+    """cn.country_code = '[4]'
+      |  AND ct.kind = 'NATION_2'
+      |  AND it.info = 'EUROPE'
+      |  AND it2.info = 'AFRICA'
+      |  AND kt.kind = 'ASIA'
+      |  AND t.title != ''
+      |  AND (t.title LIKE 'Movie #1%' OR t.title LIKE 'Movie #2%')""".stripMargin)
+  f13("q_job13d",
+    "MIN(cn.name) AS producing_company, MIN(miidx.info) AS rating, MIN(t.title) AS movie",
+    """cn.country_code = '[4]'
+      |  AND ct.kind = 'NATION_2'
+      |  AND it.info = 'EUROPE'
+      |  AND it2.info = 'AFRICA'
+      |  AND kt.kind = 'ASIA'""".stripMargin)
+
+  // ---- family 14: keyword + kind + double info — it1 ⋈ it2 ⋈ k ⋈ kt ⋈ mi ⋈ mi_idx ⋈ mk ⋈ t
+  private def f14(name: String, sel: String, filters: String): Unit =
+    job(name)(
+      s"""SELECT $sel
+         |FROM info_type AS it1, info_type AS it2, keyword AS k,
+         |     kind_type AS kt, movie_info AS mi, movie_info_idx AS mi_idx,
+         |     movie_keyword AS mk, title AS t
+         |WHERE $filters
+         |  AND kt.id = t.kind_id
+         |  AND t.id = mi.movie_id
+         |  AND t.id = mk.movie_id
+         |  AND t.id = mi_idx.movie_id
+         |  AND mk.movie_id = mi.movie_id
+         |  AND mk.movie_id = mi_idx.movie_id
+         |  AND mi.movie_id = mi_idx.movie_id
+         |  AND k.id = mk.keyword_id
+         |  AND it1.id = mi.info_type_id
+         |  AND it2.id = mi_idx.info_type_id""")
+  f14("q_job14a",
+    "MIN(mi_idx.info) AS rating, MIN(t.title) AS northern_dark_movie",
+    """it1.info = 'AFRICA'
+      |  AND it2.info = 'EUROPE'
+      |  AND k.keyword IN ('PROMO', 'ECONOMY', 'SMALL', 'LARGE')
+      |  AND kt.kind = 'ASIA'
+      |  AND mi.info IN ('Info_1', 'Info_2', 'Info_4', 'Info_6', 'Info_8',
+      |                  'Info_10', 'Info_12', 'Info_14', 'Info_16', 'Info_18')
+      |  AND mi_idx.info < '44'
+      |  AND t.production_year > 1998""".stripMargin)
+  f14("q_job14b",
+    "MIN(mi_idx.info) AS rating, MIN(t.title) AS western_dark_production",
+    """it1.info = 'AFRICA'
+      |  AND it2.info = 'EUROPE'
+      |  AND k.keyword IN ('PROMO', 'ECONOMY')
+      |  AND kt.kind = 'ASIA'
+      |  AND mi.info IN ('Info_1', 'Info_2', 'Info_4', 'Info_6', 'Info_8',
+      |                  'Info_10', 'Info_12', 'Info_14', 'Info_16', 'Info_18')
+      |  AND mi_idx.info > '20'
+      |  AND t.production_year > 1998
+      |  AND (t.title LIKE '%0%' OR t.title LIKE '%5%' OR t.title LIKE '%9%')""".stripMargin)
+  f14("q_job14c",
+    "MIN(mi_idx.info) AS rating, MIN(t.title) AS north_european_dark_production",
+    """it1.info = 'AFRICA'
+      |  AND it2.info = 'EUROPE'
+      |  AND k.keyword IS NOT NULL
+      |  AND k.keyword IN ('PROMO', 'ECONOMY', 'SMALL', 'LARGE')
+      |  AND kt.kind IN ('ASIA', 'EUROPE')
+      |  AND mi.info IN ('Info_1', 'Info_2', 'Info_4', 'Info_6', 'Info_8',
+      |                  'Info_10', 'Info_12', 'Info_14', 'Info_16', 'Info_18')
+      |  AND mi_idx.info < '44'
+      |  AND t.production_year > 1996""".stripMargin)
+
+  // ---- family 15: aka_title widens the movie entity — at ⋈ cn ⋈ ct ⋈ it1 ⋈ k ⋈ mc ⋈ mi ⋈ mk ⋈ t
+  private def f15(name: String, sel: String, filters: String): Unit =
+    job(name)(
+      s"""SELECT $sel
+         |FROM aka_title AS at_, company_name AS cn, company_type AS ct,
+         |     info_type AS it1, keyword AS k, movie_companies AS mc,
+         |     movie_info AS mi, movie_keyword AS mk, title AS t
+         |WHERE $filters
+         |  AND t.id = at_.movie_id
+         |  AND t.id = mi.movie_id
+         |  AND t.id = mk.movie_id
+         |  AND t.id = mc.movie_id
+         |  AND mk.movie_id = mi.movie_id
+         |  AND mk.movie_id = mc.movie_id
+         |  AND mk.movie_id = at_.movie_id
+         |  AND mi.movie_id = mc.movie_id
+         |  AND mi.movie_id = at_.movie_id
+         |  AND mc.movie_id = at_.movie_id
+         |  AND k.id = mk.keyword_id
+         |  AND it1.id = mi.info_type_id
+         |  AND cn.id = mc.company_id
+         |  AND ct.id = mc.company_type_id""")
+  f15("q_job15a",
+    "MIN(mi.info) AS release_date, MIN(t.title) AS internet_movie",
+    """cn.country_code = '[4]'
+      |  AND it1.info = 'AFRICA'
+      |  AND mc.note LIKE '%(2%)%'
+      |  AND mc.note LIKE '%/F%'
+      |  AND mi.note LIKE '%st_O%'
+      |  AND mi.info LIKE 'Info_1%'
+      |  AND t.production_year > 1996""".stripMargin)
+  f15("q_job15b",
+    "MIN(mi.info) AS release_date, MIN(t.title) AS youtube_movie",
+    """cn.country_code = '[4]'
+      |  AND cn.name = 'Supplier#000000007'
+      |  AND it1.info = 'AFRICA'
+      |  AND mc.note LIKE '%(2%)%'
+      |  AND mc.note LIKE '%/F%'
+      |  AND mi.note LIKE '%st_O%'
+      |  AND mi.info LIKE 'Info_1%'
+      |  AND t.production_year BETWEEN 1996 AND 2000""".stripMargin)
+  f15("q_job15c",
+    "MIN(mi.info) AS release_date, MIN(t.title) AS modern_american_internet_movie",
+    """cn.country_code = '[4]'
+      |  AND it1.info = 'AFRICA'
+      |  AND mi.note LIKE '%st_O%'
+      |  AND mi.info IS NOT NULL
+      |  AND (mi.info LIKE 'Info_1%' OR mi.info LIKE 'Info_2%')
+      |  AND t.production_year > 1995""".stripMargin)
+  f15("q_job15d",
+    "MIN(at_.title) AS aka_title, MIN(t.title) AS internet_movie_title",
+    """cn.country_code = '[4]'
+      |  AND it1.info = 'AFRICA'
+      |  AND mi.note LIKE '%st_O%'
+      |  AND t.production_year > 1995""".stripMargin)
+
+  // ---- family 16: person chain an ⋈ n ⋈ ci ⋈ t ⋈ mk ⋈ k, mc ⋈ cn --------
+  private def f16(name: String, sel: String, filters: String): Unit =
+    job(name)(
+      s"""SELECT $sel
+         |FROM aka_name AS an, cast_info AS ci, company_name AS cn,
+         |     keyword AS k, movie_companies AS mc, movie_keyword AS mk,
+         |     name AS n, title AS t
+         |WHERE $filters
+         |  AND an.person_id = n.id
+         |  AND n.id = ci.person_id
+         |  AND ci.movie_id = t.id
+         |  AND t.id = mk.movie_id
+         |  AND mk.keyword_id = k.id
+         |  AND t.id = mc.movie_id
+         |  AND mc.company_id = cn.id
+         |  AND an.person_id = ci.person_id
+         |  AND ci.movie_id = mc.movie_id
+         |  AND ci.movie_id = mk.movie_id
+         |  AND mc.movie_id = mk.movie_id""")
+  f16("q_job16a",
+    "MIN(an.name) AS cool_actor_pseudonym, MIN(t.title) AS series_named_after_char",
+    """cn.country_code = '[4]'
+      |  AND k.keyword = 'STANDARD'
+      |  AND t.episode_nr >= 50
+      |  AND t.episode_nr < 100""".stripMargin)
+  f16("q_job16b",
+    "MIN(an.name) AS cool_actor_pseudonym, MIN(t.title) AS series_named_after_char",
+    """cn.country_code = '[4]'
+      |  AND k.keyword = 'STANDARD'""".stripMargin)
+  f16("q_job16c",
+    "MIN(an.name) AS cool_actor_pseudonym, MIN(t.title) AS series_named_after_char",
+    """cn.country_code = '[4]'
+      |  AND k.keyword = 'STANDARD'
+      |  AND t.episode_nr < 100""".stripMargin)
+  f16("q_job16d",
+    "MIN(an.name) AS cool_actor_pseudonym, MIN(t.title) AS series_named_after_char",
+    """cn.country_code = '[4]'
+      |  AND k.keyword = 'STANDARD'
+      |  AND t.episode_nr >= 5
+      |  AND t.episode_nr < 100""".stripMargin)
+
+  // ---- family 17: same graph minus aka_name -------------------------------
+  private def f17(name: String, sel: String, filters: String): Unit =
+    job(name)(
+      s"""SELECT $sel
+         |FROM cast_info AS ci, company_name AS cn, keyword AS k,
+         |     movie_companies AS mc, movie_keyword AS mk, name AS n,
+         |     title AS t
+         |WHERE $filters
+         |  AND n.id = ci.person_id
+         |  AND ci.movie_id = t.id
+         |  AND t.id = mk.movie_id
+         |  AND mk.keyword_id = k.id
+         |  AND t.id = mc.movie_id
+         |  AND mc.company_id = cn.id
+         |  AND ci.movie_id = mc.movie_id
+         |  AND ci.movie_id = mk.movie_id
+         |  AND mc.movie_id = mk.movie_id""")
+  f17("q_job17a",
+    "MIN(n.name) AS member_in_charnamed_american_movie, MIN(n.name) AS a1",
+    """cn.country_code = '[4]'
+      |  AND k.keyword = 'STANDARD'
+      |  AND n.name LIKE 'Customer#00000000%'""".stripMargin)
+  f17("q_job17b",
+    "MIN(n.name) AS member_in_charnamed_movie, MIN(n.name) AS a1",
+    """k.keyword = 'STANDARD'
+      |  AND n.name LIKE 'Customer#0000001%'""".stripMargin)
+  f17("q_job17c",
+    "MIN(n.name) AS member_in_charnamed_movie, MIN(n.name) AS a1",
+    """k.keyword = 'STANDARD'
+      |  AND n.name LIKE 'Customer#0000002%'""".stripMargin)
+  f17("q_job17d",
+    "MIN(n.name) AS member_in_charnamed_movie",
+    """k.keyword = 'STANDARD'
+      |  AND n.name LIKE '%0008%'""".stripMargin)
+  f17("q_job17e",
+    "MIN(n.name) AS member_in_charnamed_movie",
+    """cn.country_code = '[4]'
+      |  AND k.keyword = 'STANDARD'""".stripMargin)
+  f17("q_job17f",
+    "MIN(n.name) AS member_in_charnamed_movie",
+    """k.keyword = 'STANDARD'
+      |  AND n.name LIKE '%000003%'""".stripMargin)
 }

@@ -250,7 +250,10 @@ class PlanSpec extends AnyFunSuite {
     // joins with the filtered dims applied before fact-fact joins
     for (name <- Seq("q_job01a", "q_job02a", "q_job03a", "q_job04a",
         "q_job05a", "q_job06a", "q_job07a", "q_job08a", "q_job09a",
-        "q_job10a", "q_job07c", "q_job09d")) {
+        "q_job10a", "q_job07c", "q_job09d",
+        // r8 families 11-17 — incl. the 9-relation 13a/15a monsters
+        "q_job11a", "q_job12a", "q_job13a", "q_job14a", "q_job15a",
+        "q_job16a", "q_job17a", "q_job15b", "q_job17f")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name BNLJ:\n$p")
