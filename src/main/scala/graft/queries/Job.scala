@@ -76,6 +76,12 @@ object Job extends Pack {
         "l_partkey AS person_role_id, (l_linenumber % 5) AS role_id, " +
         "concat('(role ', CAST(l_partkey % 50 AS STRING), ')') AS note FROM lineitem"),
     "company_type" -> "SELECT n_nationkey AS id, n_name AS kind FROM nation",
+    "comp_cast_type" -> "SELECT r_regionkey AS id, r_name AS kind FROM region",
+    // subject/status draw from moduli coprime to kind_id's (% 5) so a
+    // cct filter can never contradict a kind_type filter on the same movie
+    "complete_cast" ->
+      ("SELECT o_orderkey AS movie_id, ((o_orderkey % 11) % 5) AS subject_id, " +
+        "((o_orderkey % 7) % 5) AS status_id FROM orders"),
     "link_type" -> "SELECT n_nationkey AS id, n_name AS link FROM nation",
     "info_type" -> "SELECT r_regionkey AS id, r_name AS info FROM region",
     "role_type" -> "SELECT r_regionkey AS id, r_name AS role FROM region",
@@ -98,13 +104,13 @@ object Job extends Pack {
       ("SELECT c_custkey AS person_id, (c_custkey % 5) AS info_type_id, " +
         "c_mktsegment AS note, c_mktsegment AS info FROM customer"))
 
-  private val cte: String =
+  private[queries] val cte: String =
     rels.map { case (n, s) => s"$n AS ($s)" }.mkString(", ")
 
   /** Spark-side: register the derived relations as dir-keyed temp views
     * once, then run the (shared) query body through Catalyst.
     */
-  private def registerViews(s: SparkSession, dir: String): String = {
+  private[queries] def registerViews(s: SparkSession, dir: String): String = {
     val suffix = Integer.toHexString(dir.hashCode).replace('-', 'm')
     for ((n, _) <- rels)
       if (!s.catalog.tableExists(s"job_${n}_$suffix")) {
@@ -118,15 +124,21 @@ object Job extends Pack {
     suffix
   }
 
-  private def job(name: String)(body: String): Unit = {
-    val trimmed = body.stripMargin.trim
-    q(name, s"WITH $cte\n$trimmed") { (s, dir) =>
+  /** Spark-side runner for a JOB query body: swap each derived-relation
+    * name for its dir-keyed temp view, then hand the text to Catalyst.
+    */
+  private[queries] def run(body: String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
       val suffix = registerViews(s, dir)
-      var sql = trimmed
+      var sql = body
       for ((n, _) <- rels)
         sql = sql.replaceAll(s"(?i)\\b$n AS\\b", s"job_${n}_$suffix AS")
       s.sql(sql)
     }
+
+  private def job(name: String)(body: String): Unit = {
+    val trimmed = body.stripMargin.trim
+    q(name, s"WITH $cte\n$trimmed")(run(trimmed))
   }
 
   // ---- family 1: ct ⋈ mc ⋈ t ⋈ mi_idx ⋈ it -------------------------------

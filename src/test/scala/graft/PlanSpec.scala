@@ -253,7 +253,13 @@ class PlanSpec extends AnyFunSuite {
         "q_job10a", "q_job07c", "q_job09d",
         // r8 families 11-17 — incl. the 9-relation 13a/15a monsters
         "q_job11a", "q_job12a", "q_job13a", "q_job14a", "q_job15a",
-        "q_job16a", "q_job17a", "q_job15b", "q_job17f")) {
+        "q_job16a", "q_job17a", "q_job15b", "q_job17f",
+        // r8 families 18-33 — incl. the 12-relation 28a, the
+        // 17-relation 29a monster, and the 14-relation self-join 33a
+        "q_job18a", "q_job19a", "q_job20a", "q_job21a", "q_job22a",
+        "q_job23a", "q_job24a", "q_job25a", "q_job26a", "q_job27a",
+        "q_job28a", "q_job29a", "q_job30a", "q_job31a", "q_job32a",
+        "q_job33a", "q_job29c", "q_job33c")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name BNLJ:\n$p")
