@@ -29,6 +29,12 @@ header:
   - string literals are MASKED during all of the above (transforms never
     corrupt quoted text); on re-substitution backslashes are doubled
     because Spark string literals process escapes where DuckDB's don't
+  - `AS [NOT] MATERIALIZED (` CTE hints -> `AS (` (execution hint only;
+    row-identical in the reference, no Spark grammar slot)
+  - bare-identifier struct keys ({x: 1}) quoted for named_struct
+  - PRIMARY KEY / column UNIQUE constraints stripped (integrity
+    metadata Spark tables don't carry; violation-error files stay out)
+  - `(FROM t ...)` FROM-first subqueries -> `(SELECT * FROM t ...)`
   - BEGIN/COMMIT/ROLLBACK records are dropped (stateless runner)
   - CREATE TABLE x + INSERT INTO x [cols] VALUES ... merged into ONE
     `CREATE OR REPLACE TEMPORARY VIEW` (hermetic, no warehouse state;
@@ -478,7 +484,14 @@ def rewrite_braces(sql: str) -> str:
                 if part.strip():
                     return sql  # not a literal — leave for reject pass
                 continue
-            pairs.append((part[:k].strip(), part[k + 1:].strip()))
+            key = part[:k].strip()
+            # duckdb also allows bare-identifier keys in STRUCT literals
+            # ({x: 1}) where the key is always a name; Spark's
+            # named_struct needs it as a string literal. MAP-literal keys
+            # are expressions (may be column refs) — left untouched.
+            if not is_map and re.fullmatch(r"\w+", key):
+                key = "'%s'" % key
+            pairs.append((key, part[k + 1:].strip()))
         flat = ", ".join("%s, %s" % kv for kv in pairs)
         if is_map:
             repl = "map(%s)" % flat
@@ -842,6 +855,10 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # persistent CREATE VIEW would reference our merged TEMP views —
     # make every view temporary (DROP VIEW handles both)
     out = re.sub(r"(?i)\bCREATE\s+VIEW\b", "CREATE OR REPLACE TEMPORARY VIEW", out)
+    # MATERIALIZED/NOT MATERIALIZED CTE hints: a pure execution hint in
+    # the reference (same rows either way); Spark's parser has no slot
+    # for it, so strip the hint and keep the CTE
+    out = re.sub(r"(?i)\b(AS)\s+(?:NOT\s+)?MATERIALIZED\s*\(", r"\1 (", out)
     # Spark type spellings
     out = re.sub(r"(?i)\bVARCHAR\b(?!\s*\()", "STRING", out)
     # TEXT only in type position (cast target / column def) — `text` is
@@ -868,6 +885,17 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # Spark's v1 catalog has no REPLACE TABLE; the importer already
     # emits DROP TABLE IF EXISTS before every kept CREATE
     out = re.sub(r"(?i)\bCREATE\s+OR\s+REPLACE\s+TABLE\b", "CREATE TABLE", out)
+    # PRIMARY KEY / UNIQUE column constraints: pure integrity metadata in
+    # these tests (Spark tables carry neither); files that rely on a
+    # violation ERROR diverge and stay evicted
+    out = re.sub(r"(?i),\s*PRIMARY\s+KEY\s*\([^)]*\)", "", out)
+    out = re.sub(r"(?i),\s*UNIQUE\s*\([^)]*\)", "", out)
+    out = re.sub(r"(?i)\s+PRIMARY\s+KEY\b", "", out)
+    out = re.sub(r"(?i)(\b(?:INT|INTEGER|BIGINT|SMALLINT|TINYINT|STRING|"
+                 r"DOUBLE|FLOAT|DATE|TIMESTAMP|BOOLEAN|DECIMAL\([0-9, ]*\))"
+                 r")\s+UNIQUE\b", r"\1", out)
+    # duckdb FROM-first subqueries: (FROM t WHERE ...) is (SELECT * FROM ...)
+    out = re.sub(r"(?i)\(\s*FROM\b", "(SELECT * FROM", out)
     # duckdb COUNT() == COUNT(*)
     out = re.sub(r"\bCOUNT\s*\(\s*\)", "COUNT(*)", out, flags=re.I)
     # postgres-style operators the Spark parser lacks
