@@ -177,14 +177,31 @@ object Dedup {
         .unionAll(mins.select(col("u"), col("m").as("v")))
     }
 
+    // set fingerprint for the fixpoint test: (row count, XOR of 64-bit
+    // edge hashes — overflow-free under ANSI). One aggregate job per
+    // round — the previous round's value is carried, replacing the
+    // former two-`except` anti-joins per round. Star rounds are
+    // deterministic set→set functions, so the fixpoint is exact set
+    // equality; the fingerprint proxies it with ~2^-64 collision odds
+    // on a DETERMINISTIC hash (a collision needs two distinct edge sets
+    // with equal count whose symmetric difference XORs to zero).
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
     var edges = canon(pairs.select(col(idA).as("u"), col(idB).as("v")))
       .distinct().localCheckpoint()
+    var fp = fingerprint(edges)
     var rounds = 0
-    var done = edges.isEmpty
+    var done = fp._1 == 0L
     while (!done && rounds < maxRounds) {
       val next = smallStar(largeStar(edges)).distinct().localCheckpoint()
       rounds += 1
-      done = next.except(edges).isEmpty && edges.except(next).isEmpty
+      val fpNext = fingerprint(next)
+      done = fpNext == fp
+      fp = fpNext
       LocalPlans.releaseCheckpoint(edges)
       edges = next
     }
