@@ -41,6 +41,9 @@ object EngineSession {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // Oracle parity: DuckDB errors on overflow / bad casts by default.
     "spark.sql.ansi.enabled" -> "true",
+    // reference TIME type (microsecond time-of-day, duckdb
+    // src/common/types/time.cpp): Spark 4.1 ships it behind a flag
+    "spark.sql.timeType.enabled" -> "true",
     "spark.sql.parquet.aggregatePushdown" -> "true",
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
   )

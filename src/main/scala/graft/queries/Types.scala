@@ -73,9 +73,14 @@ object Types extends Pack {
     """SELECT event_id,
       |  CAST(CAST(date_trunc('second', ts) AS TIME) AS VARCHAR) AS tod
       |FROM events WHERE event_id <= 100 ORDER BY event_id""") { (s, dir) =>
+    // native TimeType (spark.sql.timeType.enabled, EngineSession):
+    // timestamp→TIME goes via the string form (Spark has no direct
+    // TIMESTAMP→TIME cast), then renders back — exercising Spark 4.1's
+    // TIME value rather than a strftime lookalike
     Tables.events(s, dir)
       .filter(col("event_id") <= 100)
-      .select(col("event_id"), date_format(col("ts"), "HH:mm:ss").as("tod"))
+      .selectExpr("event_id",
+        "CAST(CAST(date_format(ts, 'HH:mm:ss') AS TIME) AS STRING) AS tod")
       .orderBy("event_id")
   }
 

@@ -129,6 +129,14 @@ class SqlLogicSpec extends AnyFunSuite {
       else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
     case l: java.time.LocalDateTime => // TIMESTAMP_NTZ values
       cellRef(java.sql.Timestamp.valueOf(l), sqliteMode)
+    case t: java.time.LocalTime => // TIME values (time.cpp rendering)
+      // always HH:mm:ss, fraction only when nonzero with trailing
+      // zeros trimmed — LocalTime.toString would drop ":00" seconds
+      val base = t.format(
+        java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+      val micros = t.getNano / 1000
+      if (micros == 0) base
+      else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
     case r: org.apache.spark.sql.Row =>
       // reference STRUCT rendering (value.cpp ToString): keys quoted,
       // nested values bare
@@ -159,7 +167,25 @@ class SqlLogicSpec extends AnyFunSuite {
   // the reference runner compares values TYPE-AWARE (result_helper.cpp
   // CompareValues casts both sides to the SQL type): "1" matches true,
   // "1.5" matches "1.50". Mirror that leniency for imported files.
+  // DOTALL because rendered cells may embed newlines (error documents);
+  // CASE_INSENSITIVE because engine error phrasing differs only in
+  // capitalization ("syntax error" vs "Syntax error")
+  private def regexCell(pat: String, got: String): Boolean =
+    scala.util.Try(java.util.regex.Pattern.compile(pat,
+      java.util.regex.Pattern.DOTALL | java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(got).matches).getOrElse(false)
+
   private def tokenMatches(got: String, exp: String): Boolean =
+    if (exp.startsWith("<REGEX>:"))
+      regexCell(exp.stripPrefix("<REGEX>:"), got)
+    else if (exp.startsWith("<!REGEX>:"))
+      !regexCell(exp.stripPrefix("<!REGEX>:"), got)
+    else tokenMatchesLiteral(got, exp)
+
+  // reference runner: a `<REGEX>:pattern` expectation cell matches the
+  // rendered value against the pattern (result_helper.cpp
+  // MatchesRegex); `<!REGEX>:` negates. Literal comparison otherwise.
+  private def tokenMatchesLiteral(got: String, exp: String): Boolean =
     got == exp || got.trim == exp || ((got.toLowerCase, exp.toLowerCase) match {
       // booleans: type-lenient ("1"/"true") and case-lenient — some
       // reference files carry Python-style "True"/"False" expectations

@@ -29,12 +29,17 @@ header:
   - string literals are MASKED during all of the above (transforms never
     corrupt quoted text); on re-substitution backslashes are doubled
     because Spark string literals process escapes where DuckDB's don't
+  - `<REGEX>:`/`<!REGEX>:` expectation cells pass through — the Scala
+    runner implements the reference's regex-cell matching
   - `AS [NOT] MATERIALIZED (` CTE hints -> `AS (` (execution hint only;
     row-identical in the reference, no Spark grammar slot)
   - bare-identifier struct keys ({x: 1}) quoted for named_struct
   - PRIMARY KEY / column UNIQUE constraints stripped (integrity
     metadata Spark tables don't carry; violation-error files stay out)
   - `(FROM t ...)` FROM-first subqueries -> `(SELECT * FROM t ...)`
+  - single-key sorted aggregates lowered: list/array_agg/string_agg
+    (x ORDER BY k) -> sort-collected struct projection; first/last/
+    any_value(x ORDER BY k) -> min_by/max_by
   - BEGIN/COMMIT/ROLLBACK records are dropped (stateless runner)
   - CREATE TABLE x + INSERT INTO x [cols] VALUES ... merged into ONE
     `CREATE OR REPLACE TEMPORARY VIEW` (hermetic, no warehouse state;
@@ -62,11 +67,14 @@ JSON_ARROWS = False
 
 REJECT = ["mode ", "skipif",
           "onlyif", "hash-threshold", "restart", "load ", "sleep ",
-          "<REGEX>", "<FILE>",
+          "<FILE>",
           "ATTACH", "EXCLUDE", "COLUMNS(", "ASOF", "POSITIONAL",
           "SUMMARIZE", "DESCRIBE", "SHOW ", "CREATE INDEX", "SEQUENCE",
           "INSTALL", "EXPORT", "reorder", "BY NAME", "MACRO",
-          " TIME", "PREPARE", "EXECUTE",
+          # TIME itself is supported (spark.sql.timeType.enabled);
+          # TIME WITH TIME ZONE / duckdb sub-second storage types are not
+          "TIMETZ", "WITH TIME ZONE", "TIME_NS", "TIME_MS", "TIME_S",
+          "PREPARE", "EXECUTE",
           "rowid", "DELETE FROM", "duckdb_connection_count",
           "pragma_", "COPY ", "USING SAMPLE", "using sample",
           # unsigned ints have no Spark type with matching overflow
@@ -122,10 +130,13 @@ def reject_reason(text: str, sql_only: str):
     for tok in REJECT:
         if tok in sql_only:
             return tok
-    # ORDER BY inside an aggregate call (duckdb ordered aggregates —
-    # Spark has no general equivalent). `OVER (ORDER BY ...)` window
-    # specs are NOT ordered aggregates and must not trip this.
-    if re.search(r"\b(?!over\b)\w+\s*\([^()]*ORDER\s+BY", sql_only, re.I):
+    # ORDER BY inside an aggregate call (duckdb ordered aggregates).
+    # Single-key list/string_agg/first/last/any_value forms are lowered
+    # by rewrite_ordered_aggs — only the remainder (multi-key, DISTINCT,
+    # holistic fns) rejects. `OVER (ORDER BY ...)` window specs are NOT
+    # ordered aggregates and must not trip this.
+    if re.search(r"\b(?!over\b)\w+\s*\([^()]*ORDER\s+BY",
+                 rewrite_ordered_aggs(sql_only), re.I):
         return "ordered aggregate"
     return None
 
@@ -529,6 +540,104 @@ def rewrite_struct_pack(sql: str) -> str:
                + sql[i + 1:])
 
 
+ORDERED_AGG_RE = re.compile(
+    r"(?i)\b(string_agg|listagg|array_agg|list|first|last|any_value)\s*\(")
+
+
+def _top_level_order_by(s: str):
+    """Span of a top-level `ORDER BY` (outside parens/quotes) or None."""
+    depth, in_str, i = 0, False, 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif depth == 0 and s[i:i + 5].upper() == "ORDER":
+            m = re.match(r"(?i)ORDER\s+BY\s+", s[i:])
+            if m:
+                return (i, i + m.end())
+        i += 1
+    return None
+
+
+def rewrite_ordered_aggs(sql: str) -> str:
+    """duckdb sorted aggregates (sorted_aggregate_function.cpp) ->
+    Spark-composable forms, single sort key only:
+      list/array_agg(x ORDER BY k [DESC]) ->
+          transform(array_sort(collect_list(struct(k,x)))[, reversed], t -> t._v)
+      string_agg(x, sep ORDER BY k)      -> array_join(the same, sep)
+      first/any_value(x ORDER BY k)      -> min_by(x, k)   (max_by if DESC)
+      last(x ORDER BY k)                 -> max_by(x, k)   (min_by if DESC)
+    struct-sort is lexicographic by field order, so sorting (k, x) pairs
+    and projecting x reproduces the reference's key-ordered collection;
+    array_join skips NULL elements exactly like string_agg. DISTINCT or
+    multi-key forms are left untouched (the file then rejects)."""
+    pos = 0
+    while True:
+        m = ORDERED_AGG_RE.search(sql, pos)
+        if not m:
+            return sql
+        fn = m.group(1).lower()
+        start = sql.index("(", m.end() - 1)
+        depth, in_str, i = 0, False, start
+        while i < len(sql):
+            c = sql[i]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if i >= len(sql):
+            return sql
+        body = sql[start + 1:i]
+        ob = _top_level_order_by(body)
+        if ob is None:
+            pos = m.end()
+            continue
+        before, spec = body[:ob[0]].rstrip(), body[ob[1]:].strip()
+        desc = False
+        sm = re.match(r"(?is)^(.*?)\s+(ASC|DESC)\s*$", spec)
+        if sm:
+            spec, desc = sm.group(1).strip(), sm.group(2).lower() == "desc"
+        args = split_top(before)
+        if (len(split_top(spec)) != 1 or not args
+                or re.match(r"(?i)\s*DISTINCT\b", args[0])
+                or re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\b", spec)):
+            pos = m.end()
+            continue
+        val = args[0].strip()
+        if fn in ("first", "any_value", "last"):
+            lastish = (fn == "last") != desc
+            repl = "%s(%s, %s)" % ("max_by" if lastish else "min_by", val, spec)
+        else:
+            # sort_array (not array_sort+reverse): the engine registers a
+            # reference-name string `reverse` that shadows Spark's array
+            # reverse; sort_array takes the direction directly
+            arr = "sort_array(collect_list(struct(%s AS _k, %s AS _v))%s)" % (
+                spec, val, ", false" if desc else "")
+            vals = "transform(%s, _t -> _t._v)" % arr
+            if fn in ("string_agg", "listagg"):
+                sep = args[1].strip() if len(args) > 1 else "','"
+                repl = "array_join(%s, %s)" % (vals, sep)
+            else:
+                repl = vals
+        sql = sql[:m.start()] + repl + sql[i + 1:]
+        pos = m.start() + len(repl)
+
+
 def mask_literals(sql: str):
     """Replace each single-quoted literal with \x00<idx>\x01 so regex
     transforms can't corrupt quoted text. Returns (masked, literals)."""
@@ -741,6 +850,9 @@ def rewrite_json_arrows(sql: str) -> str:
 
 
 def transform_sql(sql: str, sqlite_mode: bool) -> str:
+    # ordered aggregates first (pre-mask: the scanner is quote-aware and
+    # the string_agg separator must stay a visible literal)
+    sql = rewrite_ordered_aggs(sql)
     # date_diff('day', a, b) -> datediff(day, a, b): Spark wants the
     # unit unquoted (pre-mask so the quoted unit is visible)
     out = re.sub(r"(?i)\b(?:date_diff|datediff)\s*\(\s*'(\w+)'\s*,",
@@ -1205,12 +1317,13 @@ def main():
                    if not drop_matching.search("\n".join(r[2]))]
     sql_only = "\n".join("\n".join(b) for _, _, b, _ in records)
     r = reject_reason(text, sql_only)
-    # regex expectations (explain-shape checks) we can't evaluate — but
-    # only when they gate a QUERY's result; <REGEX> inside an expected
-    # ERROR message is ignored anyway
+    # <REGEX>:/<!REGEX>: expectation CELLS are evaluated by the Scala
+    # runner; EXPLAIN(-shape) queries gated by them still reject — plan
+    # text is engine-specific
     if r is None and any("<REGEX>" in "\n".join(e)
-                         for k, _, _, e in records if k == "query"):
-        r = "<REGEX> query expectation"
+                         and re.search(r"(?i)^\s*EXPLAIN", "\n".join(b))
+                         for k, _, b, e in records if k == "query"):
+        r = "<REGEX> EXPLAIN expectation"
     if r:
         print(f"REJECT {src}: uses '{r}'")
         sys.exit(2)

@@ -259,11 +259,64 @@ python3 tools/import_slt.py --drop-matching "(?i)'-?[0-9. ]+' *AS *interval|'-?[
 #   ctemat_* recursive: same divergences as their evicted
 #     non-materialized twins (UNION-in-recursive-CTE, correlated
 #     recursion, duckdb-specific recursion features)
+#   r8c (files admitted by the TIME-type lift / ordered-agg lowering
+#   that then diverge): BC dates and ±infinity timestamps (no Spark
+#   representation); TIMESTAMP_US/TIMESTAMP(0) width spellings;
+#   duckdb-only routines over new types (AGE, STATS, time_bucket(TIME),
+#   strftime %w and non-constant formats, timestamp->TIME cast,
+#   ISO-8601-Z time strings); string-literal INSERT into typed
+#   date/timestamp tables (store-assignment); binder alias-scope quirks
+#   (alias.x in HAVING, ORDER BY over view aliases, `alias` as routine);
+#   list-positional array_agg renderings diverging on NULL keys;
+#   SCALAR_SUBQUERY_TOO_MANY_ROWS where the reference picks a row;
+#   json_test_json_serialize_sql: := named args, $-params, and
+#     deserialize/execute render the engine's own AST (engine-specific
+#     by design — q_fn_json4 pins the behavior instead)
 while read -r t; do
   rm -f "src/test/resources/sql/ref/$t"
   sed -i "\\|^$t\$|d; \\|^sqlite:$t\$|d" src/test/resources/sql/ref/MANIFEST
 done <<'EOF'
 jinner_empty_tinyint_column.test
+json_test_json_serialize_sql.test
+cast_cast_error_location.test
+cte_test_recursive_cte_recurring.test
+date_date_part_stats.test
+date_date_trunc_stats.test
+date_test_date_trunc.test
+date_test_strftime.test
+timestamp_age.test
+timestamp_make_date.test
+timestamp_test_date_part.test
+timestamp_test_extract_ms.test
+timestamp_test_now.test
+timestamp_test_strftime_timestamp.test
+timestamp_test_strftime_timestamp_ns.test
+timestamp_test_time_bucket_timestamp.test
+any_all_subquery_in.test
+scalar_test_complex_nested_correlated_subquery.test
+time_test_time.test
+time_test_time_2411.test
+timestamp_alternative_timestamp_casts.test
+timestamp_test_infinite_time.test
+timestamp_test_timestamp.test
+timestamp_test_timestamp_auto_casting.test
+timestamp_test_timestamp_types.test
+timestamp_timestamp_precision.test
+nlist2_array_agg.test
+narray_array_aggregate.test
+narray_array_list_agg.test
+optim_test_common_subplan_cte_binding_order.test
+binder_alias_qualification_having.test
+binder_order_by_view.test
+binder_test_alias.test
+jsemi_mix_equality_inequality.test
+oexpr_test_comparison_simplification.test
+ftime_epoch.test
+ftime_test_date_part.test
+ftime_test_extract.test
+ftime_test_extract_stats.test
+ftime_test_time_bucket_time.test
+[info]
 jinner_test_join_duplicates.test
 jinner_test_join_is_distinct.test
 jinner_test_join_is_not_distinct.test
