@@ -366,14 +366,14 @@ object Registry {
       If(es.tail.map(IsNull(_): Expression).reduce(Or),
         Literal.create(null, org.apache.spark.sql.types.NullType), es.head)
     }, "scala_udf")
-    // reference CONCAT skips NULL arguments (= concat_ws('')); imported
-    // corpus maps CONCAT( -> graft_concat( to get those semantics
-    // without shadowing Spark's array-capable concat
+    // reference CONCAT skips NULL arguments (= concat_ws('')) and is
+    // list-aware (all-list args concat as lists, mixing errors —
+    // concat.cpp); imported corpus maps CONCAT( -> graft_concat( to get
+    // those semantics without shadowing Spark's concat
     reg.createOrReplaceTempFunction("graft_concat", es => {
       if (es.isEmpty)  // reference CONCAT() is a binder error
         throw new IllegalArgumentException("concat expects 1+ arguments")
-      ConcatWs(Literal.create("",
-        org.apache.spark.sql.types.StringType) +: es)
+      DuckConcatFn(es)
     }, "scala_udf")
     reg.createOrReplaceTempFunction("path_join", es => PathJoin(es), "scala_udf")
     // TRY(expr): NULL on runtime error (reference TRY expression wrapper);
@@ -791,11 +791,20 @@ object Registry {
       es => ListConcat(es), "scala_udf")
     reg.createOrReplaceTempFunction("list_cat",
       es => ListConcat(es), "scala_udf")
-    f2("list_append", ArrayAppend(_, _))
-    f2("array_push_back", ArrayAppend(_, _))
-    // reference arg order: list_prepend(element, list)
-    f2("list_prepend", (e, l) => ArrayPrepend(l, e))
-    f2("array_push_front", (l, e) => ArrayPrepend(l, e))
+    reg.createOrReplaceTempFunction("array_cat",
+      es => ListConcat(es), "scala_udf")
+    // append/prepend are macros over list_concat in the reference
+    // (functions/macros: list_append(l,e) = list_concat(l, [e])), so a
+    // NULL list behaves as empty — list_append(NULL, 3) = [3] — where
+    // Spark's ArrayAppend would return NULL / reject a VOID literal
+    f2("list_append", (l, e) => ListConcat(Seq(l, CreateArray(Seq(e)))))
+    f2("array_push_back", (l, e) => ListConcat(Seq(l, CreateArray(Seq(e)))))
+    // reference arg order: list_prepend/array_prepend(element, list)
+    // (Spark's builtin array_prepend is (list, element) — shadowed)
+    f2("list_prepend", (e, l) => ListConcat(Seq(CreateArray(Seq(e)), l)))
+    f2("array_prepend", (e, l) => ListConcat(Seq(CreateArray(Seq(e)), l)))
+    f2("array_append", (l, e) => ListConcat(Seq(l, CreateArray(Seq(e)))))
+    f2("array_push_front", (l, e) => ListConcat(Seq(CreateArray(Seq(e)), l)))
     val sortArgs: PartialFunction[(String, String), (Boolean, Boolean)] = {
       case ("asc", "nulls first") => (true, true)
       case ("asc", "nulls last") => (true, false)

@@ -333,7 +333,7 @@ case class DuckContains(left: Expression, right: Expression)
 /** list_concat: variadic, NULL arguments skipped (list_concat.cpp —
   * distinct from `||`, which is NULL-propagating). */
 case class ListConcat(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression with ImplicitCastInputTypes with CodegenFallback {
   override def prettyName: String = "list_concat"
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.exists(_.dataType.isInstanceOf[ArrayType]) &&
@@ -341,8 +341,28 @@ case class ListConcat(children: Seq[Expression])
           c.dataType == NullType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("list_concat expects lists")
-  override def dataType: DataType =
-    children.map(_.dataType).collectFirst { case a: ArrayType => a }.get
+  // list_concat.cpp unifies element types across arguments
+  // (tinyint ++ smallint = smallint); untyped empty literals
+  // (array() = ARRAY<VOID>) don't vote. The analyzer inserts the
+  // element casts via inputTypes.
+  private def unifiedElem: Option[DataType] = {
+    val ets = children.map(_.dataType)
+      .collect { case ArrayType(et, _) if et != NullType => et }
+    if (ets.isEmpty) None
+    else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+      .findWiderCommonType(ets)
+  }
+  override def inputTypes: Seq[AbstractDataType] = unifiedElem match {
+    case Some(t) =>
+      Seq.fill(children.size)(ArrayType(t, containsNull = true))
+    case None => Seq.fill(children.size)(
+      org.apache.spark.sql.types.AnyDataType)
+  }
+  override def dataType: DataType = unifiedElem
+    .map(t => ArrayType(t, containsNull = true))
+    .orElse(children.map(_.dataType)
+      .collectFirst { case a: ArrayType => a })
+    .getOrElse(ArrayType(NullType))
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -360,6 +380,43 @@ case class ListConcat(children: Seq[Expression])
     }
     new GenericArrayData(out.toArray)
   }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(children = cs)
+}
+
+/** Reference CONCAT (concat.cpp): list-aware dispatch. All-list
+  * arguments concatenate as lists (NULL args skipped, element types
+  * unified); all-scalar arguments concatenate as strings with NULL
+  * skipped (= concat_ws('')); mixing lists and scalars is a binder
+  * error ("an explicit cast is required"). The imported corpus lowers
+  * CONCAT( to this name so Spark's own concat keeps its semantics. */
+case class DuckConcatFn(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def prettyName: String = "concat"
+  private lazy val anyArray =
+    children.exists(_.dataType.isInstanceOf[ArrayType])
+  private lazy val delegate: Expression =
+    if (anyArray) {
+      val ets = children.map(_.dataType)
+        .collect { case ArrayType(et, _) if et != NullType => et }
+      val elem = org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findWiderCommonType(ets).getOrElse(ets.headOption.getOrElse(NullType))
+      ListConcat(children.map { c =>
+        if (c.dataType == ArrayType(elem, containsNull = true)) c
+        else Cast(c, ArrayType(elem, containsNull = true))
+      })
+    } else ConcatWs(Literal.create("", StringType) +: children.map { c =>
+      if (c.dataType == StringType) c else Cast(c, StringType)
+    })
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (anyArray && !children.forall(c =>
+        c.dataType.isInstanceOf[ArrayType] || c.dataType == NullType))
+      TypeCheckResult.TypeCheckFailure(
+        "concat mixes LIST and non-LIST arguments: an explicit cast is required")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = delegate.dataType
+  override def nullable: Boolean = delegate.nullable
+  override def eval(input: InternalRow): Any = delegate.eval(input)
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
     copy(children = cs)
 }

@@ -12,7 +12,9 @@ header:
     (`${var}`/`{var}` substituted); loops past 6 iterations keep an
     evenly-spaced sample incl. endpoints (iterations are independent
     records, so sampling thins repetition without changing semantics);
-    `foreach` over type groups (`<numeric>`) still rejects
+    `foreach` type groups (`<integral>`/`<signed>`/`<numeric>`) expand
+    to their Spark-representable members (unsigned/hugeint omitted);
+    other groups (`<all_types_columns>`) still reject
   - `expr::TYPE` -> CAST(expr AS TYPE) (balanced-paren operand scan;
     `::uuid` drops the cast — uuid literals compare as strings)
 
@@ -80,7 +82,12 @@ REJECT = ["mode ", "skipif",
           # unsigned ints have no Spark type with matching overflow
           # behavior; CREATE TYPE is the duckdb enum/alias DDL
           "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT",
-          "INT32", "CREATE TYPE", "DATA_DIR", "UNION("]
+          "utinyint", "usmallint", "uinteger", "ubigint", "uhugeint",
+          "INT32", "CREATE TYPE", "DATA_DIR", "UNION(",
+          # the engine's planar geo surface is Column-API structs
+          # (SURVEY §1.2) — no SQL GEOMETRY type for WKT casts;
+          # BIGNUM is arbitrary-precision (exceeds DECIMAL(38))
+          "GEOMETRY", "BIGNUM", "bignum"]
 
 
 DIRECTIVE_REJECT = ["loop", "endloop", "foreach", "require ", "mode ",
@@ -161,8 +168,24 @@ def unroll_loops(lines, max_iters=6):
         s = lines[i].strip()
         m = re.match(r"loop\s+(\w+)\s+(-?\d+)\s+(-?\d+)\s*$", s)
         f = re.match(r"foreach\s+(\w+)\s+(\S.*)$", s)
-        if f and "<" in f.group(2):
-            f = None  # type-group foreach: unsupported, leave for reject
+        if f:
+            # type-group tokens expand to the Spark-representable member
+            # list (sqllogic_test_runner.cpp ReplaceKeywords); unsigned/
+            # hugeint members are omitted — their records would reject
+            # individually anyway, and iterations are independent
+            groups = {
+                "<integral>": "tinyint smallint integer bigint",
+                "<signed>": "tinyint smallint integer bigint",
+                "<numeric>": "tinyint smallint integer bigint float double",
+            }
+            vals2 = f.group(2)
+            for g, exp in groups.items():
+                vals2 = vals2.replace(g, exp)
+            if "<" in vals2:
+                f = None  # other groups (<all_types_columns>...): reject
+            else:
+                f = re.match(r"foreach\s+(\w+)\s+(\S.*)$",
+                             "foreach %s %s" % (f.group(1), vals2))
         if m or f:
             depth, j = 1, i + 1
             while j < len(lines):
@@ -982,6 +1005,7 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     out = re.sub(r"\bDOUBLE\s+PRECISION\b", "DOUBLE", out)
     # duckdb width-suffixed aliases; BLOB is Spark BINARY; TIMESTAMPTZ
     # pins to the session TZ on both engines (UTC here)
+    out = re.sub(r"(?i)\bBOOL\b(?!EAN)", "BOOLEAN", out)
     out = re.sub(r"(?i)\bINT1\b", "TINYINT", out)
     out = re.sub(r"(?i)\bINT2\b", "SMALLINT", out)
     out = re.sub(r"(?i)\bINT4\b", "INTEGER", out)

@@ -106,6 +106,20 @@ import_pref fenum   $REF/sql/function/enum/*.test
 import_pref ftime   $REF/sql/function/time/*.test
 import_pref ftable  $REF/sql/function/table/*.test
 import_pref ctemat  $REF/sql/cte/materialized/*.test
+# r8d breadth: the remaining query-shaped areas — variant, the
+# error/overflow expected-error batteries (kept where Spark ALSO
+# errors). sample/ and show_select/ stay out: sample expectations
+# bake in the reference RNG's exact picks, and DESCRIBE output shape
+# (6 metadata columns) is engine-specific. types/bignum stays out: arbitrary-precision integers (42-digit
+# batteries) exceed DECIMAL(38), the same bound that evicted the
+# hugeint extremes (BIGNUM is on the importer REJECT list). types/geo stays
+# out: the engine's planar geo surface is Column-API structs (SURVEY
+# §1.2); Spark has no SQL GEOMETRY type to cast WKT literals into
+# (GEOMETRY is on the importer REJECT list)
+import_pref tvar    $REF/sql/types/variant/*.test
+import_pref fvar    $REF/sql/function/variant/*.test
+import_pref err     $REF/sql/error/*.test
+import_pref ovf     $REF/sql/overflow/*.test
 # JSON packs: `->`/`->>` lowered to json_extract/json_extract_string by
 # the --json-arrows importer flag (those names are registered with
 # reference path semantics in graft.functions.Registry / jsonnav.scala)
@@ -167,6 +181,12 @@ python3 tools/import_slt.py --drop-matching "contains\(NULL,NULL\)" \
 python3 tools/import_slt.py --drop-matching "A:'a'" \
   $REF/sql/function/string/path_join.test string_path_join.test >/dev/null
 
+#   list_concat: `list + list` is duckdb's concat operator; Spark's `+`
+#     stays numeric-only (`||` on a typed pair is kept; the untyped `[1,2] || NULL` record drops — Spark coerces the bare NULL to STRING);
+#     and the `lists` battery expects list() collection in scan order,
+#     which a post-shuffle collect_list does not guarantee
+python3 tools/import_slt.py --drop-matching "\[1, 2\] \+ \[3, 4\]|\blists\b|\[1, 2\] \|\| NULL" \
+  $REF/sql/function/list/list_concat.test flist_list_concat.test >/dev/null
 #   hex: COLUMNS(*) applies-to-all syntax in two records (duckdb-only)
 python3 tools/import_slt.py --drop-matching "(?i)columns\\(" \
   $REF/sql/function/string/hex.test string_hex.test >/dev/null
@@ -268,15 +288,24 @@ python3 tools/import_slt.py --drop-matching "(?i)'-?[0-9. ]+' *AS *interval|'-?[
 #   date/timestamp tables (store-assignment); binder alias-scope quirks
 #   (alias.x in HAVING, ORDER BY over view aliases, `alias` as routine);
 #   list-positional array_agg renderings diverging on NULL keys;
+#   float_nan_cast: NaN->DECIMAL expects an error, Spark yields NULL;
+#   numeric_bool_casts: expectations rendered/rowsorted with "True"/
+#     "False" capitals — sort collation differs from true/false cells;
 #   SCALAR_SUBQUERY_TOO_MANY_ROWS where the reference picks a row;
 #   json_test_json_serialize_sql: := named args, $-params, and
 #     deserialize/execute render the engine's own AST (engine-specific
 #     by design — q_fn_json4 pins the behavior instead)
+# SKIP_EVICT=1 keeps every imported file in the MANIFEST — used to
+# re-test the evicted set after engine improvements (a file leaves this
+# list only by going green in a full SqlLogicSpec run)
 while read -r t; do
+  [ -n "$SKIP_EVICT" ] && continue
   rm -f "src/test/resources/sql/ref/$t"
   sed -i "\\|^$t\$|d; \\|^sqlite:$t\$|d" src/test/resources/sql/ref/MANIFEST
 done <<'EOF'
 jinner_empty_tinyint_column.test
+numeric_bool_casts.test
+float_nan_cast.test
 json_test_json_serialize_sql.test
 cast_cast_error_location.test
 cte_test_recursive_cte_recurring.test
