@@ -1228,6 +1228,12 @@ def merge_tables(records):
             if ma:  # kept as a real table: make reruns idempotent
                 out.append(("statement", "statement ok",
                             [f"DROP TABLE IF EXISTS {ma.group(1)}"], []))
+            ms = re.match(r"\s*CREATE\s+SCHEMA\s+(\w+)", sql, re.I)
+            if ms:  # schemas leak across files in one spec JVM: same
+                # idempotence treatment (CASCADE clears leftover tables)
+                out.append(("statement", "statement ok",
+                            [f"DROP SCHEMA IF EXISTS {ms.group(1)} CASCADE"],
+                            []))
             mi = insert_re.match(sql)
             if mi and mi.group(1).lower() in schemas:
                 t = mi.group(1).lower()

@@ -110,8 +110,9 @@ import_pref ctemat  $REF/sql/cte/materialized/*.test
 # error/overflow expected-error batteries (kept where Spark ALSO
 # errors). sample/ and show_select/ stay out: sample expectations
 # bake in the reference RNG's exact picks, and DESCRIBE output shape
-# (6 metadata columns) is engine-specific. types/bignum stays out: arbitrary-precision integers (42-digit
-# batteries) exceed DECIMAL(38), the same bound that evicted the
+# (6 metadata columns) is engine-specific. types/bignum stays out:
+# arbitrary-precision integers (42-digit batteries) exceed
+# DECIMAL(38), the same bound that evicted the
 # hugeint extremes (BIGNUM is on the importer REJECT list). types/geo stays
 # out: the engine's planar geo surface is Column-API structs (SURVEY
 # §1.2); Spark has no SQL GEOMETRY type to cast WKT literals into
@@ -295,6 +296,34 @@ python3 tools/import_slt.py --drop-matching "(?i)'-?[0-9. ]+' *AS *interval|'-?[
 #   json_test_json_serialize_sql: := named args, $-params, and
 #     deserialize/execute render the engine's own AST (engine-specific
 #     by design — q_fn_json4 pins the behavior instead)
+#   r8d evictions (new areas):
+#   err_incorrect_sql / err_qualified_column_error: error-position and
+#     parser-acceptance batteries (emoji identifiers, lowercase attach)
+#     where the two parsers disagree on WHICH statements are errors
+#   fvar_variant_group_array: duckdb-only routine
+#   ovf_double_float_overflow / ovf_test_numeric_overflow: FLOAT
+#     overflow errors where Spark yields inf, and 1e1000 literals Spark
+#     rejects at parse
+#   tvar_*: VARIANT 'literal' syntax and duckdb VARIANT rendering have
+#     no Spark equivalent (Spark VARIANT renders JSON-style)
+#   tlist_list_index: ORDER BY with duplicate keys — tie order follows
+#     the reference's scan order, nondeterministic in Spark (flaky)
+#   narray_array_large: range() inside an inline VALUES table (Spark
+#     cannot evaluate table generators there)
+#   narray_array_try_cast: TRY_CAST to fixed-size ARRAY — the
+#     reference's ARRAY(n) type has no Spark analogue
+#   binder_table_view_alias: CREATE VIEW s1.v — schema-qualified views
+#     don't fit the runner's single-part temp-view lowering
+# r8d re-admission: the full evicted set was re-run under SKIP_EVICT=1
+# after the round-8 engine/importer improvements (TIME type, sorted
+# aggregates, list fixes, foreach groups); 24 files came back green and
+# left this list (aggr_string, or_between/comparison, four cte issue
+# files, date_trunc_4202, decimal_exponent, issue_9308, transitive
+# filters, case_short_circuit, empty_tinyint_column, json_sqlite,
+# narray list_aggregate/rowgroup, nextafter, issue_4216,
+# select_into/locking, top_n_structs, window_mtcars, plus the s1
+# schema-collision pair — similar_to, schema_reference — fixed by the
+# importer's DROP SCHEMA idempotence rewrite)
 # SKIP_EVICT=1 keeps every imported file in the MANIFEST — used to
 # re-test the evicted set after engine improvements (a file leaves this
 # list only by going green in a full SqlLogicSpec run)
@@ -303,7 +332,6 @@ while read -r t; do
   rm -f "src/test/resources/sql/ref/$t"
   sed -i "\\|^$t\$|d; \\|^sqlite:$t\$|d" src/test/resources/sql/ref/MANIFEST
 done <<'EOF'
-jinner_empty_tinyint_column.test
 numeric_bool_casts.test
 float_nan_cast.test
 json_test_json_serialize_sql.test
@@ -385,7 +413,6 @@ ctemat_test_outer_joins_recursive_cte_materialized.test
 ctemat_test_recursive_cte_tutorial_materialized.test
 ctemat_test_recursive_cte_union_materialized.test
 generic_case_condition.test
-generic_case_short_circuit.test
 generic_test_null_if.test
 operator_test_in_empty_table.test
 decimal_decimal_overflow_table.test
@@ -397,14 +424,10 @@ numeric_test_unary.test
 projection_test_value_list.test
 select_test_positional_reference.test
 select_test_select_alias_prefix_colon.test
-select_test_schema_reference.test
-select_test_select_into.test
-select_test_select_locking.test
 select_test_select_qualified_view.test
 setops_ambiguous_order_by.test
 setops_test_setops.test
 decimal_large_decimal_constants.test
-aggregates_test_aggr_string.test
 aggregates_test_arg_min_max_null.test
 aggregates_test_corr.test
 aggregates_test_histogram_3529.test
@@ -439,20 +462,17 @@ any_all_test_uncorrelated_all_subquery.test
 any_all_test_uncorrelated_any_subquery.test
 exists_test_correlated_exists.test
 exists_test_issue_23979.test
-exists_test_issue_9308.test
 scalar_in_multiple_columns.test
 scalar_nested_subquery_window.test
 scalar_test_correlated_subquery.test
 scalar_test_correlated_window.test
 scalar_test_count_star_subquery.test
 scalar_test_grouped_correlated_subquery.test
-scalar_test_issue_4216.test
 scalar_test_issue_6136.test
 scalar_test_tpcds_correlated_subquery.test
 scalar_test_uncorrelated_scalar_subquery.test
 scalar_test_uncorrelated_varchar_subquery.test
 scalar_test_varchar_correlated_subquery.test
-window_window_mtcars.test
 grouping_sets_cube.test
 grouping_sets_grouping.test
 grouping_sets_grouping_sets.test
@@ -464,17 +484,12 @@ aggregates_test_incorrect_aggregate.test
 cast_signed_cast_repro.test
 cast_test_boolean_cast.test
 cast_test_exponent_in_cast.test
-conjunction_or_between.test
-conjunction_or_comparison.test
-cte_cte_colname_issue_10074.test
 cte_cte_issue_17311.test
-cte_cte_schema.test
 cte_insert_cte_bug_3417.test
 cte_lazy_cte_bind.test
 cte_lazy_cte_bind_correlated.test
 cte_recursive_cte_batch_index.test
 cte_recursive_cte_key_hll_aggregation.test
-cte_test_cte_overflow.test
 cte_test_issue_5673.test
 cte_test_nested_recursive_cte.test
 cte_test_outer_joins_recursive_cte.test
@@ -482,7 +497,6 @@ filter_test_alias_filter.test
 distinct_issue19616.test
 date_date_diff_extreme_dates.test
 date_test_strftime_exhaustive.test
-date_date_trunc_4202.test
 date_date_implicit_cast.test
 date_date_limits.test
 date_date_parsing.test
@@ -516,7 +530,6 @@ numeric_test_gamma.test
 numeric_test_round_integers.test
 numeric_test_is_nan.test
 numeric_test_sign_bit.test
-numeric_test_nextafter.test
 numeric_hugeint_try_cast.test
 operator_test_division_overflow.test
 operator_test_bitwise_ops.test
@@ -530,7 +543,6 @@ decimal_decimal_aggregates.test
 decimal_decimal_arithmetic.test
 decimal_decimal_average.test
 decimal_decimal_division.test
-decimal_decimal_exponent.test
 decimal_decimal_overflow.test
 decimal_decimal_promotion.test
 decimal_test_decimal.test
@@ -581,10 +593,8 @@ float_nan_window.test
 interval_test_interval_ops.test
 scalar_test_complex_correlated_subquery.test
 any_all_test_row_not_equal_any_null_semantics.test
-topn_test_top_n_structs.test
 filter_test_constant_comparisons.test
 filter_test_obsolete_filters.test
-filter_test_transitive_filters.test
 limit_test_batch_limit_filters.test
 null_test_boolean_null.test
 null_test_is_null.test
@@ -619,7 +629,6 @@ binder_not_similar_to.test
 binder_qualified_alias_method_call.test
 binder_string_literal_binding.test
 binder_table_alias_single_quotes.test
-binder_table_view_alias.test
 binder_test_case_insensitive_binding.test
 binder_test_having_alias.test
 binder_test_implicit_struct_pack.test
@@ -631,7 +640,6 @@ cast_string_to_unnamed_struct.test
 cast_struct_to_map.test
 complex_correlated_list_any_join.test
 complex_nested_unnest_subquery.test
-cte_cte_on_conflict_issue.test
 cte_warn_deprecated_union_in_using_key.test
 distinct_distinct_on_nulls.test
 farray_array_and_map.test
@@ -717,12 +725,8 @@ lateral_test_lateral_join.test
 narray_array_coverage.test
 narray_array_invalid.test
 narray_array_joins.test
-narray_array_large.test
 narray_array_limit_offset.test
-narray_array_list_aggregate.test
-narray_array_rowgroup.test
 narray_array_simple.test
-narray_array_try_cast.test
 narray_array_try_cast_vector_types.test
 null_test_null_cast.test
 numeric_test_random.test
@@ -825,7 +829,6 @@ window_test_quantile_window.test
 window_test_window_order_collate.test
 window_test_window_unnest_error.test
 json_test_json_dot_syntax.test
-json_test_json_sqlite.test
 json_test_json_macros.test
 json_test_json_group_window_macro.test
 json_test_json_empty_object.test
@@ -904,8 +907,20 @@ nstruct_struct_dict.test
 nstruct_struct_is_null.test
 nstruct_test_struct.test
 nstruct_test_struct_keys.test
-tlist_list_index.test
 tstruct_struct_index.test
+err_incorrect_sql.test
+err_qualified_column_error.test
+fvar_variant_group_array.test
+ovf_double_float_overflow.test
+ovf_test_numeric_overflow.test
+tvar_json_cast.test
+tvar_tpch_test_through_json.test
+tvar_variant_cast_stats.test
+tvar_variant_casts.test
+tlist_list_index.test
+narray_array_large.test
+narray_array_try_cast.test
+binder_table_view_alias.test
 EOF
 
 echo "manifest: $(wc -l < src/test/resources/sql/ref/MANIFEST) files"
