@@ -148,13 +148,13 @@ done
 
 # the classic sqlite select corpus: md5-hash expectations, integer
 # division mode (the reference sets integer_division=true for these)
-python3 tools/import_slt.py --sqlite --max-queries 400 \
+python3 tools/import_slt.py --sqlite --max-queries 1000 \
   $REF/sqlite/select1.test_slow sqlite_select1.test
-python3 tools/import_slt.py --sqlite --max-queries 400 \
+python3 tools/import_slt.py --sqlite --max-queries 1000 \
   $REF/sqlite/select2.test_slow sqlite_select2.test
-python3 tools/import_slt.py --sqlite --max-queries 400 \
+python3 tools/import_slt.py --sqlite --max-queries 1000 \
   $REF/sqlite/select3.test_slow sqlite_select3.test
-python3 tools/import_slt.py --sqlite --max-queries 400 \
+python3 tools/import_slt.py --sqlite --max-queries 1000 \
   $REF/sqlite/select4.test_slow sqlite_select4.test
 
 # records whose expected-error depends on reference-binder strictness that
