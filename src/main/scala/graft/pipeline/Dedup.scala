@@ -178,17 +178,22 @@ object Dedup {
     }
 
     // set fingerprint for the fixpoint test: (row count, XOR of 64-bit
-    // edge hashes — overflow-free under ANSI). One aggregate job per
-    // round — the previous round's value is carried, replacing the
-    // former two-`except` anti-joins per round. Star rounds are
-    // deterministic set→set functions, so the fixpoint is exact set
-    // equality; the fingerprint proxies it with ~2^-64 collision odds
-    // on a DETERMINISTIC hash (a collision needs two distinct edge sets
-    // with equal count whose symmetric difference XORs to zero).
-    def fingerprint(e: DataFrame): (Long, Long) = {
+    // edge hashes under TWO independent seeds — overflow-free under
+    // ANSI). One aggregate job per round — the previous round's value
+    // is carried, replacing the former two-`except` anti-joins per
+    // round. Star rounds are deterministic set→set functions, so the
+    // fixpoint is exact set equality; the fingerprint proxies it with
+    // ~2^-128 collision odds (a collision needs two distinct edge sets
+    // with equal count whose symmetric difference XORs to zero under
+    // BOTH argument orders — xxhash64(u,v) and xxhash64(v,u) mix the
+    // columns through different internal states).
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))")).head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        expr("bit_xor(xxhash64(u, v))"),
+        expr("bit_xor(xxhash64(v, u))")).head
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
 
     var edges = canon(pairs.select(col(idA).as("u"), col(idB).as("v")))

@@ -368,8 +368,11 @@ object Functions extends Pack {
 
   // json_transform: the structure template lowers to Catalyst from_json
   // at analysis (functions/JsonSql.scala; reference
-  // extension/json/json_functions/json_transform.cpp). Struct/list
-  // outputs compare natively against the oracle's typed values.
+  // extension/json/json_functions/json_transform.cpp). The oracle row
+  // projects SCALAR fields out of the struct/list results (the driver's
+  // row-sorting compare can't order struct/array cells — it sorts in
+  // pandas, where dict/list are unhashable); the full nested shapes are
+  // pinned by ExpressionsSpec.
   // json_serialize_sql emits the ENGINE-NATIVE plan AST (ours:
   // Catalyst TreeNode.toJSON) so its bytes are engine-specific —
   // round-trip + error-document behavior is pinned by ExpressionsSpec,
@@ -377,21 +380,32 @@ object Functions extends Pack {
   // on (deserialize∘serialize identity, error flag).
   q("q_fn_json4",
     """SELECT event_id,
-      |  json_transform(props, '{"k": "BIGINT"}') AS tk,
-      |  json_transform(props, '{"k": "VARCHAR"}') AS ts_,
+      |  json_transform(props, '{"k": "BIGINT"}').k AS tk,
+      |  json_transform(props, '{"k": "VARCHAR"}').k AS tks,
       |  json_transform('{"a": 1, "b": [1, 2], "s": {"x": "y"}}',
-      |    '{"a": "DOUBLE", "b": ["BIGINT"], "s": {"x": "VARCHAR"}}') AS tnest,
-      |  json_transform('[1, 2, 3]', '["INTEGER"]') AS tlist
+      |    '{"a": "DOUBLE", "b": ["BIGINT"], "s": {"x": "VARCHAR"}}').a AS tn_a,
+      |  json_transform('{"a": 1, "b": [1, 2], "s": {"x": "y"}}',
+      |    '{"a": "DOUBLE", "b": ["BIGINT"], "s": {"x": "VARCHAR"}}').b[2] AS tn_b2,
+      |  json_transform('{"a": 1, "b": [1, 2], "s": {"x": "y"}}',
+      |    '{"a": "DOUBLE", "b": ["BIGINT"], "s": {"x": "VARCHAR"}}').s.x AS tn_sx,
+      |  array_to_string(json_transform('[1, 2, 3]', '["INTEGER"]'), ',') AS tlist
       |FROM events WHERE event_id < 100 ORDER BY event_id""") { (s, dir) =>
+    val tnest = expr(
+      """json_transform('{"a": 1, "b": [1, 2], "s": {"x": "y"}}',
+         '{"a": "DOUBLE", "b": ["BIGINT"], "s": {"x": "VARCHAR"}}')""")
     Tables.events(s, dir).filter(col("event_id") < 100)
       .select(
         col("event_id"),
-        expr("""json_transform(props, '{"k": "BIGINT"}')""").as("tk"),
-        expr("""json_transform(props, '{"k": "VARCHAR"}')""").as("ts_"),
-        expr("""json_transform('{"a": 1, "b": [1, 2], "s": {"x": "y"}}',
-             '{"a": "DOUBLE", "b": ["BIGINT"], "s": {"x": "VARCHAR"}}')""")
-          .as("tnest"),
-        expr("""json_transform('[1, 2, 3]', '["INTEGER"]')""").as("tlist"))
+        expr("""json_transform(props, '{"k": "BIGINT"}')""")
+          .getField("k").as("tk"),
+        expr("""json_transform(props, '{"k": "VARCHAR"}')""")
+          .getField("k").as("tks"),
+        tnest.getField("a").as("tn_a"),
+        element_at(tnest.getField("b"), 2).as("tn_b2"),
+        tnest.getField("s").getField("x").as("tn_sx"),
+        array_join(
+          expr("""json_transform('[1, 2, 3]', '["INTEGER"]')""")
+            .cast("array<string>"), ",").as("tlist"))
       .orderBy("event_id")
   }
 

@@ -395,6 +395,14 @@ case class DuckConcatFn(children: Seq[Expression])
   override def prettyName: String = "concat"
   private lazy val anyArray =
     children.exists(_.dataType.isInstanceOf[ArrayType])
+  // The delegate tree is hidden from the analyzer (only `children` is
+  // walked), so ResolveTimeZone never reaches its Casts — a TIMESTAMP
+  // argument would hit TimeZoneAwareExpression.zoneId = timeZoneId.get
+  // at eval. Pin the session zone explicitly, captured eagerly on the
+  // driver at construction time.
+  private val castZone: Option[String] =
+    try Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    catch { case _: Throwable => Some("UTC") }
   private lazy val delegate: Expression =
     if (anyArray) {
       val ets = children.map(_.dataType)
@@ -403,10 +411,10 @@ case class DuckConcatFn(children: Seq[Expression])
         .findWiderCommonType(ets).getOrElse(ets.headOption.getOrElse(NullType))
       ListConcat(children.map { c =>
         if (c.dataType == ArrayType(elem, containsNull = true)) c
-        else Cast(c, ArrayType(elem, containsNull = true))
+        else Cast(c, ArrayType(elem, containsNull = true), castZone)
       })
     } else ConcatWs(Literal.create("", StringType) +: children.map { c =>
-      if (c.dataType == StringType) c else Cast(c, StringType)
+      if (c.dataType == StringType) c else Cast(c, StringType, castZone)
     })
   override def checkInputDataTypes(): TypeCheckResult =
     if (anyArray && !children.forall(c =>

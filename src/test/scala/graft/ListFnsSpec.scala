@@ -64,6 +64,18 @@ class ListFnsSpec extends AnyFunSuite {
     assert(one("list_resize(array(1), 3, 0)") == Seq(1, 0, 0))
   }
 
+  test("graft_concat: NULL-skipping scalar concat, incl. tz-aware casts") {
+    assert(one("graft_concat('a', null, 'b')") == "ab")
+    assert(one("graft_concat(1, '-', 2.5)") == "1-2.5")
+    // TIMESTAMP argument: the hidden delegate's Cast(ts, STRING) is never
+    // visited by ResolveTimeZone, so the zone must be pinned at
+    // construction (regression: NoSuchElementException at eval)
+    assert(one("graft_concat(timestamp '2024-01-02 03:04:05', '!')")
+      == "2024-01-02 03:04:05!")
+    assert(one("graft_concat(date '2024-01-02', '/x')") == "2024-01-02/x")
+    assert(one("graft_concat(array(1), array(2, 3))") == Seq(1, 2, 3))
+  }
+
   test("range/generate_series scalar form") {
     assert(one("range(4)") == Seq(0L, 1L, 2L, 3L))
     assert(one("range(2, 5)") == Seq(2L, 3L, 4L))

@@ -167,13 +167,19 @@ class SqlLogicSpec extends AnyFunSuite {
   // the reference runner compares values TYPE-AWARE (result_helper.cpp
   // CompareValues casts both sides to the SQL type): "1" matches true,
   // "1.5" matches "1.50". Mirror that leniency for imported files.
-  // DOTALL because rendered cells may embed newlines (error documents);
-  // CASE_INSENSITIVE because engine error phrasing differs only in
-  // capitalization ("syntax error" vs "Syntax error")
-  private def regexCell(pat: String, got: String): Boolean =
-    scala.util.Try(java.util.regex.Pattern.compile(pat,
-      java.util.regex.Pattern.DOTALL | java.util.regex.Pattern.CASE_INSENSITIVE)
+  // Value-cell regexes are CASE-SENSITIVE like the reference's
+  // MatchesRegex; the DOTALL/CASE_INSENSITIVE leniency is reserved for
+  // error-expectation documents, where phrasing embeds newlines and
+  // engines differ only in capitalization ("syntax error" vs "Syntax
+  // error").
+  private def regexCell(pat: String, got: String,
+      errorCell: Boolean = false): Boolean = {
+    val flags = if (errorCell)
+      java.util.regex.Pattern.DOTALL | java.util.regex.Pattern.CASE_INSENSITIVE
+    else 0
+    scala.util.Try(java.util.regex.Pattern.compile(pat, flags)
       .matcher(got).matches).getOrElse(false)
+  }
 
   private def tokenMatches(got: String, exp: String): Boolean =
     if (exp.startsWith("<REGEX>:"))

@@ -99,8 +99,8 @@ DIRECTIVE_REJECT = ["loop", "endloop", "foreach", "require ", "mode ",
 # storage mode) — droppable; feature requires (tpch, icu) still reject
 SAFE_REQUIRE = re.compile(
     r"(?i)^require\s+(64bit|vector_size|strinline|skip_reload|"
-    r"noforcestorage|no_alternative_verify|ram|notwindows|"
-    r"exact_vector_size|longdouble|parquet|json)\b")
+    r"noforcestorage|no_force_storage|no_alternative_verify|ram|notwindows|"
+    r"exact_vector_size|longdouble|parquet|json|icu)\b")
 # pragmas that change SEMANTICS reject the file; all others are
 # execution tuning (threads, memory_limit, verification, optimizer
 # toggles) and their records are simply dropped
@@ -606,6 +606,14 @@ def rewrite_ordered_aggs(sql: str) -> str:
         m = ORDERED_AGG_RE.search(sql, pos)
         if not m:
             return sql
+        # runs pre-mask: skip matches whose start falls inside a quoted
+        # literal (e.g. "first(" occurring in a string) — the paren scan
+        # below is quote-aware but would otherwise start mid-literal and
+        # splice the replacement into quoted text
+        if any(s.start() <= m.start() < s.end()
+               for s in LITERAL_RE.finditer(sql)):
+            pos = m.end()
+            continue
         fn = m.group(1).lower()
         start = sql.index("(", m.end() - 1)
         depth, in_str, i = 0, False, start
@@ -1030,8 +1038,22 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     out = re.sub(r"(?i)(\b(?:INT|INTEGER|BIGINT|SMALLINT|TINYINT|STRING|"
                  r"DOUBLE|FLOAT|DATE|TIMESTAMP|BOOLEAN|DECIMAL\([0-9, ]*\))"
                  r")\s+UNIQUE\b", r"\1", out)
-    # duckdb FROM-first subqueries: (FROM t WHERE ...) is (SELECT * FROM ...)
-    out = re.sub(r"(?i)\(\s*FROM\b", "(SELECT * FROM", out)
+    # duckdb FROM-first subqueries: (FROM t WHERE ...) is (SELECT * FROM ...).
+    # Guarded: `(` directly after a function name is standard-SQL keyword
+    # syntax (TRIM(FROM x), SUBSTRING(FROM n)), not a subquery — only
+    # rewrite when the token before `(` is absent or a clause keyword.
+    def _from_first(m):
+        before = out[:m.start()].rstrip()
+        wm = re.search(r"([A-Za-z_][A-Za-z_0-9]*)$", before)
+        kw = {"in", "exists", "any", "all", "some", "select", "where",
+              "and", "or", "not", "on", "then", "else", "when", "union",
+              "except", "intersect", "as", "from", "join", "using",
+              "values", "by", "having", "case", "between", "like",
+              "ilike", "with", "distinct", "end"}
+        if wm and wm.group(1).lower() not in kw:
+            return m.group(0)
+        return "(SELECT * FROM"
+    out = re.sub(r"(?i)\(\s*FROM\b", _from_first, out)
     # duckdb COUNT() == COUNT(*)
     out = re.sub(r"\bCOUNT\s*\(\s*\)", "COUNT(*)", out, flags=re.I)
     # postgres-style operators the Spark parser lacks
