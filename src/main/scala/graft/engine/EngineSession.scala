@@ -53,6 +53,10 @@ object EngineSession {
       .builder()
       .master(master)
       .appName("graft")
+      // reference dialect coercions that need ANALYZER access (ANSI
+      // rejects them before any optimizer hook): int-as-bool CASE/IF
+      // conditions (see graft.plans.IntCondToBool)
+      .withExtensions(e => e.injectResolutionRule(_ => graft.plans.IntCondToBool))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))

@@ -131,11 +131,28 @@ object Registry {
     }, "scala_udf")
     // list lambda spellings (core_functions/scalar/list): Spark's
     // transform/filter under the reference's names; list_reduce seeds
-    // with the first element and folds the rest (list_reduce.cpp)
+    // with the first element and folds the rest (list_reduce.cpp).
+    // The reference's optional second lambda parameter is a 1-BASED
+    // index (lambda_functions.cpp) where Spark supplies 0-based —
+    // rewrite index references in the body to (i + 1).
+    def oneBasedIdx(lam: Expression): Expression = lam match {
+      case LambdaFunction(body, args, hidden) if args.length == 2 =>
+        val idxName = args(1) match {
+          case u: UnresolvedNamedLambdaVariable => u.nameParts.map(_.toLowerCase)
+          case n => Seq(n.name.toLowerCase)
+        }
+        val newBody = body.transformUp {
+          case u: UnresolvedNamedLambdaVariable
+              if u.nameParts.map(_.toLowerCase) == idxName =>
+            Add(u, Literal(1))
+        }
+        LambdaFunction(newBody, args, hidden)
+      case other => other
+    }
     for (nm <- Seq("list_transform", "array_transform", "list_apply", "apply"))
-      f2(nm, ArrayTransform(_, _))
+      f2(nm, (a, l) => ArrayTransform(a, oneBasedIdx(l)))
     for (nm <- Seq("list_filter", "array_filter"))
-      f2(nm, ArrayFilter(_, _))
+      f2(nm, (a, l) => ArrayFilter(a, oneBasedIdx(l)))
     for (nm <- Seq("list_reduce", "array_reduce", "reduce"))
       f2(nm, (arr, lam) => {
         val fin = UnresolvedNamedLambdaVariable(Seq("acc_fin"))
@@ -745,8 +762,13 @@ object Registry {
       Subtract(Literal(1.0), VecCosine(vf(a), vf(b))))
     reg.createOrReplaceTempFunction("array_value",
       es => CreateArray(es), "scala_udf")
-    f2("array_slice", (l, i) => DuckSlice(l, i,
-      Literal.create(null, org.apache.spark.sql.types.NullType)))
+    reg.createOrReplaceTempFunction("array_slice", es => es.length match {
+      case 2 => DuckSlice(es(0), es(1),
+        Literal.create(null, org.apache.spark.sql.types.NullType))
+      case 3 => DuckSlice(es(0), es(1), es(2))
+      case k => throw new IllegalArgumentException(
+        s"array_slice expects 2-3 arguments, got $k")
+    }, "scala_udf")
     f2("list_has_any", ArraysOverlap(_, _))
     f2("array_has_any", ArraysOverlap(_, _))
     // has_all(l, sub): every element of sub present in l
@@ -875,6 +897,9 @@ object Registry {
       }, "scala_udf")
     }
 
+    f1("typeof", DuckTypeOf(_))
+    reg.createOrReplaceTempFunction("struct_concat",
+      es => StructConcat(es), "scala_udf")
     f1("len", DuckLen(_))
     f1("array_length", DuckLen(_))
     f1("list_length", DuckLen(_))

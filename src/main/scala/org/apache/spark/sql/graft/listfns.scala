@@ -288,7 +288,18 @@ case class DuckContains(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def prettyName: String = "contains"
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    case _: ArrayType | _: MapType | _: StringType | NullType =>
+    case ArrayType(et, _) =>
+      // the reference binder rejects a probe that shares no common type
+      // with the element (list_contains.cpp: "Cannot compare values" —
+      // prepare_ambiguous_type.test probes an INT list with a list)
+      val pt = right.dataType
+      if (pt == NullType || et == NullType ||
+          org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findWiderTypeForTwo(et, pt).isDefined)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"Cannot compare values of type $et and type $pt")
+    case _: MapType | _: StringType | NullType =>
       TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(s"cannot apply contains to $other")
@@ -611,6 +622,92 @@ case class DuckLen(child: Expression)
     case _: ArrayType => v.asInstanceOf[ArrayData].numElements.toLong
     case _ => v.asInstanceOf[MapData].numElements.toLong
   }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** struct_concat(s1, s2, …) — one struct holding every argument's
+  * fields in argument order (reference
+  * core_functions/scalar/struct/struct_concat.cpp): a NULL struct
+  * argument contributes its fields as NULL values; duplicate field
+  * names (case-insensitive, like the duck binder) are an analysis
+  * error. */
+case class StructConcat(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def prettyName: String = "struct_concat"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (children.isEmpty)
+      return TypeCheckResult.TypeCheckFailure(
+        "struct_concat: At least one argument is required")
+    children.zipWithIndex.find(!_._1.dataType.isInstanceOf[StructType]) match {
+      case Some((_, i)) =>
+        return TypeCheckResult.TypeCheckFailure(
+          s"struct_concat: Argument at position \"${i + 1}\" is not a STRUCT")
+      case None =>
+    }
+    val names = children.flatMap(_.dataType.asInstanceOf[StructType].fieldNames)
+    names.groupBy(_.toLowerCase).collectFirst {
+      case (_, vs) if vs.length > 1 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"struct_concat: Arguments contain duplicate STRUCT entry " +
+            s""""${vs.head}"""")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+  override def dataType: StructType =
+    StructType(children.flatMap(_.dataType.asInstanceOf[StructType].fields))
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val out = new Array[Any](dataType.length)
+    var k = 0
+    children.foreach { c =>
+      val st = c.dataType.asInstanceOf[StructType]
+      val r = c.eval(input).asInstanceOf[InternalRow]
+      var i = 0
+      while (i < st.length) {
+        out(k) = if (r == null || r.isNullAt(i)) null else r.get(i, st(i).dataType)
+        k += 1; i += 1
+      }
+    }
+    new GenericInternalRow(out)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(children = cs)
+}
+
+/** typeof(x) with the REFERENCE's type names (INTEGER/BIGINT/VARCHAR…,
+  * `src/common/types.cpp` LogicalType::ToString) instead of Spark's
+  * lowercase names — the name is a function of the child's STATIC type,
+  * so the value is a per-plan constant. */
+case class DuckTypeOf(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "typeof"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  private def name(dt: DataType): String = dt match {
+    case BooleanType => "BOOLEAN"
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case _: StringType => "VARCHAR"
+    case BinaryType => "BLOB"
+    case DateType => "DATE"
+    case TimestampNTZType => "TIMESTAMP"
+    case TimestampType => "TIMESTAMP WITH TIME ZONE"
+    case NullType => "\"NULL\""
+    case _: DayTimeIntervalType | _: YearMonthIntervalType |
+         CalendarIntervalType => "INTERVAL"
+    case ArrayType(et, _) => name(et) + "[]"
+    case MapType(k, v, _) => s"MAP(${name(k)}, ${name(v)})"
+    case StructType(fields) =>
+      fields.map(f => s"${f.name} ${name(f.dataType)}")
+        .mkString("STRUCT(", ", ", ")")
+    case other => other.sql
+  }
+  private lazy val result = UTF8String.fromString(name(child.dataType))
+  override def eval(input: InternalRow): Any = result
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

@@ -139,11 +139,18 @@ class SqlLogicSpec extends AnyFunSuite {
       else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
     case r: org.apache.spark.sql.Row =>
       // reference STRUCT rendering (value.cpp ToString): keys quoted,
-      // nested values bare
+      // nested values bare. Spark's auto-named col1..colN structs are
+      // the importer's spelling of the reference's UNNAMED ROW values,
+      // which render tuple-style: (11, hello)
       val names =
         if (r.schema != null) r.schema.fieldNames
         else Array.tabulate(r.length)(j => s"v${j + 1}")
-      (0 until r.length).map { j =>
+      val autoNamed = names.zipWithIndex.forall {
+        case (n, j) => n == s"col${j + 1}" }
+      if (autoNamed && r.length > 1)
+        (0 until r.length).map(j =>
+          cellRef(r.get(j), sqliteMode, nested = true)).mkString("(", ", ", ")")
+      else (0 until r.length).map { j =>
         s"'${names(j)}': ${cellRef(r.get(j), sqliteMode, nested = true)}"
       }.mkString("{", ", ", "}")
     case m: scala.collection.Map[_, _] =>
@@ -213,8 +220,25 @@ class SqlLogicSpec extends AnyFunSuite {
   private def rowsMatch(got: Vector[String], exp: Vector[String]): Boolean =
     got.length == exp.length && got.lazyZip(exp).forall(tokenMatches)
 
+  private val MacroDdl =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MACRO|FUNCTION)\b.*""".r
+  private val MacroDrop = """(?is)\s*DROP\s+(?:MACRO|FUNCTION)\b.*""".r
+
+  /** SQL entry point: CREATE/DROP MACRO handled by the engine's macro
+    * registry (graft.functions.Macros — the reference's bind-time
+    * inliner); everything else runs through spark.sql after macro
+    * expansion (a no-op when no macros are defined). */
+  private def exec(sql: String): org.apache.spark.sql.DataFrame = sql match {
+    case MacroDdl() =>
+      graft.functions.Macros.defineAny(spark, sql); spark.emptyDataFrame
+    case MacroDrop() =>
+      graft.functions.Macros.drop(spark, sql); spark.emptyDataFrame
+    case _ => spark.sql(graft.functions.Macros.expandAll(spark, sql))
+  }
+
   private def runFile(name: String, text: String, imported: Boolean,
       sqliteMode: Boolean): Unit = {
+    graft.functions.Macros.clear(spark) // hermetic: no cross-file macros
     val lines = text.linesIterator.toVector
     var i = 0
     var caseNo = 0
@@ -233,9 +257,9 @@ class SqlLogicSpec extends AnyFunSuite {
           i += 1 + msg.length
         }
         if (expectError) {
-          val ok = scala.util.Try(spark.sql(sql).collect()).isFailure
+          val ok = scala.util.Try(exec(sql).collect()).isFailure
           assert(ok, s"$name #$caseNo: expected error for: $sql")
-        } else spark.sql(sql).collect()
+        } else exec(sql).collect()
       } else if (line.startsWith("query")) {
         val header = line.split("\\s+")
         val sortMode = if (header.length > 2) header(2) else "nosort"
@@ -245,7 +269,7 @@ class SqlLogicSpec extends AnyFunSuite {
           .takeWhile(l => l.trim.nonEmpty)
           .map(_.trim)
         caseNo += 1
-        val rows = spark.sql(sql).collect()
+        val rows = exec(sql).collect()
         val rendered: Vector[Vector[String]] = rows.iterator.map { r =>
           (0 until r.length).map { j =>
             if (imported) cellRef(r.get(j), sqliteMode) else cellLegacy(r.get(j))

@@ -43,6 +43,13 @@ header:
     (x ORDER BY k) -> sort-collected struct projection; first/last/
     any_value(x ORDER BY k) -> min_by/max_by
   - BEGIN/COMMIT/ROLLBACK records are dropped (stateless runner)
+  - PREPARE name AS <sql> / EXECUTE name(args) / DEALLOCATE inlined:
+    the prepared text substitutes $n / $name / '?' parameters
+    positionally at each EXECUTE site (unresolvable EXECUTEs keep their
+    text and reject on the EXECUTE token)
+  - single-key sorted aggregates lower to sort_array forms; multi-key /
+    NULLS FIRST|LAST forms lower to array_sort with a generated
+    comparator (reference default null order: nulls_last)
   - CREATE TABLE x + INSERT INTO x [cols] VALUES ... merged into ONE
     `CREATE OR REPLACE TEMPORARY VIEW` (hermetic, no warehouse state;
     column-reordered INSERTs are mapped back to schema order)
@@ -72,12 +79,15 @@ REJECT = ["mode ", "skipif",
           "<FILE>",
           "ATTACH", "EXCLUDE", "COLUMNS(", "ASOF", "POSITIONAL",
           "SUMMARIZE", "DESCRIBE", "SHOW ", "CREATE INDEX", "SEQUENCE",
-          "INSTALL", "EXPORT", "reorder", "BY NAME", "MACRO",
+          "INSTALL", "EXPORT", "reorder", "BY NAME",
+          # CREATE/DROP MACRO and macro calls are handled by the Scala
+          # runner (graft.functions.Macros bind-time expansion)
           # TIME itself is supported (spark.sql.timeType.enabled);
           # TIME WITH TIME ZONE / duckdb sub-second storage types are not
           "TIMETZ", "WITH TIME ZONE", "TIME_NS", "TIME_MS", "TIME_S",
           "PREPARE", "EXECUTE",
-          "rowid", "DELETE FROM", "duckdb_connection_count",
+          "rowid", "DELETE FROM", "UPDATE ", "MERGE INTO",
+          "duckdb_connection_count",
           "pragma_", "COPY ", "USING SAMPLE", "using sample",
           # unsigned ints have no Spark type with matching overflow
           # behavior; CREATE TYPE is the duckdb enum/alias DDL
@@ -134,8 +144,12 @@ def reject_reason(text: str, sql_only: str):
     for line in text.splitlines():
         if re.match(r"(statement|query)\b.*\bcon\d+\b", line.strip()):
             return "connection label"
+    # keyword tokens match case-insensitively (the corpus mixes `DELETE
+    # FROM` and `delete from`); purely-lowercase tokens (function names,
+    # pragma prefixes) stay exact to avoid over-rejecting
+    lower = sql_only.lower()
     for tok in REJECT:
-        if tok in sql_only:
+        if tok in sql_only or (tok.upper() == tok and tok.lower() in lower):
             return tok
     # ORDER BY inside an aggregate call (duckdb ordered aggregates).
     # Single-key list/string_agg/first/last/any_value forms are lowered
@@ -639,26 +653,76 @@ def rewrite_ordered_aggs(sql: str) -> str:
             pos = m.end()
             continue
         before, spec = body[:ob[0]].rstrip(), body[ob[1]:].strip()
-        desc = False
-        sm = re.match(r"(?is)^(.*?)\s+(ASC|DESC)\s*$", spec)
-        if sm:
-            spec, desc = sm.group(1).strip(), sm.group(2).lower() == "desc"
         args = split_top(before)
-        if (len(split_top(spec)) != 1 or not args
-                or re.match(r"(?i)\s*DISTINCT\b", args[0])
-                or re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\b", spec)):
+        if not args or re.match(r"(?i)\s*DISTINCT\b", args[0]):
+            pos = m.end()
+            continue
+        # parse the key list: each `expr [ASC|DESC] [NULLS FIRST|LAST]`
+        keys = []  # (expr, desc, nulls_first: Optional[bool])
+        parse_ok = True
+        for k in split_top(spec):
+            k = k.strip()
+            nf = None
+            nm = re.match(r"(?is)^(.*?)\s+NULLS\s+(FIRST|LAST)\s*$", k)
+            if nm:
+                k, nf = nm.group(1).strip(), nm.group(2).lower() == "first"
+            desc = False
+            sm = re.match(r"(?is)^(.*?)\s+(ASC|DESC)\s*$", k)
+            if sm:
+                k, desc = sm.group(1).strip(), sm.group(2).lower() == "desc"
+            if not k:
+                parse_ok = False
+            keys.append((k, desc, nf))
+        if not keys or not parse_ok:
             pos = m.end()
             continue
         val = args[0].strip()
+        single_plain = (len(keys) == 1 and keys[0][2] is None)
         if fn in ("first", "any_value", "last"):
+            # single key, or multi-key sharing one direction: struct keys
+            # compare lexicographically, so min_by/max_by over the struct
+            # reproduces the key order (no NULLS override: min_by/max_by
+            # skip null keys only for the scalar form both engines share)
+            if any(nf is not None for _, _, nf in keys) or \
+                    len({d for _, d, _ in keys}) != 1:
+                pos = m.end()
+                continue
+            desc = keys[0][1]
             lastish = (fn == "last") != desc
-            repl = "%s(%s, %s)" % ("max_by" if lastish else "min_by", val, spec)
+            keyexpr = keys[0][0] if len(keys) == 1 else \
+                "struct(%s)" % ", ".join(
+                    "%s AS _k%d" % (k, j) for j, (k, _, _) in enumerate(keys))
+            repl = "%s(%s, %s)" % (
+                "max_by" if lastish else "min_by", val, keyexpr)
         else:
-            # sort_array (not array_sort+reverse): the engine registers a
-            # reference-name string `reverse` that shadows Spark's array
-            # reverse; sort_array takes the direction directly
-            arr = "sort_array(collect_list(struct(%s AS _k, %s AS _v))%s)" % (
-                spec, val, ", false" if desc else "")
+            flds = ", ".join("%s AS _k%d" % (k, j)
+                             for j, (k, _, _) in enumerate(keys))
+            coll = "collect_list(struct(%s, %s AS _v))" % (flds, val)
+            if single_plain:
+                # sort_array (not array_sort+reverse): the engine
+                # registers a reference-name string `reverse` that
+                # shadows Spark's array reverse; sort_array takes the
+                # direction directly
+                arr = "sort_array(%s%s)" % (
+                    coll, ", false" if keys[0][1] else "")
+            else:
+                # multi-key / NULLS override: generated comparator.
+                # Default null order mirrors the reference
+                # (default_null_order='nulls_last'): nulls sort last
+                # unless NULLS FIRST is written.
+                cases = []
+                for j, (_, desc, nf) in enumerate(keys):
+                    s = -1 if desc else 1
+                    nl = 1 if (nf is None or not nf) else -1
+                    cases.append(
+                        "WHEN l._k%d IS NULL AND r._k%d IS NOT NULL THEN %d "
+                        "WHEN r._k%d IS NULL AND l._k%d IS NOT NULL THEN %d "
+                        "WHEN l._k%d < r._k%d THEN %d "
+                        "WHEN l._k%d > r._k%d THEN %d"
+                        % (j, j, nl, j, j, -nl,
+                           j, j, -s, j, j, s))
+                cmp = "CASE %s ELSE 0 END" % " ".join(cases)
+                arr = "array_sort(%s, (l, r) -> %s)" % (coll, cmp)
             vals = "transform(%s, _t -> _t._v)" % arr
             if fn in ("string_agg", "listagg"):
                 sep = args[1].strip() if len(args) > 1 else "','"
@@ -1035,6 +1099,9 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     out = re.sub(r"(?i),\s*PRIMARY\s+KEY\s*\([^)]*\)", "", out)
     out = re.sub(r"(?i),\s*UNIQUE\s*\([^)]*\)", "", out)
     out = re.sub(r"(?i)\s+PRIMARY\s+KEY\b", "", out)
+    # CHECK column constraints (Spark DDL has none; files whose inserts
+    # VIOLATE a check expecting an error stay evicted)
+    out = re.sub(r"(?i)\s+CHECK\s*\(([^()]|\([^()]*\))*\)", "", out)
     out = re.sub(r"(?i)(\b(?:INT|INTEGER|BIGINT|SMALLINT|TINYINT|STRING|"
                  r"DOUBLE|FLOAT|DATE|TIMESTAMP|BOOLEAN|DECIMAL\([0-9, ]*\))"
                  r")\s+UNIQUE\b", r"\1", out)
@@ -1054,6 +1121,12 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
             return m.group(0)
         return "(SELECT * FROM"
     out = re.sub(r"(?i)\(\s*FROM\b", _from_first, out)
+    # `x IN (VALUES (a), (b))` — duckdb accepts a bare VALUES list as the
+    # IN subquery; Spark's grammar wants a full query there
+    out = re.sub(r"(?i)\bIN\s*\(\s*VALUES\b", "IN (SELECT * FROM VALUES", out)
+    # duckdb accepts OFFSET before LIMIT; Spark's grammar wants LIMIT first
+    out = re.sub(r"(?i)\bOFFSET\s+(\([^()]*\)|\S+)\s+LIMIT\s+(\([^()]*\)|\S+)",
+                 r"LIMIT \2 OFFSET \1", out)
     # duckdb COUNT() == COUNT(*)
     out = re.sub(r"\bCOUNT\s*\(\s*\)", "COUNT(*)", out, flags=re.I)
     # postgres-style operators the Spark parser lacks
@@ -1076,6 +1149,14 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     out = re.sub(r"(?i)((?!NOT\b)\x00\d+\x01|(?!NOT\b)[\w.]+)\s+ILIKE\s+"
                  r"(\x00\d+\x01|[\w.]+)\s+ESCAPE\s+(\x00\d+\x01)",
                  r"lower(\1) LIKE lower(\2) ESCAPE \3", out)
+    # SIMILAR TO (full-match regex) — Spark's grammar lacks the operator;
+    # the engine registers the reference's regexp_full_match equivalent
+    out = re.sub(r"(?i)(\x00\d+\x01|[\w.]+)\s+NOT\s+SIMILAR\s+TO\s+"
+                 r"(\x00\d+\x01|[\w.]+)",
+                 r"NOT regexp_full_match(\1, \2)", out)
+    out = re.sub(r"(?i)(\x00\d+\x01|[\w.]+)\s+SIMILAR\s+TO\s+"
+                 r"(\x00\d+\x01|[\w.]+)",
+                 r"regexp_full_match(\1, \2)", out)
     # postfix factorial (10!) — Spark has no postfix operator
     out = re.sub(r"\b(\w+)\s*!(?!=)", r"factorial(\1)", out)
     # reference regexp_extract defaults to group 0; Spark's to group 1
@@ -1089,9 +1170,52 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # any remaining double quotes delimit identifiers)
     out = re.sub(r'"([^"]+)"', r"`\1`", out)
     out = values_alias(out)
-    # duckdb FROM-first shorthand
+    # duckdb FROM-first shorthand. The statement form allows a trailing
+    # projection clause (`FROM t SELECT cols [WHERE …]`,
+    # prepare_from_first.test) — reorder it to standard SELECT-first;
+    # with no projection clause, prepend SELECT *.
     if re.match(r"(?is)^\s*from\b", out):
-        out = "SELECT * " + out
+        low = out.lower()
+        depth = 0
+        sel = -1
+        for idx, ch in enumerate(out):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (depth == 0 and low.startswith("select", idx)
+                  and not (low[idx - 1].isalnum() or low[idx - 1] == "_")
+                  and (idx + 6 == len(low)
+                       or not (low[idx + 6].isalnum() or low[idx + 6] == "_"))):
+                sel = idx
+                break
+        if sel > 0:
+            from_clause = out[:sel].rstrip().rstrip(";").rstrip()
+            rest = out[sel + 6:].strip().rstrip(";")
+            # the projection ends at the first TOP-LEVEL clause keyword
+            d2 = 0
+            cut = len(rest)
+            lr = rest.lower()
+            for idx, ch in enumerate(rest):
+                if ch == "(":
+                    d2 += 1
+                elif ch == ")":
+                    d2 -= 1
+                elif d2 == 0 and (idx == 0 or not (
+                        lr[idx - 1].isalnum() or lr[idx - 1] == "_")):
+                    if any(lr.startswith(k, idx) and
+                           (idx + len(k) == len(lr) or not (
+                               lr[idx + len(k)].isalnum()
+                               or lr[idx + len(k)] == "_"))
+                           for k in ("where", "group", "having", "qualify",
+                                     "order", "limit", "offset", "union",
+                                     "except", "intersect")):
+                        cut = idx
+                        break
+            out = ("SELECT " + rest[:cut].strip() + " " + from_clause
+                   + (" " + rest[cut:].strip() if cut < len(rest) else ""))
+        else:
+            out = "SELECT * " + out
     return unmask_literals(out, lits)
 
 
@@ -1364,6 +1488,60 @@ def main():
                if not (r[0] == "statement" and re.match(
                    r"(?is)^\s*(CREATE\s+(UNIQUE\s+)?INDEX|DROP\s+INDEX|REINDEX)\b",
                    "\n".join(r[2])))]
+    # PREPARE name AS <sql> / EXECUTE name(args) / DEALLOCATE: inline the
+    # prepared statement at each EXECUTE site, substituting $n / $name /
+    # '?' parameters positionally (duckdb prepared_statements.test
+    # semantics) — purely textual, keeps the runner stateless. Files with
+    # EXECUTE forms the inliner can't resolve keep the EXECUTE text and
+    # reject on the EXECUTE token below.
+    prepared = {}
+    inlined = []
+    for kind, header, body, exp in records:
+        sql = "\n".join(body)
+        pm = re.match(r"(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$", sql)
+        if pm and kind == "statement" and "error" not in header:
+            prepared[pm.group(1).lower()] = pm.group(2).strip()
+            continue
+        dm = re.match(r"(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*$", sql)
+        if dm and kind == "statement" and "error" not in header:
+            prepared.pop(dm.group(1).lower(), None)
+            continue
+        em = re.match(r"(?is)^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$", sql)
+        if em and em.group(1).lower() in prepared:
+            tmpl = prepared[em.group(1).lower()]
+            args = [a.strip() for a in split_top(em.group(2))
+                    if a.strip()] if em.group(2) else []
+            # mask literals so '?'/'$n' inside quoted text survive; local
+            # unmask (no escape doubling — transform_sql runs later)
+            masked, lits = mask_literals(tmpl)
+            pos = [a for a in args if not re.match(r"(?s)^\w+\s*:=", a)]
+            for a in args:
+                nm = re.match(r"(?s)^(\w+)\s*:=\s*(.*)$", a)
+                if nm:
+                    masked = re.sub(r"\$%s\b" % re.escape(nm.group(1)),
+                                    "(%s)" % nm.group(2).strip(), masked)
+            for i, a in enumerate(pos, 1):
+                masked = re.sub(r"\$%d\b" % i, "(%s)" % a, masked)
+            # numbered question-mark indicators (?1, ?2 — possibly out of
+            # order, parameter_variants.test) resolve by index BEFORE the
+            # plain-'?' positional split below
+            if pos and re.search(r"\?\d", masked):
+                masked = re.sub(
+                    r"\?(\d+)",
+                    lambda m: ("(%s)" % pos[int(m.group(1)) - 1])
+                    if 0 < int(m.group(1)) <= len(pos) else m.group(0),
+                    masked)
+            if "?" in masked and pos:
+                pieces = masked.split("?")
+                if len(pieces) - 1 == len(pos):
+                    masked = "".join(
+                        p + ("(%s)" % a if a is not None else "")
+                        for p, a in zip(pieces, pos + [None]))
+            sql = re.sub("\x00(\\d+)\x01",
+                         lambda m: lits[int(m.group(1))], masked)
+            body = sql.splitlines()
+        inlined.append((kind, header, body, exp))
+    records = inlined
     if drop_matching is not None:
         records = [r for r in records
                    if not drop_matching.search("\n".join(r[2]))]
