@@ -867,13 +867,15 @@ object Registry {
     }, "scala_udf")
     f2("array_to_string", (l, s) => ArrayJoin(l, s, None))
     // list_aggregate + the list_<name> rewrites (list_aggregates.cpp);
-    // LIST(x) is the reference spelling of collect_list
+    // LIST(x) is the reference spelling of collect_list. Returned BARE
+    // (not .toAggregateExpression()) so the analyzer's own wrapping
+    // handles DISTINCT/FILTER modifiers at the call site.
     reg.createOrReplaceTempFunction("list", es =>
-      org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(es.head)
-        .toAggregateExpression(), "scala_udf")
+      org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(es.head),
+      "scala_udf")
     reg.createOrReplaceTempFunction("array_agg", es =>
-      org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(es.head)
-        .toAggregateExpression(), "scala_udf")
+      org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(es.head),
+      "scala_udf")
     for (nm <- Seq("list_aggregate", "list_aggr"))
       reg.createOrReplaceTempFunction(nm, es => es.length match {
         case 2 => ListAggr(es(0), es(1), None)
@@ -896,6 +898,57 @@ object Registry {
           s"list_$nm expects 1-2 args, got $k")
       }, "scala_udf")
     }
+
+    // group-aggregate spellings of the holistic kernels: compose
+    // collect_list (map-side partials, null-dropping — matching the
+    // reference's NULL-skipping aggregates) with the row-local ListAggr
+    // kernel at the result projection. Conformance surface: the hot-path
+    // pipeline queries use native Spark aggregates throughout.
+    for (nm <- Seq("histogram", "mad", "entropy", "product", "sem")) {
+      val lit = Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(nm),
+        org.apache.spark.sql.types.StringType)
+      def one(es: Seq[Expression]) = ListAggr(
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .CollectList(es.head).toAggregateExpression(), lit, None)
+      if (nm == "histogram")
+        // histogram(x, bins) — binned form; the bin list may vary per
+        // group (reference test uses a CASE over a group key), so it
+        // rides along as a first() aggregate
+        reg.createOrReplaceTempFunction(nm, es => es.length match {
+          case 1 => one(es)
+          case 2 => ListAggr(
+            org.apache.spark.sql.catalyst.expressions.aggregate
+              .CollectList(es.head).toAggregateExpression(), lit,
+            Some(org.apache.spark.sql.catalyst.expressions.aggregate
+              .First(es(1), ignoreNulls = false).toAggregateExpression()))
+          case k => throw new IllegalArgumentException(
+            s"histogram expects 1-2 args, got $k")
+        }, "scala_udf")
+      else fn(nm, 1)(one)
+    }
+    // reference quantile family → Spark's exact percentile aggregates
+    // (quantile_cont interpolates; quantile/quantile_disc picks the
+    // smallest element with cume_dist >= q)
+    f2("quantile_cont", (x, q) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .Percentile(x, q).toAggregateExpression())
+    for (nm <- Seq("quantile_disc", "quantile"))
+      f2(nm, (x, q) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .PercentileDisc(x, q, false).toAggregateExpression())
+    // time_bucket(width, ts[, origin|offset]) — TimescaleDB bucketing
+    reg.createOrReplaceTempFunction("time_bucket", es => es.length match {
+      case 2 => TimeBucket(es(0), es(1), None)
+      case 3 => TimeBucket(es(0), es(1), Some(es(2)))
+      case k => throw new IllegalArgumentException(
+        s"time_bucket expects 2-3 args, got $k")
+    }, "scala_udf")
+    f2("strpos", (s, sub) => StringInstr(s, sub))
+    // pg_typeof is the reference's lowercase macro over typeof
+    // (default_functions.cpp: "(expression) AS lower(typeof(expression))")
+    f1("pg_typeof", e => Lower(DuckTypeOf(e)))
+    fn("gen_random_uuid", 0)(_ => Uuid())
 
     f1("typeof", DuckTypeOf(_))
     reg.createOrReplaceTempFunction("struct_concat",

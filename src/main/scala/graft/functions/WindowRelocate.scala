@@ -42,6 +42,9 @@ private[functions] object WindowRelocate {
     "approx_count_distinct", "percentile", "percentile_approx",
     "approx_percentile")
 
+  private val HolisticWins = Set("mad", "entropy", "product", "sem",
+    "histogram")
+
   private val WinFns = Set(
     "row_number", "rank", "dense_rank", "ntile", "percent_rank",
     "cume_dist", "lag", "lead", "nth_value", "first_value", "last_value")
@@ -165,6 +168,19 @@ private[functions] object WindowRelocate {
     // or the aggregate carries a top-level DISTINCT
     val topDistinct = fn.nonEmpty &&
       """(?is)^\s*DISTINCT\b.*""".r.matches(sql.substring(exprOpen + 1, pe))
+    // holistic aggregates the engine composes as collect_list ∘ kernel:
+    // windowed, the collect_list takes the OVER and the kernel wraps it
+    // (mad(x) OVER w → list_mad(collect_list(x) OVER w))
+    if (fn.nonEmpty && HolisticWins(fn)) {
+      val argsText = sql.substring(exprOpen + 1, pe)
+      val inner =
+        if (preds.isEmpty) argsText
+        else s"CASE WHEN ${preds.map(p => s"($p)").mkString(" AND ")} " +
+          s"THEN ($argsText) END"
+      return sql.substring(0, es) +
+        s"list_$fn(collect_list($inner) OVER $window)" +
+        sql.substring(wClose + 1)
+    }
     if (fn.nonEmpty && WinFns(fn)) {
       // the reference permits offset/ranking functions over an UNORDERED
       // window (input order); Spark demands an ORDER BY — supply a

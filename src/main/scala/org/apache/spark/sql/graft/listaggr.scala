@@ -61,15 +61,33 @@ case class ListAggr(list: Expression, nameExpr: Expression,
   override def dataType: DataType = fname match {
     case "count" | "approx_count_distinct" => LongType
     case "min" | "max" | "mode" | "first" | "last" | "any_value" => elemType
+    // reference mad over temporal inputs yields an INTERVAL (the median
+    // absolute deviation is a difference, test_mad.test)
+    case "mad" if elemType == DateType || elemType == TimestampType ||
+        elemType == TimestampNTZType || elemType.isInstanceOf[TimeType] =>
+      CalendarIntervalType
+    // decimal mad stays decimal: the reference computes it in scaled
+    // integer arithmetic (truncating medians), not doubles
+    case "mad" if elemType.isInstanceOf[DecimalType] => elemType
     case "sum" | "fsum" | "sumkahan" | "kahan_sum" => elemType match {
       case _: DoubleType | _: FloatType => DoubleType
       case d: DecimalType => DecimalType(38, d.scale)
       case _ => DecimalType(38, 0)
     }
     case "string_agg" | "group_concat" => StringType
-    case "histogram" => MapType(elemType, LongType)
+    case "histogram" => MapType(histKeyType, LongType)
     case "bool_and" | "bool_or" => BooleanType
     case _ => DoubleType
+  }
+
+  // binned-histogram key type: the reference promotes the bin list to
+  // the input's type at bind (wider of the two)
+  private def histKeyType: DataType = extra.map(_.dataType) match {
+    case Some(ArrayType(e, _)) if e != NullType =>
+      if (elemType == NullType) e
+      else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findWiderTypeForTwo(elemType, e).getOrElse(e)
+    case _ => elemType
   }
 
   private def toD(v: Any): Double = v match {
@@ -90,7 +108,10 @@ case class ListAggr(list: Expression, nameExpr: Expression,
   private def median(xs: Array[Double]): Double = {
     val s = xs.sorted
     val n = s.length
-    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    // even case uses the reference's interpolation spelling
+    // lo*(1-d) + hi*d (interpolate.hpp) — (lo+hi)/2 differs by an ULP,
+    // which the runner's 1e-6 relative compare can expose
+    if (n % 2 == 1) s(n / 2) else s(n / 2 - 1) * 0.5 + s(n / 2) * 0.5
   }
 
   override def eval(input: InternalRow): Any = {
@@ -130,7 +151,47 @@ case class ListAggr(list: Expression, nameExpr: Expression,
       case "median" => if (n == 0) null else median(vals.map(toD))
       case "mad" =>
         if (n == 0) null
-        else {
+        else if (dataType == CalendarIntervalType) {
+          // temporal mad in INTEGER units (days for DATE, micros
+          // otherwise) with the reference's truncating medians — double
+          // math would fabricate half-day fractions
+          // reference temporal mad runs on the MICROS axis with
+          // llround interpolation (interpolate.hpp dtime_t/timestamp_t
+          // specializations), then splits days out (Interval::FromMicro)
+          def medL(xs: Array[Long]): Long = {
+            val s = xs.sorted
+            val k = s.length
+            if (k % 2 == 1) s(k / 2)
+            else math.round(s(k / 2 - 1).toDouble * 0.5 +
+              s(k / 2).toDouble * 0.5)
+          }
+          val xs = vals.map { v =>
+            elemType match {
+              case DateType => v.asInstanceOf[Int].toLong * 86400000000L
+              case _: TimeType => v.asInstanceOf[Long] / 1000L
+              case _ => v.asInstanceOf[Long]
+            }
+          }
+          val m = medL(xs)
+          val mad = medL(xs.map(x => math.abs(x - m)))
+          new org.apache.spark.unsafe.types.CalendarInterval(
+            0, (mad / 86400000000L).toInt, mad % 86400000000L)
+        } else if (elemType.isInstanceOf[DecimalType]) {
+          // scaled-integer medians with C++ truncating division
+          val dt = elemType.asInstanceOf[DecimalType]
+          def medBI(xs: Array[java.math.BigInteger]): java.math.BigInteger = {
+            val s = xs.sorted
+            val k = s.length
+            if (k % 2 == 1) s(k / 2)
+            else s(k / 2 - 1).add(s(k / 2))
+              .divide(java.math.BigInteger.valueOf(2))
+          }
+          val us = vals.map(v =>
+            v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue)
+          val m = medBI(us)
+          val mad = medBI(us.map(x => x.subtract(m).abs))
+          Decimal(new java.math.BigDecimal(mad, dt.scale), dt.precision, dt.scale)
+        } else {
           val xs = vals.map(toD)
           val m = median(xs)
           median(xs.map(x => math.abs(x - m)))
@@ -154,13 +215,81 @@ case class ListAggr(list: Expression, nameExpr: Expression,
             case v => String.valueOf(v)
           }.mkString(sep))
         }
+      case "histogram" if extra.isDefined =>
+        // binned histogram (reference binned_histogram.cpp): values land
+        // in the smallest bin boundary >= value; overflow goes to the
+        // type-maximum "other" bucket for numeric bins and is dropped
+        // for types without one (SupportsOtherBucket)
+        val bexpr = extra.get
+        val bv = bexpr.eval(input)
+        if (bv == null)
+          throw new IllegalArgumentException(
+            "Histogram bin list cannot be NULL")
+        val bt0 = bexpr.dataType match {
+          case ArrayType(e, _) if e != NullType => e
+          case _ => elemType
+        }
+        val bt = histKeyType
+        def widen(v: Any): Any = (v, bt) match {
+          case (n: java.lang.Number, LongType) => n.longValue
+          case (n: java.lang.Number, IntegerType) => n.intValue
+          case (n: java.lang.Number, DoubleType) => n.doubleValue
+          case (n: java.lang.Number, FloatType) => n.floatValue
+          case _ => v
+        }
+        val bArr = bv.asInstanceOf[ArrayData]
+        val rawBins = (0 until bArr.numElements()).map { i =>
+          if (bArr.isNullAt(i))
+            throw new IllegalArgumentException(
+              "Histogram bin entry cannot be NULL")
+          widen(bArr.get(i, bt0))
+        }
+        val binOrd: Ordering[Any] = bt match {
+          case _: StringType => Ordering.by((v: Any) => v.asInstanceOf[UTF8String])
+          // exact integral compare — Long extremes collapse in double
+          case ByteType | ShortType | IntegerType | LongType |
+               TimestampType | TimestampNTZType | DateType =>
+            Ordering.by((v: Any) => v.asInstanceOf[java.lang.Number].longValue)
+          case _: DecimalType => Ordering.by((v: Any) => v.asInstanceOf[Decimal])
+          case _ => Ordering.by((v: Any) => toD(v))
+        }
+        val bins = rawBins.distinct.sorted(binOrd).toIndexedSeq
+        val otherKey: Option[Any] = bt match {
+          case ByteType => Some(Byte.MaxValue)
+          case ShortType => Some(Short.MaxValue)
+          case IntegerType => Some(Int.MaxValue)
+          case LongType | TimestampType | TimestampNTZType => Some(Long.MaxValue)
+          case FloatType => Some(Float.PositiveInfinity)
+          case DoubleType => Some(Double.PositiveInfinity)
+          case d: DecimalType =>
+            Some(Decimal(new java.math.BigDecimal(
+              java.math.BigInteger.TEN.pow(d.precision)
+                .subtract(java.math.BigInteger.ONE), d.scale),
+              d.precision, d.scale))
+          case _ => None // strings etc.: overflow values are dropped
+        }
+        val counts = Array.fill(bins.length)(0L)
+        var other = 0L
+        vals.foreach { v0 =>
+          val v = widen(v0)
+          var lo = 0; var hi = bins.length
+          while (lo < hi) { // first bin >= v
+            val mid = (lo + hi) >>> 1
+            if (binOrd.lt(bins(mid), v)) lo = mid + 1 else hi = mid
+          }
+          if (lo < bins.length) counts(lo) += 1
+          else if (otherKey.isDefined) other += 1
+        }
+        val keys = if (other > 0) bins :+ otherKey.get else bins
+        val cnts = if (other > 0) counts.toSeq :+ other else counts.toSeq
+        ArrayBasedMapData(keys.toArray, cnts.toArray)
       case "histogram" =>
         val counts = scala.collection.mutable.LinkedHashMap[Any, Long]()
         vals.sorted(ordering).foreach(v =>
           counts(v) = counts.getOrElse(v, 0L) + 1L)
         ArrayBasedMapData(counts.keys.toArray, counts.values.toArray)
       case "entropy" =>
-        if (n == 0) null
+        if (n == 0) 0.0 // reference: entropy of empty/all-NULL input is 0
         else {
           val counts = vals.groupBy(identity).values.map(_.length.toDouble)
           -counts.map { c =>
@@ -174,7 +303,10 @@ case class ListAggr(list: Expression, nameExpr: Expression,
           val xs = vals.map(toD)
           val mean = xs.sum / n
           val m2 = xs.map(x => (x - mean) * (x - mean)).sum
-          val samp = fname != "stddev_pop" && fname != "var_pop"
+          // sem is population-based in the reference (sem(1) = 0,
+          // test_sem.test): sqrt(var_pop)/sqrt(n)
+          val samp = fname != "stddev_pop" && fname != "var_pop" &&
+            fname != "sem"
           if (samp && n < 2) null
           else {
             val v = m2 / (if (samp) n - 1 else n)

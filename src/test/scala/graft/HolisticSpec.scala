@@ -57,4 +57,58 @@ class HolisticSpec extends AnyFunSuite {
     val out = df.agg(rq(col("v"))).collect().head.getDouble(0)
     assert(math.abs(out - 5000.0) < 1500.0, s"median estimate too far: $out")
   }
+
+  // --- SQL-name group aggregates over the ListAggr kernels (r9) -------
+
+  test("histogram / binned histogram SQL aggregates") {
+    val m = spark.sql(
+      "SELECT histogram(v) FROM VALUES (1), (2), (2), (3) t(v)")
+      .collect().head.getMap[Int, Long](0)
+    assert(m == Map(1 -> 1L, 2 -> 2L, 3 -> 1L))
+    val b = spark.sql(
+      "SELECT histogram(v, array(10, 20)) FROM VALUES (1), (11), (25) t(v)")
+      .collect().head.getMap[Int, Long](0)
+    assert(b == Map(10 -> 1L, 20 -> 1L, Int.MaxValue -> 1L))
+    // NULL bin entries are the reference's runtime error
+    intercept[Exception] {
+      spark.sql("SELECT histogram(v, array(10, NULL)) FROM VALUES (1) t(v)")
+        .collect()
+    }
+  }
+
+  test("mad / entropy / product / sem SQL aggregates") {
+    val r = spark.sql(
+      "SELECT mad(v), entropy(v), product(v), sem(v) " +
+        "FROM VALUES (1.0D), (2.0D), (3.0D), (4.0D) t(v)").collect().head
+    assert(r.getDouble(0) == 1.0) // median 2.5, |devs| {1.5,0.5,0.5,1.5}
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-12) // 4 equal frequencies
+    assert(r.getDouble(2) == 24.0)
+    // sem is population-based: sqrt(var_pop/n)
+    assert(math.abs(r.getDouble(3) - math.sqrt(1.25) / 2.0) < 1e-12)
+    // empty input: entropy 0, the others NULL
+    val e = spark.sql(
+      "SELECT entropy(v), mad(v) FROM VALUES (CAST(NULL AS DOUBLE)) t(v)")
+      .collect().head
+    assert(e.getDouble(0) == 0.0 && e.isNullAt(1))
+  }
+
+  test("quantile family maps to exact percentiles") {
+    val q = spark.sql(
+      "SELECT quantile_cont(v, 0.5), quantile_disc(v, 0.5), quantile(v, 0.5) " +
+        "FROM VALUES (1), (2), (3), (4) t(v)").collect().head
+    assert(q.getDouble(0) == 2.5)
+    assert(q.getDouble(1) == 2.0 && q.getDouble(2) == 2.0)
+  }
+
+  test("time_bucket buckets on the reference origins") {
+    val r = spark.sql(
+      "SELECT time_bucket(INTERVAL '10' DAY, DATE '2024-03-15'), " +
+        "time_bucket(INTERVAL '2' MONTH, DATE '2024-03-15'), " +
+        "time_bucket(INTERVAL '1' HOUR, TIMESTAMP '2024-03-15 13:47:11')")
+      .collect().head
+    // micros axis anchored at 2000-01-03; month axis at 2000-01-01
+    assert(r.getDate(0).toString == "2024-03-07")
+    assert(r.getDate(1).toString == "2024-03-01")
+    assert(r.getTimestamp(2).toString == "2024-03-15 13:00:00.0")
+  }
 }

@@ -87,6 +87,31 @@ class SqlLogicSpec extends AnyFunSuite {
       }.mkString
     case s: scala.collection.Seq[_] =>  // LIST renders [a, b, c]
       s.map(e => cellRef(e, sqliteMode, nested = true)).mkString("[", ", ", "]")
+    case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+      // reference interval rendering (interval.cpp ToString): year/month/
+      // day parts, then HH:MM:SS[.ffffff] with hours NOT wrapped to days;
+      // zero time omitted when another part exists; all-zero → 00:00:00
+      val parts = Vector.newBuilder[String]
+      val y = ci.months / 12; val mo = ci.months % 12
+      if (y != 0) parts += s"$y year" + (if (math.abs(y) == 1) "" else "s")
+      if (mo != 0) parts += s"$mo month" + (if (math.abs(mo) == 1) "" else "s")
+      if (ci.days != 0)
+        parts += s"${ci.days} day" + (if (math.abs(ci.days) == 1) "" else "s")
+      val ps = parts.result()
+      val us0 = ci.microseconds
+      if (us0 == 0 && ps.nonEmpty) ps.mkString(" ")
+      else {
+        val neg = us0 < 0
+        val a = math.abs(us0)
+        val hh = a / 3600000000L
+        val mm = a % 3600000000L / 60000000L
+        val ss = a % 60000000L / 1000000L
+        val us = a % 1000000L
+        val t = f"${if (neg) "-" else ""}$hh%02d:$mm%02d:$ss%02d" +
+          (if (us == 0) ""
+           else "." + f"$us%06d".reverse.dropWhile(_ == '0').reverse)
+        (ps :+ t).mkString(" ")
+      }
     case p: java.time.Period =>
       // reference interval rendering (interval.cpp ToString):
       // "N year(s) N month(s)", zero interval -> "00:00:00"
@@ -154,10 +179,25 @@ class SqlLogicSpec extends AnyFunSuite {
         s"'${names(j)}': ${cellRef(r.get(j), sqliteMode, nested = true)}"
       }.mkString("{", ", ", "}")
     case m: scala.collection.Map[_, _] =>
-      // reference MAP rendering: {k=v, ...}
-      m.map { case (k, v) =>
-        s"${cellRef(k, sqliteMode, nested = true)}=${cellRef(v, sqliteMode, nested = true)}"
-      }.mkString("{", ", ", "}")
+      // reference MAP rendering: {k=v, ...} in the map's own order.
+      // Scala's immutable Map keeps insertion order only up to 4
+      // entries; beyond that the order is already lost, so render
+      // key-sorted (numeric-aware) — matching the sorted maps the
+      // engine's aggregates (histogram) emit
+      val entries = m.toSeq.map { case (k, v) =>
+        (cellRef(k, sqliteMode, nested = true),
+          cellRef(v, sqliteMode, nested = true))
+      }
+      val ordered =
+        if (entries.length <= 4) entries
+        else entries.sortWith { case ((a, _), (b, _)) =>
+          (scala.util.Try(a.toDouble).toOption,
+            scala.util.Try(b.toDouble).toOption) match {
+            case (Some(x), Some(y)) => x < y
+            case _ => a < b
+          }
+        }
+      ordered.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")
     case other => other.toString
   }
 
@@ -214,7 +254,17 @@ class SqlLogicSpec extends AnyFunSuite {
         g.isDefined && e.isDefined && {
           val (gv, ev) = (g.get, e.get)
           gv == ev || (gv.isNaN && ev.isNaN) ||
-            math.abs(gv - ev) <= 1e-6 * math.max(math.abs(gv), math.abs(ev))
+            math.abs(gv - ev) <= 1e-6 * math.max(math.abs(gv), math.abs(ev)) || {
+              // many reference expectations are printf-rounded doubles
+              // ("0.333333" for 0.33333333333333337) — an exact value can
+              // sit 2 ULPs past the 1e-6 relative band; re-rendering the
+              // got value at the expectation's precision settles it
+              val dot = exp.indexOf('.')
+              dot >= 0 && exp.drop(dot + 1).forall(_.isDigit) && {
+                val k = exp.length - dot - 1
+                String.format(s"%.${k}f", Double.box(gv)) == exp
+              }
+            }
         }
     })
   private def rowsMatch(got: Vector[String], exp: Vector[String]): Boolean =

