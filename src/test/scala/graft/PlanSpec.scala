@@ -471,6 +471,27 @@ class PlanSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("LDBC graph joins: no cartesians/BNLJ; jsonbench stays single-shuffle") {
+    // the derived-graph joins (knows/message/tag fan-outs) must plan as
+    // hash/broadcast joins — an LDBC shape degrading to a cartesian is
+    // exactly the 100 TB failure mode this pack exists to guard
+    // NOTE: the graph derivation crossJoins BROADCAST single-row
+    // aggregates (|customer|, |part| mod bases) — those plan as BNLJ
+    // against a one-row build side, which is the intended scalar
+    // attachment. The guard is against unbroadcast cartesians.
+    for (name <- Seq("q_ldbc_bi1", "q_ldbc_bi4", "q_ldbc_bi8",
+        "q_ldbc_bi13", "q_ldbc_ic2", "q_ldbc_ic3", "q_ldbc_ic5",
+        "q_jb2", "q_jb4", "q_rn_transform_agg")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+    }
+    // jsonbench: row-local JSON build+extract, then ONE hash-agg
+    // exchange — no join, no extra shuffle
+    val jb = planOf("q_jb1")
+    assert("Exchange".r.findAllIn(jb).size <= 2, // partial->final agg + sort
+      s"q_jb1 shuffles more than the one aggregation:\n$jb")
+  }
+
   test("whole-stage codegen covers the Q1 hot path") {
     // under AQE codegen stages exist only in the FINAL executed plan,
     // rendered as "*(n)" span markers

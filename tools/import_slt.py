@@ -1091,8 +1091,11 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     out = re.sub(r"(?i)\bFLOAT4\b", "FLOAT", out)
     out = re.sub(r"(?i)\bFLOAT8\b", "DOUBLE", out)
     out = re.sub(r"(?i)\bTIMESTAMPTZ\b", "TIMESTAMP", out)
-    out = re.sub(r"(?i)\bTIMESTAMP_(S|MS|NS)\b", "TIMESTAMP", out)
+    out = re.sub(r"(?i)\bTIMESTAMP_(S|MS|NS|US)\b", "TIMESTAMP", out)
     out = re.sub(r"(?i)\bBLOB\b", "BINARY", out)
+    # more reference aliases: SIGNED is INTEGER, BYTEA is BLOB
+    out = re.sub(r"(?i)\bSIGNED\b", "INTEGER", out)
+    out = re.sub(r"(?i)\bBYTEA\b", "BINARY", out)
     # bare DECIMAL defaults to (18,3) in the reference, (10,0) in Spark
     out = re.sub(r"(?i)\b(DEC|DECIMAL|NUMERIC)\s*\(\s*\)", "DECIMAL(18,3)", out)
     out = re.sub(r"(?i)\b(DEC|DECIMAL|NUMERIC)\b(?!\s*\()", "DECIMAL(18,3)", out)
@@ -1331,8 +1334,9 @@ def merge_tables(records):
     a persistent warehouse stay clean."""
     first_query = next((k for k, (kind, _, _, _) in enumerate(records)
                         if kind == "query"), len(records))
-    create_re = re.compile(r"\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*$",
-                           re.S | re.I)
+    create_re = re.compile(
+        r"\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*$",
+        re.S | re.I)
     insert_re = re.compile(
         r"\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)$",
         re.S | re.I)
@@ -1363,6 +1367,7 @@ def merge_tables(records):
 
     any_create_re = re.compile(r"\s*CREATE\s+TABLE\s+(\w+)", re.I)
     schemas, rows, out = {}, {}, []
+    real_schemas = {}
     for kind, header, body, exp in records:
         sql = "\n".join(body)
         if kind == "statement" and "error" not in header:
@@ -1380,6 +1385,14 @@ def merge_tables(records):
             if ma:  # kept as a real table: make reruns idempotent
                 out.append(("statement", "statement ok",
                             [f"DROP TABLE IF EXISTS {ma.group(1)}"], []))
+                # remember the schema so later INSERT ... VALUES can cast
+                # explicitly — the reference inserts with implicit casts
+                # (VARCHAR into TIMESTAMP columns etc.) that Spark's ANSI
+                # store-assignment rejects
+                if m:
+                    real_schemas[m.group(1).lower()] = [
+                        parse_coldef(c)
+                        for c in split_top(m.group(2)) if c.strip()]
             ms = re.match(r"\s*CREATE\s+SCHEMA\s+(\w+)", sql, re.I)
             if ms:  # schemas leak across files in one spec JVM: same
                 # idempotence treatment (CASCADE clears leftover tables)
@@ -1396,6 +1409,30 @@ def merge_tables(records):
                     vals = [v.strip() for v in split_top(tup)]
                     rows[t].append(dict(zip(cols, vals)))
                 continue
+            if mi and mi.group(1).lower() in real_schemas:
+                # unfoldable table: route the VALUES through explicit
+                # CASTs to the declared column types
+                t = mi.group(1).lower()
+                types = dict(real_schemas[t])
+                names = [n for n, _ in real_schemas[t]]
+                cols = ([c.strip() for c in mi.group(2).split(",")]
+                        if mi.group(2) else names)
+                # a bare DEFAULT only works in direct INSERT VALUES —
+                # through SELECT-from-VALUES it becomes a column ref
+                if (all(c in types for c in cols) and
+                        not re.search(r"(?i)\bDEFAULT\b", mi.group(3))):
+                    tuples = ", ".join(
+                        "(" + tup + ")" for tup in split_tuples(mi.group(3)))
+                    casted = ", ".join(
+                        f"CAST(_c{i} AS {types[c]}) AS {c}"
+                        for i, c in enumerate(cols))
+                    vcols = ", ".join(f"_c{i}" for i in range(len(cols)))
+                    collist = f" ({', '.join(cols)})" if mi.group(2) else ""
+                    out.append(("statement", header,
+                                [f"INSERT INTO {mi.group(1)}{collist} "
+                                 f"SELECT {casted} FROM (VALUES {tuples}) "
+                                 f"AS _ins({vcols})"], exp))
+                    continue
         out.append((kind, header, body, exp))
     views = []
     for t, cols in schemas.items():

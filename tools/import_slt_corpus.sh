@@ -395,6 +395,11 @@ python3 tools/import_slt.py --drop-matching "(?i)'-?[0-9. ]+' *AS *interval|'-?[
 # ftime_time_bucket_time, test_entropy, test_mad, test_product,
 # test_sem, test_binned_histogram, window_mad_window,
 # parser_hex_string_literal, tstruct_struct_equality_bug
+# r9c re-admission (importer INSERT-VALUES casting through the declared
+# CREATE TABLE schema — the reference's implicit store casts — plus
+# SIGNED/BYTEA/TIMESTAMP_US aliases): numeric_test_unary,
+# date_implicit_cast, float nan_aggregates/nan_join/nan_window,
+# jinner_test_unequal_join, jfull issue_4252
 # SKIP_EVICT=1 keeps every imported file in the MANIFEST — used to
 # re-test the evicted set after engine improvements (a file leaves this
 # list only by going green in a full SqlLogicSpec run)
@@ -448,13 +453,11 @@ ftime_test_extract_stats.test
 jinner_test_join_duplicates.test
 jinner_test_join_is_distinct.test
 jinner_test_join_is_not_distinct.test
-jinner_test_unequal_join.test
 jinner_test_unequal_join_duplicates.test
 jinner_test_using_chain.test
 jinner_test_using_join.test
 jleft_test_left_join_on_true.test
 jleft_unique_left_join.test
-jfull_test_full_outer_join_issue_4252.test
 jpush_pushdown_generated_columns.test
 oexpr_test_casting_negative_integer_to_bit.test
 oexpr_test_date_subtract_filter.test
@@ -489,7 +492,6 @@ generic_table_func_varargs.test
 generic_test_boolean_test.test
 generic_test_table_param.test
 numeric_test_bit_count.test
-numeric_test_unary.test
 projection_test_value_list.test
 select_test_positional_reference.test
 select_test_select_alias_prefix_colon.test
@@ -564,7 +566,6 @@ filter_test_alias_filter.test
 distinct_issue19616.test
 date_date_diff_extreme_dates.test
 date_test_strftime_exhaustive.test
-date_date_implicit_cast.test
 date_date_limits.test
 date_date_parsing.test
 date_date_try_cast.test
@@ -615,9 +616,7 @@ decimal_test_decimal_from_string.test
 group_group_by_limits.test
 float_ieee_floating_points.test
 float_infinity_test.test
-float_nan_aggregates.test
 float_nan_functions.test
-float_nan_join.test
 float_nan_ordering.test
 float_nan_test.test
 order_hugeint_order_by_extremes.test
@@ -651,7 +650,6 @@ window_test_nthvalue.test
 window_test_window_wisconsin.test
 window_test_lead_lag.test
 window_test_scalar_window.test
-float_nan_window.test
 interval_test_interval_ops.test
 scalar_test_complex_correlated_subquery.test
 any_all_test_row_not_equal_any_null_semantics.test
