@@ -676,17 +676,26 @@ object Macros {
     * the table entry only if no scalar exists (drop_macro.test order).
     * Errors on unknown name unless IF EXISTS. */
   def drop(spark: SparkSession, ddl: String): Unit = {
-    val m = """(?is)\s*DROP\s+(?:MACRO|FUNCTION)\s+(TABLE\s+)?(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*""".r
+    // name may be schema-qualified (CREATE MACRO macros.add accepts it),
+    // so the drop pattern must mirror Head's qualified-name grammar
+    val m = """(?is)\s*DROP\s+(?:MACRO|FUNCTION)\s+(TABLE\s+)?(IF\s+EXISTS\s+)?`?(\w+(?:\.\w+)?)`?\s*;?\s*""".r
     ddl match {
-      case m(tableKw, ifExists, name) =>
+      case m(tableKw, ifExists, name0) =>
+        val name = name0.toLowerCase
+        // registration keys on the bare name (Head strips the schema),
+        // so try both the qualified and unqualified spellings
+        val keys = Seq(name, name.substring(name.indexOf('.') + 1)).distinct
+        def rm(r: java.util.Map[String, _]): AnyRef =
+          keys.iterator.map(k => r.remove(k).asInstanceOf[AnyRef])
+            .collectFirst { case v if v != null => v }.orNull
         val removed =
-          if (tableKw != null) tableRegistry.get(spark).remove(name.toLowerCase)
+          if (tableKw != null) rm(tableRegistry.get(spark))
           else {
-            val a = registry.get(spark).remove(name.toLowerCase)
-            if (a != null) a else tableRegistry.get(spark).remove(name.toLowerCase)
+            val a = rm(registry.get(spark))
+            if (a != null) a else rm(tableRegistry.get(spark))
           }
         if (removed == null && ifExists == null)
-          throw new IllegalArgumentException(s"macro $name does not exist")
+          throw new IllegalArgumentException(s"macro $name0 does not exist")
       case _ =>
         throw new IllegalArgumentException(s"not a DROP MACRO statement: $ddl")
     }

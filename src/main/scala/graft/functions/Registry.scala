@@ -141,12 +141,23 @@ object Registry {
           case u: UnresolvedNamedLambdaVariable => u.nameParts.map(_.toLowerCase)
           case n => Seq(n.name.toLowerCase)
         }
-        val newBody = body.transformUp {
+        // manual recursion (not transformUp): a nested lambda that
+        // rebinds the same index name shadows ours — its references
+        // must NOT be shifted (they get their own +1 when that nested
+        // call's oneBasedIdx runs)
+        def shadows(lf: LambdaFunction): Boolean = lf.arguments.exists {
+          case u: UnresolvedNamedLambdaVariable =>
+            u.nameParts.map(_.toLowerCase) == idxName
+          case n => Seq(n.name.toLowerCase) == idxName
+        }
+        def rewrite(e: Expression): Expression = e match {
+          case lf: LambdaFunction if shadows(lf) => lf
           case u: UnresolvedNamedLambdaVariable
               if u.nameParts.map(_.toLowerCase) == idxName =>
             Add(u, Literal(1))
+          case other => other.mapChildren(rewrite)
         }
-        LambdaFunction(newBody, args, hidden)
+        LambdaFunction(rewrite(body), args, hidden)
       case other => other
     }
     for (nm <- Seq("list_transform", "array_transform", "list_apply", "apply"))

@@ -173,6 +173,10 @@ private[functions] object WindowRelocate {
     // (mad(x) OVER w → list_mad(collect_list(x) OVER w))
     if (fn.nonEmpty && HolisticWins(fn)) {
       val argsText = sql.substring(exprOpen + 1, pe)
+      // multi-arg holistic calls (binned histogram(x, bins)) can't take
+      // the collect_list relocation — the extra arg would be swallowed
+      // into collect_list's arity; leave for Spark's own analysis error
+      if (topLevelComma(argsText)) return null
       val inner =
         if (preds.isEmpty) argsText
         else s"CASE WHEN ${preds.map(p => s"($p)").mkString(" AND ")} " +
@@ -198,6 +202,12 @@ private[functions] object WindowRelocate {
     }
     if (fn.nonEmpty && Aggs(fn) && preds.isEmpty && !topDistinct)
       return null
+    // only COUNT(DISTINCT …) has a windowed rewrite (collect_set); a
+    // DISTINCT on any other aggregate would otherwise come out as
+    // `agg(CASE WHEN p THEN (DISTINCT x) END)` — invalid SQL. Leave it
+    // so Spark raises its own analysis error (the reference's binder
+    // rejects these shapes too).
+    if (fn.nonEmpty && topDistinct && fn != "count") return null
     if (fn.nonEmpty && !Aggs(fn)) {
       // non-aggregate wrapper: relocate only when exactly one aggregate
       // lives inside; otherwise leave it for Spark's own analysis error
@@ -264,6 +274,12 @@ private[functions] object WindowRelocate {
     }
 
     val dm = """(?is)^\s*DISTINCT\b(.*)$""".r.findFirstMatchIn(argsText)
+    // DISTINCT only composes with COUNT's collect_set rewrite; any other
+    // aggregate would yield `agg(CASE WHEN p THEN (DISTINCT x) END)` —
+    // invalid SQL. Raise the reference's binder diagnostic instead.
+    if (dm.isDefined && name != "count")
+      throw new IllegalArgumentException(
+        s"DISTINCT is not implemented for windowed $name")
     val pred = preds.map(p => s"($p)").mkString(" AND ")
     val core =
       if (dm.isDefined && name == "count") {

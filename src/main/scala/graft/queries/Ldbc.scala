@@ -389,7 +389,7 @@ object Ldbc extends Pack {
     """WITH detail AS (
       |  SELECT m.m_creatorid AS person_id,
       |         count(DISTINCT r.m_messageid) AS replyCount,
-      |         count(DISTINCT l.l_messageid * 1000000 + l.l_personid) AS likeCount,
+      |         count(DISTINCT l.l_messageid || '|' || l.l_personid) AS likeCount,
       |         count(DISTINCT m.m_messageid) AS messageCount
       |  FROM tag t
       |    JOIN message_tag pt ON t.t_tagid = pt.mt_tagid
@@ -416,7 +416,7 @@ object Ldbc extends Pack {
       .groupBy(col("m_creatorid").as("person_id"))
       .agg(
         countDistinct(col("r_id")).as("replyCount"),
-        countDistinct(col("l_messageid") * 1000000 + col("l_personid")).as("likeCount"),
+        countDistinct(col("l_messageid"), col("l_personid")).as("likeCount"),
         countDistinct(col("m_messageid")).as("messageCount"))
       .select(col("person_id"), col("replyCount"), col("likeCount"),
         col("messageCount"),

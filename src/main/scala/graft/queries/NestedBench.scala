@@ -234,13 +234,20 @@ object NestedBench extends Pack {
   }
 
   // realnest micro 14: list_slice on the sorted list
-  // (14_list_slice.benchmark) — top/bottom decile extremes
+  // (14_list_slice.benchmark) — top/bottom decile extremes. The slices
+  // are serialized with array_to_string/array_join so the driver's
+  // pandas comparator can sort+hash them (raw list columns are
+  // unhashable there) — same text in both engines.
   q("q_rn_slice", rn(
-    """SELECT user_id, vs[1:5] AS bottom5, vs[len(vs)-4:len(vs)] AS top5
+    """SELECT user_id, array_to_string(vs[1:5], ',') AS bottom5,
+      |       array_to_string(vs[len(vs)-4:len(vs)], ',') AS top5
       |FROM user_lists ORDER BY user_id LIMIT 50""")) { (s, dir) =>
     userLists(s, dir)
-      .select(col("user_id"), slice(col("vs"), 1, 5).as("bottom5"),
-        slice(col("vs"), size(col("vs")) - 4, lit(5)).as("top5"))
+      .select(col("user_id"),
+        array_join(transform(slice(col("vs"), 1, 5), _.cast("string")),
+          ",").as("bottom5"),
+        array_join(transform(slice(col("vs"), size(col("vs")) - 4, lit(5)),
+          _.cast("string")), ",").as("top5"))
       .orderBy("user_id")
       .limit(50)
   }

@@ -235,6 +235,23 @@ case class ListAggr(list: Expression, nameExpr: Expression,
           case (n: java.lang.Number, IntegerType) => n.intValue
           case (n: java.lang.Number, DoubleType) => n.doubleValue
           case (n: java.lang.Number, FloatType) => n.floatValue
+          // Decimal keys: integral/fractional inputs (or Decimals of a
+          // different scale) must land as Decimal at the key scale, or
+          // the DecimalType binOrd ClassCastExceptions on them
+          case (n: java.lang.Number, t: DecimalType) =>
+            Decimal(BigDecimal(n.toString)
+              .setScale(t.scale, BigDecimal.RoundingMode.HALF_UP),
+              t.precision, t.scale)
+          case (d: Decimal, t: DecimalType)
+              if d.precision != t.precision || d.scale != t.scale =>
+            Decimal(d.toBigDecimal
+              .setScale(t.scale, BigDecimal.RoundingMode.HALF_UP),
+              t.precision, t.scale)
+          // Decimal inputs with non-Decimal widened keys
+          case (d: Decimal, LongType) => d.toLong
+          case (d: Decimal, IntegerType) => d.toInt
+          case (d: Decimal, DoubleType) => d.toDouble
+          case (d: Decimal, FloatType) => d.toFloat
           case _ => v
         }
         val bArr = bv.asInstanceOf[ArrayData]

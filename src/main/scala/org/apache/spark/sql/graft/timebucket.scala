@@ -123,6 +123,12 @@ case class TimeBucket(width: Expression, ts: Expression,
     }
     val shifted = addInterval(tMicros, -offM.toLong, -offMicros)
 
+    // zero / negative sub-month width must raise the period diagnostic,
+    // not fall through to the month-interval shape error
+    if (iv.months == 0 && iv.days.toLong * MicrosPerDay + iv.microseconds <= 0)
+      throw new IllegalArgumentException(
+        "time_bucket: period must be greater than 0")
+
     val result: Long =
       if (iv.months == 0 && (iv.days.toLong * MicrosPerDay + iv.microseconds) > 0) {
         val widthMicros = iv.days.toLong * MicrosPerDay + iv.microseconds
