@@ -85,7 +85,7 @@ object Bench {
     // commit measured 3.97 s). The reported line is the MIN-total pass —
     // steady-state capability — with every pass's total recorded alongside
     // so an artifact can never hide that it was a one-off.
-    val suiteRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val suiteRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "4").toInt.max(1)
     def onePass(ns: Seq[String] = names): Seq[(String, Double)] = ns.map { name =>
       val t =
         try {
@@ -98,7 +98,11 @@ object Bench {
         }
       name -> t
     }
-    (names ++ extra).foreach { n => // warmup (codegen + JIT + file listing)
+    // warmup ×2 (codegen + JIT + file listing): a single warm run leaves
+    // the analyzer/optimizer paths half-JITted — measured build+plan for
+    // q1_agg drops 46 → 16 ms between the first and second full pass, so
+    // one extra warmup pass moves that cost out of the timed passes
+    for (_ <- 1 to 2; n <- names ++ extra) {
       try runOnce(n)
       catch { case _: Throwable => () }
     }
