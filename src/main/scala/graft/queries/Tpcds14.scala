@@ -106,41 +106,37 @@ object Tpcds14 extends Pack {
        |  AND CAST(w2.total AS DECIMAL(38,0)) * s1.total
        |    > CAST(s2.total AS DECIMAL(38,0)) * w1.total
        |ORDER BY c_custkey LIMIT 100""") { (s, dir) =>
-    // materialize each year_total CTE once (physical_cte.cpp's shape)
-    // when the input is big: four join branches slice the SAME
-    // per-(customer, year) aggregate, and without an explicit
-    // materialization Spark re-derives the lineitem join per branch
-    // (only 1 of the expected ReusedExchanges fires across the 4-way
-    // self-join — 13 parquet scans vs 2 materialized). At fixture scale
-    // the warm-cached recompute is CHEAPER than a checkpoint
-    // write+read (A/B: 0.42 s recompute vs 0.67 s materialized at
-    // sf0.1), so the materialization dispatches on data size like
-    // RangeJoin.autoLess.
-    val storeYt = Tables.lineitem(s, dir)
+    // The 4-way year_total self-join of the reference text is really a
+    // per-customer PIVOT on the year: one conditional-sum aggregate per
+    // channel replaces two slices of a shared CTE, so each channel is
+    // scanned and shuffled ONCE and nothing needs materializing (the
+    // r9 plan re-derived the lineitem⋈orders aggregate per branch — 13
+    // parquet scans; this one does 2 aggregates + 2 joins). Inner-join
+    // presence of a (ck, yr) slice ⟺ the conditional sum is non-NULL.
+    def yrSum(yr: Int, m: org.apache.spark.sql.Column) =
+      sum(when(col("yr") === yr, m))
+    val storeP = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("yr", year(col("l_shipdate")))
       .filter(col("yr").isin(1996, 1997))
-      .groupBy(col("o_custkey").as("ck"), col("yr"))
-      .agg(sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("total"))
-    val webYt0 = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck_s"))
+      .agg(
+        yrSum(1996, fx(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("s1"),
+        yrSum(1997, fx(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("s2"))
+    val webP = Tables.orders(s, dir)
       .withColumn("yr", year(col("o_orderdate")))
       .filter(col("yr").isin(1996, 1997))
-      .groupBy(col("o_custkey").as("ck"), col("yr"))
-      .agg(sum(fx(col("o_totalprice"), 2)).as("total"))
-    val big = graft.engine.EngineSession.dirBytes(dir) > (1L << 30)
-    val (storeCte, webCte) =
-      if (big) (storeYt.localCheckpoint(), webYt0.localCheckpoint())
-      else (storeYt, webYt0)
-    def slice(yt: org.apache.spark.sql.DataFrame, yr: Int, k: String, v: String) =
-      yt.filter(col("yr") === yr).select(col("ck").as(k), col("total").as(v))
+      .groupBy(col("o_custkey").as("ck_w"))
+      .agg(yrSum(1996, fx(col("o_totalprice"), 2)).as("w1"),
+        yrSum(1997, fx(col("o_totalprice"), 2)).as("w2"))
     val d38 = "decimal(38,0)"
     Tables.customer(s, dir).select("c_custkey", "c_name")
-      .join(slice(storeCte, 1996, "ck_s1", "s1"), col("c_custkey") === col("ck_s1"))
-      .join(slice(storeCte, 1997, "ck_s2", "s2"), col("c_custkey") === col("ck_s2"))
-      .join(slice(webCte, 1996, "ck_w1", "w1"), col("c_custkey") === col("ck_w1"))
-      .join(slice(webCte, 1997, "ck_w2", "w2"), col("c_custkey") === col("ck_w2"))
-      .filter(col("s1") > 0 && col("w1") > 0 &&
+      .join(storeP, col("c_custkey") === col("ck_s"))
+      .join(webP, col("c_custkey") === col("ck_w"))
+      .filter(col("s1").isNotNull && col("s2").isNotNull &&
+        col("w1").isNotNull && col("w2").isNotNull &&
+        col("s1") > 0 && col("w1") > 0 &&
         col("w2").cast(d38) * col("s1") > col("s2").cast(d38) * col("w1"))
       .select("c_custkey", "c_name")
       .orderBy("c_custkey").limit(100)
@@ -170,33 +166,32 @@ object Tpcds14 extends Pack {
        |  AND CAST(w2.total AS DECIMAL(38,0)) * s1.total
        |    > CAST(s2.total AS DECIMAL(38,0)) * w1.total
        |ORDER BY c_name, c_custkey LIMIT 100""") { (s, dir) =>
-    val storeYt = Tables.lineitem(s, dir)
+    // per-customer year PIVOT, as in q11 — one conditional-sum aggregate
+    // per channel, no CTE re-derivation, no materialization gate
+    def yrSum(yr: Int, m: org.apache.spark.sql.Column) =
+      sum(when(col("yr") === yr, m))
+    val storeP = Tables.lineitem(s, dir)
       .filter(col("l_linestatus") === "F")
       .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("yr", year(col("l_shipdate")))
       .filter(col("yr").isin(1995, 1996))
-      .groupBy(col("o_custkey").as("ck"), col("yr"))
-      .agg(sum(fx(col("l_extendedprice"), 2)).as("total"))
-    val webYt0 = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck_s"))
+      .agg(yrSum(1995, fx(col("l_extendedprice"), 2)).as("s1"),
+        yrSum(1996, fx(col("l_extendedprice"), 2)).as("s2"))
+    val webP = Tables.orders(s, dir)
       .withColumn("yr", year(col("o_orderdate")))
       .filter(col("yr").isin(1995, 1996))
-      .groupBy(col("o_custkey").as("ck"), col("yr"))
-      .agg(sum(fx(col("o_totalprice"), 2)).as("total"))
-    // size-gated materialized year_total, as in q11
-    val big = graft.engine.EngineSession.dirBytes(dir) > (1L << 30)
-    val (storeCte, webCte) =
-      if (big) (storeYt.localCheckpoint(), webYt0.localCheckpoint())
-      else (storeYt, webYt0)
-    def slice(yt: org.apache.spark.sql.DataFrame, yr: Int, k: String, v: String) =
-      yt.filter(col("yr") === yr).select(col("ck").as(k), col("total").as(v))
+      .groupBy(col("o_custkey").as("ck_w"))
+      .agg(yrSum(1995, fx(col("o_totalprice"), 2)).as("w1"),
+        yrSum(1996, fx(col("o_totalprice"), 2)).as("w2"))
     val d38 = "decimal(38,0)"
     Tables.customer(s, dir).select("c_custkey", "c_name")
-      .join(slice(storeCte, 1995, "ck_s1", "s1"), col("c_custkey") === col("ck_s1"))
-      .join(slice(storeCte, 1996, "ck_s2", "s2"), col("c_custkey") === col("ck_s2"))
-      .join(slice(webCte, 1995, "ck_w1", "w1"), col("c_custkey") === col("ck_w1"))
-      .join(slice(webCte, 1996, "ck_w2", "w2"), col("c_custkey") === col("ck_w2"))
-      .filter(col("s1") > 0 && col("w1") > 0 &&
+      .join(storeP, col("c_custkey") === col("ck_s"))
+      .join(webP, col("c_custkey") === col("ck_w"))
+      .filter(col("s1").isNotNull && col("s2").isNotNull &&
+        col("w1").isNotNull && col("w2").isNotNull &&
+        col("s1") > 0 && col("w1") > 0 &&
         col("w2").cast(d38) * col("s1") > col("s2").cast(d38) * col("w1"))
       .select("c_name", "c_custkey")
       .orderBy("c_name", "c_custkey").limit(100)
