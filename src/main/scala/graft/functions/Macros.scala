@@ -541,9 +541,9 @@ object Macros {
     * namespace. The SQL-text entry point for runners that feed whole
     * statements (graft.SqlLogicSpec). */
   def expandAll(spark: SparkSession, sql: String, maxDepth: Int = 16): String =
-    WindowRelocate(rewriteDistinctOn(stripBuiltinCatalog(
+    WindowRelocate(QualifyRewrite(rewriteDistinctOn(stripBuiltinCatalog(
       expandLoop(rewriteDuckdbFunctions(spark, sql),
-        registry.get(spark), tableRegistry.get(spark), maxDepth))))
+        registry.get(spark), tableRegistry.get(spark), maxDepth)))))
 
   /** `duckdb_functions()` — the reference's function-catalog TVF,
     * inlined as a VALUES relation over the LIVE macro registries (one

@@ -424,4 +424,25 @@ object Windows extends Pack {
           .as("filled_value"))
       .orderBy("event_id")
   }
+
+  // QUALIFY clause (reference select.gram:148, planned as a filter over
+  // the window-computed projection): per-customer top order by price.
+  // The Spark side runs the SAME QUALIFY text through the engine's SQL
+  // surface — graft.functions.QualifyRewrite lowers it pre-parse to a
+  // WHERE over a windowed subquery (`* EXCEPT` drops the marker), while
+  // the oracle executes the clause natively.
+  q("q_qualify",
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+      |ORDER BY o_custkey LIMIT 100""") { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(graft.functions.Macros.expandAll(s,
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_custkey LIMIT 100""".stripMargin))
+  }
 }
