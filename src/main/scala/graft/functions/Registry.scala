@@ -70,10 +70,10 @@ object Registry {
     // reference's integer-index overload binds too.
     val str = org.apache.spark.sql.types.StringType
     for (nm <- Seq("json_extract", "json_extract_path"))
-      f2(nm, JsonNavExpr(_, _, "extract"))
+      f2(nm, JsonNavExpr.of(_, _, "extract"))
     for (nm <- Seq("json_extract_string", "json_extract_path_text"))
-      f2(nm, JsonNavExpr(_, _, "extract_string"))
-    f2("json_value", JsonNavExpr(_, _, "value"))
+      f2(nm, JsonNavExpr.of(_, _, "extract_string"))
+    f2("json_value", JsonNavExpr.of(_, _, "value"))
     f1("json_valid", JsonValidExpr(_))
     f2("json_contains", JsonContainsExpr(_, _))
     f2("json_exists", JsonExistsExpr(_, _))
@@ -99,7 +99,7 @@ object Registry {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("json_type", es => es.length match {
       case 1 => JsonNavExpr(es.head, Literal("$"), "type")
-      case 2 => JsonNavExpr(es(0), es(1), "type")
+      case 2 => JsonNavExpr.of(es(0), es(1), "type")
       case n => throw new IllegalArgumentException(
         s"json_type expects 1-2 args, got $n")
     }, "scala_udf")

@@ -366,6 +366,36 @@ object Functions extends Pack {
       .orderBy("event_id")
   }
 
+  // JSON path wildcards (json_common.cpp GetWildcardPathInternal):
+  // `$.*` / `$[*]` paths return a LIST of every match; serialized with
+  // array_to_string for the row-sorting comparator. The recursive
+  // `$.**` / `$..key` forms postdate the DuckDB-1.0 oracle and are
+  // pinned by JsonWildcardSpec instead.
+  q("q_fn_json5",
+    """SELECT event_id,
+      |  array_to_string(json_extract(props, '$.*'), ',') AS prop_vals,
+      |  array_to_string(json_extract(
+      |    '[{"a":' || CAST(event_id % 7 AS VARCHAR) || '},{"a":2,"b":3},{"c":4}]',
+      |    '$[*].a'), ',') AS a_list,
+      |  array_to_string(json_extract_string(
+      |    '{"x":{"v":"p"},"y":{"v":"q"},"z":5}', '$.*.v'), ',') AS star_v,
+      |  len(json_extract('{"a":[1,2],"b":[],"c":[3]}', '$.*[0]')) AS n_firsts
+      |FROM events WHERE event_id < 200 ORDER BY event_id""") { (s, dir) =>
+    Tables.events(s, dir).filter(col("event_id") < 200)
+      .select(
+        col("event_id"),
+        array_join(expr("json_extract(props, '$.*')"), ",").as("prop_vals"),
+        array_join(expr(
+          """json_extract('[{"a":' || CAST(event_id % 7 AS STRING) ||
+             '},{"a":2,"b":3},{"c":4}]', '$[*].a')"""), ",").as("a_list"),
+        array_join(expr(
+          """json_extract_string('{"x":{"v":"p"},"y":{"v":"q"},"z":5}',
+             '$.*.v')"""), ",").as("star_v"),
+        size(expr("""json_extract('{"a":[1,2],"b":[],"c":[3]}', '$.*[0]')"""))
+          .cast("bigint").as("n_firsts"))
+      .orderBy("event_id")
+  }
+
   // json_transform: the structure template lowers to Catalyst from_json
   // at analysis (functions/JsonSql.scala; reference
   // extension/json/json_functions/json_transform.cpp). The oracle row

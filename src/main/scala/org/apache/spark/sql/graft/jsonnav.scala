@@ -23,7 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `$[3]`, `$[#-1]` back-index, `$[#]` append position), JSON-pointer
   *    (`/a/b/0`), a bare string key, or a bare integer (array index,
   *    negative wraps); the empty path addresses the whole document;
-  *    wildcards are not modeled (extraction yields NULL)
+  *    wildcard paths (`$.*`, `$[*]`, recursive `$.**`/`$..key`) make the
+  *    extraction return a LIST of every match in the reference's
+  *    traversal order (json_common.cpp GetWildcardPathInternal) — the
+  *    LIST return type binds from the constant path like the
+  *    reference's ValidatePath
   *  - malformed JSON input THROWS (the reference casts to JSON at bind,
   *    which raises) — except `json_valid`, which reports it
   *  - `json_extract` returns the JSON TEXT of the subtree (strings stay
@@ -104,7 +108,9 @@ object JsonNav {
   private final case class Idx(i: Int) extends Seg // negative wraps from back
   private final case class Back(i: Int) extends Seg // [#-i]
   private case object Append extends Seg // [#]
-  private case object Wild extends Seg // .* / [*] / .. — extraction-only, unmodeled
+  private case object KeyWild extends Seg // `.*` — object values only
+  private case object IdxWild extends Seg // `[*]` — array elements only
+  private case object RecWild extends Seg // `.**` / the `..` prefix — all descendants
 
   // yyjson parses the index as uint64: beyond uint64 is a PATH ERROR,
   // within uint64 but out of array range is simply a missed position
@@ -141,11 +147,24 @@ object JsonNav {
         case '.' =>
           i += 1
           if (i >= path.length) malformedPath(path)
-          // '..key' recursive descent: mark Wild, re-enter the loop AT
-          // the second dot so the key after it parses normally (a
-          // trailing '..' then falls through to the malformed error)
-          if (path.charAt(i) == '.') { segs += Wild } // i stays
-          else if (path.charAt(i) == '*') { segs += Wild; i += 1 }
+          // '..key' / '..[i]' recursive descent (reference ReadKey
+          // recursive flag + RecWildCardShortcut): mark RecWild; a
+          // following '[' continues at the bracket, a following key
+          // re-enters the loop AT the second dot so it parses normally
+          // (a trailing '..' then falls through to the malformed error)
+          if (path.charAt(i) == '.') {
+            segs += RecWild
+            if (i + 1 < path.length && path.charAt(i + 1) == '[') i += 1
+            else if (i + 1 < path.length && path.charAt(i + 1) == '*')
+              i += 2 // `..*` IS the recursive wildcard (ReadKey: '.' + '*')
+            // else i stays at the second dot (`..key` re-parses as .key)
+          }
+          else if (path.charAt(i) == '*') {
+            // `.**` is the recursive wildcard, `.*` the single-level one
+            if (i + 1 < path.length && path.charAt(i + 1) == '*') {
+              segs += RecWild; i += 2
+            } else { segs += KeyWild; i += 1 }
+          }
           else if (path.charAt(i) == '"') {
             // quoted key with backslash escapes (\" and \\)
             val sb = new java.lang.StringBuilder
@@ -178,7 +197,7 @@ object JsonNav {
           if (close < 0) malformedPath(path)
           val body = path.substring(i + 1, close).trim
           if (body == "#") segs += Append
-          else if (body == "*") segs += Wild
+          else if (body == "*") segs += IdxWild
           else if (body.startsWith("#-") && body.drop(2).matches("\\d+"))
             segs += Back(safeInt(body.drop(2), path))
           else if (body.matches("-\\d+")) segs += Back(-safeInt(body, path))
@@ -205,8 +224,93 @@ object JsonNav {
         val k = if (i == 0) 0 else cur.size - i
         if (cur.isArray && k >= 0 && k < cur.size) cur.get(k) else null
       case Append => null
-      case Wild => null // unreachable: node() rejects Wild paths
+      case KeyWild | IdxWild | RecWild => null // unreachable: node() rejects wildcards
     }
+
+  private def isWild(s: Seg): Boolean =
+    s == KeyWild || s == IdxWild || s == RecWild
+
+  /** Does `path` parse to a wildcard-bearing path? (Bind-time check for
+    * the LIST return type; malformed paths report false and fail later
+    * on the scalar route.) */
+  def isWildcardPath(path: UTF8String): Boolean =
+    if (path == null) false
+    else try {
+      val segs = parse(path.toString)
+      segs != null && segs.exists(isWild)
+    } catch { case _: IllegalArgumentException => false }
+
+  /** All nodes matched by a wildcard path, in the reference's traversal
+    * order (GetWildcardPathInternal, json_common.cpp:325): `.*` fans out
+    * over object values only, `[*]` over array elements only, `.**`
+    * visits every descendant breadth-first (the node itself included
+    * when a tail follows, excluded for a terminal `**`).
+    */
+  private def collect(cur0: JsonNode, segs0: List[Seg],
+      out: scala.collection.mutable.ListBuffer[JsonNode]): Unit = {
+    var cur = cur0
+    var segs = segs0
+    while (cur != null && segs.nonEmpty) {
+      segs match {
+        case KeyWild :: tl =>
+          if (cur.isObject) {
+            val it = cur.elements()
+            while (it.hasNext) collect(it.next(), tl, out)
+          }
+          return
+        case IdxWild :: tl =>
+          if (cur.isArray) {
+            val it = cur.elements()
+            while (it.hasNext) collect(it.next(), tl, out)
+          }
+          return
+        case RecWild :: tl =>
+          // breadth-first: the queue grows while it is scanned
+          val rec = scala.collection.mutable.ArrayBuffer[JsonNode](cur)
+          var i = 0
+          while (i < rec.length) {
+            val n = rec(i)
+            if (n.isContainerNode) {
+              val it = n.elements()
+              while (it.hasNext) rec += it.next()
+            }
+            if (i > 0 || tl.nonEmpty) collect(n, tl, out)
+            i += 1
+          }
+          return
+        case s :: tl =>
+          cur = step(cur, s)
+          segs = tl
+      }
+    }
+    if (cur != null) out += cur
+  }
+
+  private def wildNodes(json: String, path: String): List[JsonNode] = {
+    val segs = parse(path)
+    val root = readDoc(json)
+    if (segs == null) return Nil
+    val out = scala.collection.mutable.ListBuffer.empty[JsonNode]
+    collect(root, segs, out)
+    out.toList
+  }
+
+  private def wildOf(j: UTF8String, p: UTF8String)(
+      f: JsonNode => Any): GenericArrayData =
+    new GenericArrayData(wildNodes(j.toString, p.toString).map(f).toArray)
+
+  def extractWild(j: UTF8String, p: UTF8String): GenericArrayData =
+    wildOf(j, p)(render)
+  def extractStringWild(j: UTF8String, p: UTF8String): GenericArrayData =
+    wildOf(j, p) { n =>
+      if (n.isNull) null
+      else if (n.isTextual) UTF8String.fromString(n.textValue)
+      else render(n)
+    }
+  def valueWild(j: UTF8String, p: UTF8String): GenericArrayData =
+    wildOf(j, p)(n => if (n.isContainerNode || n.isNull) null else render(n))
+  def typeOfWild(j: UTF8String, p: UTF8String): GenericArrayData =
+    wildOf(j, p)(n => typeName(n))
 
   /** Subtree at `path`, or null when missing/unsupported path. Throws on
     * malformed JSON.
@@ -215,9 +319,9 @@ object JsonNav {
     val segs = parse(path)
     val root = readDoc(json)
     if (segs == null) return null
-    if (segs.contains(Wild))
+    if (segs.exists(isWild))
       throw new IllegalArgumentException(
-        "JSON path wildcards are not supported by this engine")
+        "JSON path wildcards require a constant path (LIST-returning extraction)")
     var cur: JsonNode = root
     for (s <- segs) cur = step(cur, s)
     cur
@@ -244,9 +348,7 @@ object JsonNav {
     if (n == null || n.isContainerNode || n.isNull) null else render(n)
   }
 
-  def typeOf(json: UTF8String, path: UTF8String): UTF8String = {
-    val n = node(json.toString, path.toString)
-    if (n == null) return null
+  private def typeName(n: JsonNode): UTF8String = {
     val t =
       if (n.isObject) "OBJECT"
       else if (n.isArray) "ARRAY"
@@ -260,6 +362,11 @@ object JsonNav {
         if (big.signum() >= 0 && big.bitLength() <= 64) "UBIGINT" else "DOUBLE"
       }
     UTF8String.fromString(t)
+  }
+
+  def typeOf(json: UTF8String, path: UTF8String): UTF8String = {
+    val n = node(json.toString, path.toString)
+    if (n == null) null else typeName(n)
   }
 
   def valid(json: UTF8String): Boolean =
@@ -426,7 +533,7 @@ object JsonNav {
     val segs = parse(path.toString)
     val root = readDoc(json.toString).deepCopy[JsonNode]()
     if (segs == null) return render(root)
-    if (segs.contains(Wild))
+    if (segs.exists(isWild))
       throw new IllegalArgumentException(
         "JSON path wildcards are not supported in JSON modification functions")
     val newVal: JsonNode =
@@ -610,7 +717,8 @@ object JsonNav {
   * operand may also be a LIST of paths (the reference's ExecuteMany
   * overload), in which case the result is a LIST of per-path results.
   */
-case class JsonNavExpr(left: Expression, right: Expression, mode: String)
+case class JsonNavExpr(left: Expression, right: Expression, mode: String,
+    wildcard: Boolean = false)
     extends BinaryExpression with ExpectsInputTypes {
   override def prettyName: String = s"json_$mode"
   override def inputTypes: Seq[AbstractDataType] =
@@ -625,7 +733,8 @@ case class JsonNavExpr(left: Expression, right: Expression, mode: String)
   protected def pathRef(b: String): String =
     if (integralPath) s"org.apache.spark.sql.graft.JsonNav.pathOf((long) $b)" else b
   override def dataType: DataType =
-    if (many) ArrayType(StringType, containsNull = true) else StringType
+    if (many || wildcard) ArrayType(StringType, containsNull = true)
+    else StringType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   private def kernel: String = (mode match {
@@ -633,7 +742,7 @@ case class JsonNavExpr(left: Expression, right: Expression, mode: String)
     case "extract_string" => "extractString"
     case "value" => "value"
     case "type" => "typeOf"
-  }) + (if (many) "Many" else "")
+  }) + (if (many) "Many" else if (wildcard) "Wild" else "")
   override def nullSafeEval(l: Any, r: Any): Any = {
     val j = l.asInstanceOf[UTF8String]
     if (many) {
@@ -643,6 +752,14 @@ case class JsonNavExpr(left: Expression, right: Expression, mode: String)
         case "extract_string" => JsonNav.extractStringMany(j, p)
         case "value" => JsonNav.valueMany(j, p)
         case "type" => JsonNav.typeOfMany(j, p)
+      }
+    } else if (wildcard) {
+      val p = asPathValue(r)
+      mode match {
+        case "extract" => JsonNav.extractWild(j, p)
+        case "extract_string" => JsonNav.extractStringWild(j, p)
+        case "value" => JsonNav.valueWild(j, p)
+        case "type" => JsonNav.typeOfWild(j, p)
       }
     } else {
       val p = asPathValue(r)
@@ -660,6 +777,22 @@ case class JsonNavExpr(left: Expression, right: Expression, mode: String)
       |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+object JsonNavExpr {
+  /** Bind-time wildcard detection (json_common.cpp ValidatePath): the
+    * LIST return type is decided from a CONSTANT path literal at
+    * registration and is sticky — a path that becomes foldable only
+    * after optimization keeps the scalar type (the runtime kernel then
+    * raises, mirroring the reference's non-constant wildcard bind
+    * error). This keeps dataType stable across analyzer/optimizer
+    * copies.
+    */
+  def of(l: Expression, r: Expression, mode: String): JsonNavExpr =
+    JsonNavExpr(l, r, mode, r match {
+      case Literal(u: UTF8String, StringType) => JsonNav.isWildcardPath(u)
+      case _ => false
+    })
 }
 
 case class JsonValidExpr(child: Expression)
