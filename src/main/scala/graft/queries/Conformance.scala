@@ -88,12 +88,18 @@ object Conformance extends Pack {
   }
 
   // ---- §2.6: reservoir sample (exact N; physical_reservoir_sample.cpp) ---
-  // Distributed exact-N: per-partition top-N heaps over a random key
+  // Distributed exact-N: per-partition top-N heaps over the sample key
   // (TakeOrderedAndProject) — never a full sort, never a driver collect of
-  // more than N rows. Selection is engine-specific → rows-only check.
-  qRowsOnly("q_sample_reservoir") { (s, dir) =>
+  // more than N rows. The key is a deterministic Knuth multiplicative hash
+  // of the row key rather than an RNG: the same uniform-selection
+  // semantics, but reproducible across runs/engines/topologies (and
+  // therefore oracle-exact).
+  q("q_sample_reservoir",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey
+      |LIMIT 100""") { (s, dir) =>
     Tables.orders(s, dir)
-      .orderBy(rand(42))
+      .orderBy((col("o_orderkey") * 2654435761L) % 4294967296L, col("o_orderkey"))
       .limit(100)
       .select("o_orderkey", "o_totalprice")
   }

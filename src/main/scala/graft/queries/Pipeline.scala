@@ -196,8 +196,35 @@ object Pipeline extends Pack {
       .orderBy("query_id", "rk")
   }
 
-  // approximate top-k via hyperplane LSH + exact re-rank (recall<1 by design)
-  qRowsOnly("q_sim_topk_lsh") { (s, dir) =>
+  // approximate top-k via hyperplane LSH + exact re-rank (recall<1 by
+  // design, but DETERMINISTIC: the md5-parity sign matrix, the bucket
+  // codes, the Hamming-1 multi-probe set, and the rounded-cosine re-rank
+  // are all reproducible in SQL — same pattern as q_dedup_embedding)
+  q("q_sim_topk_lsh",
+    """WITH pl AS (
+      |  SELECT p, list_transform(generate_series(0, 63), d ->
+      |    CASE WHEN CAST(concat('0x', substr(md5(
+      |        'plane:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS sv
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+      |coded AS (
+      |  SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+      |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.sv) >= 0
+      |             THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e, pl GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT id AS query_id, v AS qv,
+      |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+      |            xor(bucket, 4), xor(bucket, 8)]) AS bucket
+      |  FROM coded WHERE id < 5),
+      |scored AS (
+      |  SELECT p.query_id, c.id AS corpus_id,
+      |    round(list_cosine_similarity(c.v, p.qv), 5) AS cos_sim
+      |  FROM coded c JOIN probes p USING (bucket) WHERE c.id <> p.query_id),
+      |ranked AS (SELECT *, row_number() OVER (
+      |  PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rk FROM scored)
+      |SELECT query_id, corpus_id, cos_sim, rk FROM ranked WHERE rk <= 10
+      |ORDER BY query_id, rk""") { (s, dir) =>
     val e = Tables.embeddings(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 10, dims = 64, planes = 4)
       .orderBy("query_id", "rk")

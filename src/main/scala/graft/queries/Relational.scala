@@ -411,26 +411,37 @@ object Relational extends Pack {
       .limit(50)
   }
 
-  // TABLESAMPLE (reference physical_reservoir_sample.cpp) — sampling is
-  // inherently nondeterministic across engines → rows-only check.
-  qRowsOnly("q_sample_bernoulli") { (s, dir) =>
-    Tables.lineitem(s, dir).sample(withReplacement = false, fraction = 0.1, seed = 42)
+  // TABLESAMPLE BERNOULLI (reference sample_options.hpp): each row kept
+  // independently with probability p. The coin is a deterministic Knuth
+  // multiplicative hash of the unique row key instead of an RNG — same
+  // per-row independence, reproducible across runs/engines/topologies
+  // (and therefore oracle-exact). l_linenumber is 1..7, so
+  // orderkey*7+linenumber is collision-free.
+  q("q_sample_bernoulli",
+    """SELECT * FROM lineitem
+      |WHERE ((l_orderkey * 7 + l_linenumber) * 2654435761)
+      |      % 4294967296 % 100 < 10""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(((col("l_orderkey") * 7 + col("l_linenumber")) * 2654435761L)
+        % 4294967296L % 100 < 10)
   }
 
   // TABLESAMPLE SYSTEM (reference sample_options.hpp:18 SampleMethod::
   // SYSTEM_SAMPLE): block-level sampling — whole storage blocks are kept
   // or dropped, trading uniformity for near-zero per-row cost. The block
-  // here is a contiguous 1024-row slice (monotonically_increasing_id is
-  // partition-local, so slices never span partitions — the same shape as
-  // the reference's row-group blocks), kept when its deterministic hash
-  // clears the rate: no per-row RNG, one codegen'd comparison per row,
-  // embarrassingly parallel. Rows-only contract like bernoulli.
-  qRowsOnly("q_sample_system") { (s, dir) =>
-    val pct = 50
+  // here is a contiguous l_orderkey range of 128 orders (the fixture is
+  // orderkey-clustered, so a key range IS a contiguous storage slice —
+  // same shape as the reference's row-group blocks), kept when its
+  // deterministic Knuth multiplicative hash clears the rate: no per-row
+  // RNG, one codegen'd comparison per row, embarrassingly parallel, and
+  // data-derived (not partition-layout-derived) so the SAME rows are
+  // kept on any cluster topology — which also makes it oracle-exact.
+  q("q_sample_system",
+    """SELECT * FROM lineitem
+      |WHERE ((l_orderkey // 128) * 2654435761) % 4294967296 % 100 < 50""") { (s, dir) =>
     Tables.lineitem(s, dir)
-      .withColumn("_blk", shiftright(monotonically_increasing_id(), 10))
-      .filter(pmod(hash(col("_blk"), lit(42)), lit(100)) < pct)
-      .drop("_blk")
+      .filter((floor(col("l_orderkey") / 128) * 2654435761L)
+        % 4294967296L % 100 < 50)
   }
 
   // ---- set operations (2.7) ----------------------------------------------
