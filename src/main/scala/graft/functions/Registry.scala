@@ -185,6 +185,25 @@ object Registry {
         Cast(b, org.apache.spark.sql.types.DoubleType)))
     reg.createOrReplaceTempFunction("uuidv7", _ => UuidV7(), "scala_udf")
 
+    // sequence scalar surface (graft.functions.Sequences) — the name must
+    // be a constant, like the reference binder
+    // (test_sequence.test: "must be a constant expression")
+    val seqKey = Sequences.sessionKey(spark)
+    def seqName(e: Expression, fn: String): Option[String] = e match {
+      case Literal(null, _) => None
+      case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(u.toString)
+      case _ => throw new IllegalArgumentException(
+        s"Binder Error: $fn: the sequence name must be a constant expression")
+    }
+    f1("nextval", e => SeqValExpr(seqKey, "nextval", seqName(e, "nextval"), Nil))
+    f1("currval", e => SeqValExpr(seqKey, "currval", seqName(e, "currval"), Nil))
+    reg.createOrReplaceTempFunction("setval", es => es.length match {
+      case 2 | 3 => SeqValExpr(seqKey, "setval", seqName(es.head, "setval"), es.tail)
+      case n => throw new IllegalArgumentException(
+        s"setval expects 2-3 args, got $n")
+    }, "scala_udf")
+
     // ---- reference SQL-name compatibility surface, pinned by the
     // imported sqllogictest corpus (src/test/resources/sql/ref/) ----
     // string similarity spellings (function_list.cpp)

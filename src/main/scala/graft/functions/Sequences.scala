@@ -1,0 +1,234 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Nondeterministic}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Reference CREATE SEQUENCE / nextval / currval / setval emulation
+  * (`/root/reference/src/catalog/catalog_entry/sequence_catalog_entry.cpp`,
+  * parser defaults `src/parser/peg/transformer/transform_create_sequence
+  * .cpp`): a session-local scalar-function surface over in-memory counter
+  * state.
+  *
+  * Semantics mirrored exactly:
+  *  - `counter` IS the next value to hand out (initialized to START);
+  *    nextval returns it, then advances with overflow detection; CYCLE
+  *    wraps the advanced counter to min/max, non-CYCLE raises the
+  *    reference's "reached maximum/minimum value" diagnostic
+  *  - currval returns the last handed-out value, raising "not yet
+  *    defined in this session" before the first nextval
+  *  - setval(name, v[, is_called=true]) bounds-checks v, sets the
+  *    counter, and with is_called behaves as if nextval just returned v
+  *  - defaults: INCREMENT 1, and (min, max, start) derived from the
+  *    increment sign exactly like the transformer (processed in option
+  *    order, explicit values win)
+  *  - the sequence NAME must be a constant (the reference's binder
+  *    error); a NULL name yields SQL NULL
+  *
+  * Scope (documented): this is the reference's SCALAR-FUNCTION surface.
+  * The state lives in the driver/executor JVM keyed by session — correct
+  * on local mode and for driver-evaluated expressions; transactional,
+  * WAL-backed sequences are a storage feature the engine does not model
+  * (SURVEY §2.9), and a 100 TB pipeline generating surrogate keys should
+  * use monotonically_increasing_id / row_number instead.
+  */
+object Sequences {
+
+  final class SeqState(val inc: Long, val min: Long, val max: Long,
+      val cycle: Boolean, start: Long) {
+    private var counter: Long = start // next value to hand out
+    private var last: Option[Long] = None
+
+    def nextval(name: String): Long = synchronized {
+      val result = counter
+      var overflow = false
+      val next =
+        try Math.addExact(counter, inc)
+        catch { case _: ArithmeticException => overflow = true; 0L }
+      if (cycle) {
+        counter =
+          if (overflow) { if (inc < 0) max else min }
+          else if (next < min) max
+          else if (next > max) min
+          else next
+      } else {
+        if (result < min || (overflow && inc < 0))
+          throw new IllegalArgumentException(
+            s"""Sequence Error: nextval: reached minimum value of sequence "$name" ($min)""")
+        if (result > max || overflow)
+          throw new IllegalArgumentException(
+            s"""Sequence Error: nextval: reached maximum value of sequence "$name" ($max)""")
+        counter = next
+      }
+      last = Some(result)
+      result
+    }
+
+    def currval(): Long = synchronized {
+      last.getOrElse(throw new IllegalArgumentException(
+        "Sequence Error: currval: sequence is not yet defined in this session"))
+    }
+
+    def setval(name: String, v: Long, isCalled: Boolean): Long = synchronized {
+      if (v < min || v > max)
+        throw new IllegalArgumentException(
+          s"""Sequence Error: setval: value $v is out of bounds for sequence "$name" ($min..$max)""")
+      counter = v
+      if (isCalled) nextval(name) else v
+    }
+  }
+
+  // JVM-global, keyed by session identity + lowercased name: tasks in
+  // local mode share the JVM with the driver, so per-row nextval calls
+  // inside generated code reach the same state object.
+  private val states =
+    new java.util.concurrent.ConcurrentHashMap[String, SeqState]()
+
+  def sessionKey(spark: SparkSession): String =
+    "seq:" + System.identityHashCode(spark)
+
+  /** Unquote and lowercase, keeping only the object name of a possibly
+    * schema-qualified, possibly quoted spelling ('"main"."seq"'). */
+  private def normalize(raw: String): String = {
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var q = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (q) { if (c == '"') q = false else sb.append(c) }
+      else if (c == '"') q = true
+      else if (c == '.') { segs += sb.toString; sb.setLength(0) }
+      else sb.append(c)
+      i += 1
+    }
+    segs += sb.toString
+    segs.last.trim.toLowerCase
+  }
+
+  def lookup(sessionKey: String, rawName: String): SeqState = {
+    val st = states.get(sessionKey + ":" + normalize(rawName))
+    if (st == null)
+      throw new IllegalArgumentException(
+        s"""Catalog Error: Sequence with name ${normalize(rawName)} does not exist!""")
+    st
+  }
+
+  /** Drop every sequence of the session (hermetic test runners). */
+  def clear(spark: SparkSession): Unit = {
+    val prefix = sessionKey(spark) + ":"
+    states.keySet.removeIf(_.startsWith(prefix))
+  }
+
+  private val CreateRe =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[\w.$]+(?:\s*\.\s*(?:"[^"]+"|[\w$]+))*)\s*(.*?);?\s*""".r
+  private val DropRe =
+    """(?is)\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?("[^"]+"|[\w.$]+(?:\s*\.\s*(?:"[^"]+"|[\w$]+))*)\s*;?\s*""".r
+
+  def isSequenceDdl(sql: String): Boolean =
+    CreateRe.matches(sql) || DropRe.matches(sql)
+
+  def execute(spark: SparkSession, sql: String): Unit = sql match {
+    case CreateRe(orReplace, ifNotExists, rawName, opts) =>
+      create(spark, rawName, opts, orReplace != null, ifNotExists != null)
+    case DropRe(ifExists, rawName) =>
+      val k = sessionKey(spark) + ":" + normalize(rawName)
+      if (states.remove(k) == null && ifExists == null)
+        throw new IllegalArgumentException(
+          s"Catalog Error: Sequence with name ${normalize(rawName)} does not exist!")
+    case _ =>
+      throw new IllegalArgumentException(s"not a sequence statement: $sql")
+  }
+
+  private def create(spark: SparkSession, rawName: String, optText: String,
+      orReplace: Boolean, ifNotExists: Boolean): Unit = {
+    val name = normalize(rawName)
+    // option scan in textual order (the transformer processes options in
+    // order: an INCREMENT only installs sign-derived min/max defaults
+    // when no explicit MINVALUE/MAXVALUE was seen yet)
+    var inc = 1L
+    var min = 1L
+    var max = Long.MaxValue
+    var start = Option.empty[Long]
+    var cycle = false
+    var minSet = false
+    var maxSet = false
+    val tok =
+      """(?is)(INCREMENT(?:\s+BY)?\s+(-?\d+))|(MINVALUE\s+(-?\d+))|(MAXVALUE\s+(-?\d+))|(START(?:\s+WITH)?\s+(-?\d+))|(NO\s+MINVALUE)|(NO\s+MAXVALUE)|(NO\s+CYCLE)|(CYCLE)""".r
+    for (m <- tok.findAllMatchIn(optText)) {
+      if (m.group(1) != null) {
+        inc = m.group(2).toLong
+        if (inc == 0)
+          throw new IllegalArgumentException(
+            "Parser Error: Increment must not be zero")
+        if (inc < 0) {
+          if (!minSet) min = Long.MinValue
+          if (!maxSet) max = -1L
+        } else {
+          if (!maxSet) max = Long.MaxValue
+          if (!minSet) min = 1L
+        }
+      } else if (m.group(3) != null) { min = m.group(4).toLong; minSet = true }
+      else if (m.group(5) != null) { max = m.group(6).toLong; maxSet = true }
+      else if (m.group(7) != null) start = Some(m.group(8).toLong)
+      else if (m.group(9) != null) () // NO MINVALUE: keep default
+      else if (m.group(10) != null) ()
+      else if (m.group(11) != null) cycle = false
+      else cycle = true
+    }
+    val startV = start.getOrElse(if (inc < 0) max else min)
+    if (max <= min)
+      throw new IllegalArgumentException(
+        s"Parser Error: MINVALUE ($min) must be less than MAXVALUE ($max)")
+    if (startV < min)
+      throw new IllegalArgumentException(
+        s"Parser Error: START value ($startV) cannot be less than MINVALUE ($min)")
+    if (startV > max)
+      throw new IllegalArgumentException(
+        s"Parser Error: START value ($startV) cannot be greater than MAXVALUE ($max)")
+    val k = sessionKey(spark) + ":" + name
+    val st = new SeqState(inc, min, max, cycle, startV)
+    if (orReplace) states.put(k, st)
+    else if (ifNotExists) states.putIfAbsent(k, st)
+    else if (states.putIfAbsent(k, st) != null)
+      throw new IllegalArgumentException(
+        s"""Catalog Error: Sequence with name "$name" already exists!""")
+  }
+}
+
+/** nextval / currval / setval call site. Nondeterministic (every call
+  * mutates or reads live counter state — the optimizer must not fold,
+  * dedup, or reorder it); the sequence NAME was already pinned to a
+  * constant at registration, so only setval's value/flag are children.
+  */
+case class SeqValExpr(sessionKey: String, mode: String, name: Option[String],
+    children: Seq[Expression])
+    extends Expression with Nondeterministic with CodegenFallback {
+  override def prettyName: String = mode
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def initializeInternal(partitionIndex: Int): Unit = ()
+  override protected def evalInternal(input: InternalRow): Any = {
+    if (name.isEmpty) return null
+    val st = Sequences.lookup(sessionKey, name.get)
+    mode match {
+      case "nextval" => st.nextval(name.get)
+      case "currval" => st.currval()
+      case "setval" =>
+        val v = children.head.eval(input)
+        if (v == null) return null
+        val called =
+          if (children.length < 2) true
+          else {
+            val c = children(1).eval(input)
+            if (c == null) return null
+            c.asInstanceOf[Boolean]
+          }
+        st.setval(name.get, v.asInstanceOf[java.lang.Number].longValue, called)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression = copy(children = cs)
+}

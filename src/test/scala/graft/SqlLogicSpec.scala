@@ -283,12 +283,15 @@ class SqlLogicSpec extends AnyFunSuite {
       graft.functions.Macros.defineAny(spark, sql); spark.emptyDataFrame
     case MacroDrop() =>
       graft.functions.Macros.drop(spark, sql); spark.emptyDataFrame
+    case s if graft.functions.Sequences.isSequenceDdl(s) =>
+      graft.functions.Sequences.execute(spark, s); spark.emptyDataFrame
     case _ => spark.sql(graft.functions.Macros.expandAll(spark, sql))
   }
 
   private def runFile(name: String, text: String, imported: Boolean,
       sqliteMode: Boolean): Unit = {
     graft.functions.Macros.clear(spark) // hermetic: no cross-file macros
+    graft.functions.Sequences.clear(spark) // …and no cross-file sequences
     val lines = text.linesIterator.toVector
     var i = 0
     var caseNo = 0
