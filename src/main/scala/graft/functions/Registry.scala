@@ -790,6 +790,9 @@ object Registry {
       Subtract(Literal(1.0), VecCosine(vf(a), vf(b))))
     f2("array_cosine_distance", (a, b) =>
       Subtract(Literal(1.0), VecCosine(vf(a), vf(b))))
+    for (nm <- Seq("list_negative_inner_product", "list_negative_dot_product",
+        "array_negative_inner_product", "array_negative_dot_product"))
+      f2(nm, (a, b) => UnaryMinus(VecDot(vf(a), vf(b))))
     reg.createOrReplaceTempFunction("array_value",
       es => CreateArray(es), "scala_udf")
     reg.createOrReplaceTempFunction("array_slice", es => es.length match {
@@ -881,6 +884,16 @@ object Registry {
         s"list_sort expects 1-3 args, got $n")
     }, "scala_udf")
     f1("list_reverse_sort", ListSortFull(_, asc = false, nullsFirst = false))
+    // grade_up: session default null order (NULLS LAST) regardless of
+    // direction — unlike list_sort's own NULLS FIRST default
+    reg.createOrReplaceTempFunction("list_grade_up", es => es.length match {
+      case 1 => ListGradeUp(es(0), asc = true, nullsFirst = false)
+      case 2 => ListGradeUp(es(0), lit(es(1)) == "asc", nullsFirst = false)
+      case 3 => ListGradeUp(es(0), lit(es(1)) == "asc",
+        nullsFirst = lit(es(2)) == "nulls first")
+      case n => throw new IllegalArgumentException(
+        s"list_grade_up expects 1-3 args, got $n")
+    }, "scala_udf")
     f1("list_reverse", Reverse(_))
     f1("array_reverse", Reverse(_))
     f2("list_intersect", ArrayIntersect(_, _))

@@ -458,7 +458,10 @@ object Functions extends Pack {
       |    x -> CAST(CAST(round(CAST(x AS DOUBLE) * 2 * 100000) AS BIGINT) AS VARCHAR)), ',') AS doubled,
       |  list_contains(embedding, embedding[2]) AS has2nd,
       |  array_to_string(list_transform(flatten([array_slice(embedding, 1, 2), array_slice(embedding, 3, 4)]),
-      |    x -> CAST(CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS VARCHAR)), ',') AS flat4
+      |    x -> CAST(CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS VARCHAR)), ',') AS flat4,
+      |  array_to_string(list_grade_up(array_slice(embedding, 1, 5)), ',') AS grade5,
+      |  round(-list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                            CAST(embedding AS DOUBLE[])), 5) AS negdot
       |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""") { (s, dir) =>
     val mant: Column => Column =
       x => round(x.cast("double") * 100000).cast("bigint").cast("string")
@@ -477,7 +480,11 @@ object Functions extends Pack {
         array_contains(col("embedding"), element_at(col("embedding"), 2)).as("has2nd"),
         array_join(transform(
           flatten(array(slice(col("embedding"), 1, 2), slice(col("embedding"), 3, 2))),
-          mant), ",").as("flat4"))
+          mant), ",").as("flat4"),
+        array_join(transform(expr("list_grade_up(slice(embedding, 1, 5))"),
+          _.cast("string")), ",").as("grade5"),
+        round(expr("list_negative_inner_product(embedding, embedding)"), 5)
+          .as("negdot"))
       .orderBy("vec_id")
   }
 

@@ -466,6 +466,33 @@ case class ListSortFull(child: Expression, asc: Boolean, nullsFirst: Boolean)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** list_grade_up: 1-based ORIGINAL indexes of the elements in sort order
+  * (list_sort.cpp ListGradeUpBind — APL "grade up"). Stable: equal
+  * values keep their input order. Unlike list_sort's own NULLS FIRST
+  * default, grade_up resolves null order from the session config
+  * (default NULLS LAST, direction-independent), matching the oracle. */
+case class ListGradeUp(child: Expression, asc: Boolean, nullsFirst: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "list_grade_up"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if RowOrdering.isOrderable(et) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"cannot sort $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val ArrayType(et, _) = child.dataType: @unchecked
+    val arr = v.asInstanceOf[ArrayData]
+    val idx = 0 until arr.numElements()
+    val (nullIdx, valIdx) = idx.partition(arr.isNullAt)
+    val ord = TypeUtils.getInterpretedOrdering(et)
+    val sorted = valIdx.sortBy(i => arr.get(i, et))(if (asc) ord else ord.reverse)
+    val out = if (nullsFirst) nullIdx ++ sorted else sorted ++ nullIdx
+    new GenericArrayData(out.map(i => (i + 1).toLong).toArray)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** list_resize(l, n[, pad]): truncate or right-pad to n elements
   * (list_resize.cpp). */
 case class ListResize(first: Expression, second: Expression, third: Expression)
