@@ -542,7 +542,8 @@ object Macros {
     * statements (graft.SqlLogicSpec). */
   def expandAll(spark: SparkSession, sql: String, maxDepth: Int = 16): String =
     WindowRelocate(QualifyRewrite(rewriteDistinctOn(stripBuiltinCatalog(
-      expandLoop(rewriteDuckdbFunctions(spark, sql),
+      expandLoop(
+        Sequences.rewriteDuckdbSequences(spark, rewriteDuckdbFunctions(spark, sql)),
         registry.get(spark), tableRegistry.get(spark), maxDepth)))))
 
   /** `duckdb_functions()` — the reference's function-catalog TVF,

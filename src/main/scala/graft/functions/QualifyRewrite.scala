@@ -130,11 +130,80 @@ private[functions] object QualifyRewrite {
         (sql.substring(selStart, fromIdx).trim, sql.substring(fromIdx, qi).trim)
       else (sql.substring(selStart, qi).trim, "")
 
-    val inner = "SELECT " + selectList + ", (" + pred + ") AS __qualify" +
-      (if (fromRest.nonEmpty) " " + fromRest else "")
-    val rewritten = "SELECT " + (if (distinct) "DISTINCT " else "") +
-      "* EXCEPT (__qualify) FROM (" + inner + ") WHERE __qualify"
+    // the reference binder requires a window function somewhere in the
+    // SELECT list or the QUALIFY predicate
+    // (bind_select_node.cpp:752-755)
+    def hasOver(s: String): Boolean = {
+      val (iq, _) = scan(s)
+      val ls = s.toLowerCase
+      (0 until s.length).exists(x => kwAt(ls, iq, x, "over"))
+    }
+    if (!hasOver(selectList) && !hasOver(pred))
+      throw new IllegalArgumentException(
+        "Binder Error: at least one window function must appear in the " +
+          "SELECT column or QUALIFY clause")
 
-    sql.substring(0, s0) + rewritten + " " + sql.substring(end)
+    // A trailing ORDER BY may reference base columns the select list
+    // does not project (legal in the reference, where QUALIFY never
+    // nests). Alias each non-ordinal order expression into the inner
+    // select (__qob1…) and sort on the alias outside; DISTINCT queries
+    // skip this (ordering by a non-projected column under DISTINCT is
+    // invalid in the reference too).
+    val obAliases = scala.collection.mutable.ArrayBuffer[String]()
+    var tailStart = end
+    var obText = ""
+    if (!distinct && end < sql.length && kwAt(lower, inQ, end, "order")) {
+      var b = end + "order".length
+      while (b < sql.length && sql.charAt(b).isWhitespace) b += 1
+      if (b < sql.length && kwAt(lower, inQ, b, "by")) {
+        var obEnd = sql.length
+        var m = b + 2
+        while (m < obEnd) {
+          if (!inQ(m) && depth(m) < d) obEnd = m
+          else if (depth(m) == d && Seq("limit", "offset", "fetch",
+              "union", "intersect", "except").exists(kwAt(lower, inQ, m, _)))
+            obEnd = m
+          else if (!inQ(m) && sql.charAt(m) == ';') obEnd = m
+          else m += 1
+        }
+        val obBody = sql.substring(b + 2, obEnd)
+        // split order items on same-depth commas (quote/paren aware)
+        val items = scala.collection.mutable.ArrayBuffer[String]()
+        var dep = 0; var q = false; var st = 0
+        for (x <- 0 until obBody.length) {
+          val c = obBody.charAt(x)
+          if (q) { if (c == '\'' || c == '"') q = false }
+          else if (c == '\'' || c == '"') q = true
+          else if (c == '(') dep += 1
+          else if (c == ')') dep -= 1
+          else if (c == ',' && dep == 0) { items += obBody.substring(st, x); st = x + 1 }
+        }
+        items += obBody.substring(st)
+        val sufRe = """(?is)^(.*?)((\s+(ASC|DESC))?(\s+NULLS\s+(FIRST|LAST))?)\s*$""".r
+        val rewrittenItems = items.map { it =>
+          it.trim match {
+            case t if t.isEmpty || t.matches("\\d+") ||
+              t.matches("(?i)all") => t // ordinals / ALL stay
+            case sufRe(core, suffix, _, _, _, _) =>
+              val name = s"__qob${obAliases.length + 1}"
+              obAliases += s"($core) AS $name"
+              name + suffix
+            case t => t
+          }
+        }
+        obText = " ORDER BY " + rewrittenItems.mkString(", ")
+        tailStart = obEnd
+      }
+    }
+
+    val inner = "SELECT " + selectList + ", (" + pred + ") AS __qualify" +
+      (if (obAliases.isEmpty) "" else obAliases.mkString(", ", ", ", "")) +
+      (if (fromRest.nonEmpty) " " + fromRest else "")
+    val exceptCols = "__qualify" +
+      (1 to obAliases.length).map(i => s", __qob$i").mkString
+    val rewritten = "SELECT " + (if (distinct) "DISTINCT " else "") +
+      s"* EXCEPT ($exceptCols) FROM (" + inner + ") WHERE __qualify" + obText
+
+    sql.substring(0, s0) + rewritten + " " + sql.substring(tailStart)
   }
 }

@@ -193,8 +193,17 @@ object Registry {
       case Literal(null, _) => None
       case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
         Some(u.toString)
-      case _ => throw new IllegalArgumentException(
-        s"Binder Error: $fn: the sequence name must be a constant expression")
+      case _ =>
+        // constant EXPRESSIONS bind too ('s'||'e'||'q' in
+        // test_sequence.test); anything row-dependent is the binder error
+        val const = try e.resolved && e.foldable catch { case _: Throwable => false }
+        if (!const) throw new IllegalArgumentException(
+          s"Binder Error: $fn: the sequence name must be a constant expression")
+        e.eval(null) match {
+          case null => None
+          case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+          case other => Some(String.valueOf(other))
+        }
     }
     f1("nextval", e => SeqValExpr(seqKey, "nextval", seqName(e, "nextval"), Nil))
     f1("currval", e => SeqValExpr(seqKey, "currval", seqName(e, "currval"), Nil))

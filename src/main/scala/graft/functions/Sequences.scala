@@ -37,9 +37,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
 object Sequences {
 
   final class SeqState(val inc: Long, val min: Long, val max: Long,
-      val cycle: Boolean, start: Long) {
+      val cycle: Boolean, val start: Long) {
     private var counter: Long = start // next value to hand out
     private var last: Option[Long] = None
+
+    def lastValue: Option[Long] = synchronized(last)
 
     def nextval(name: String): Long = synchronized {
       val result = counter
@@ -89,8 +91,10 @@ object Sequences {
   def sessionKey(spark: SparkSession): String =
     "seq:" + System.identityHashCode(spark)
 
-  /** Unquote and lowercase, keeping only the object name of a possibly
-    * schema-qualified, possibly quoted spelling ('"main"."seq"'). */
+  /** Unquote, lowercase and schema-qualify a possibly quoted spelling
+    * ('"main"."seq"', 'a.seq', 'seq' → main.seq). Unterminated quotes
+    * and >2-part names raise like the reference's catalog lookup
+    * (test_sequence.test: nextval('"a"."seq'), nextval('a.b.c.d')). */
   private def normalize(raw: String): String = {
     val segs = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new java.lang.StringBuilder
@@ -104,8 +108,17 @@ object Sequences {
       else sb.append(c)
       i += 1
     }
+    if (q)
+      throw new IllegalArgumentException(
+        s"Parser Error: unterminated quoted identifier in sequence name: $raw")
     segs += sb.toString
-    segs.last.trim.toLowerCase
+    val parts = segs.map(_.trim.toLowerCase).toSeq
+    parts.length match {
+      case 1 => "main." + parts.head
+      case 2 => parts.mkString(".")
+      case _ => throw new IllegalArgumentException(
+        s"Catalog Error: invalid sequence name: $raw")
+    }
   }
 
   def lookup(sessionKey: String, rawName: String): SeqState = {
@@ -120,6 +133,39 @@ object Sequences {
   def clear(spark: SparkSession): Unit = {
     val prefix = sessionKey(spark) + ":"
     states.keySet.removeIf(_.startsWith(prefix))
+  }
+
+  /** `duckdb_sequences()` — the reference's sequence-catalog TVF
+    * (test_duckdb_sequences.test), inlined as a VALUES relation over the
+    * session's live sequence states, same pattern as
+    * [[Macros.expandAll]]'s duckdb_functions() rewrite. */
+  def rewriteDuckdbSequences(spark: SparkSession, sql: String): String = {
+    val re = """(?i)\bduckdb_sequences\s*\(\s*\)""".r
+    if (re.findFirstIn(sql).isEmpty) return sql
+    val prefix = sessionKey(spark) + ":"
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
+    states.forEach { (k, st) =>
+      if (k.startsWith(prefix)) {
+        val qualified = k.substring(prefix.length)
+        val Array(schema, name) = qualified.split("\\.", 2)
+        val lastV = st.lastValue.map(String.valueOf)
+          .getOrElse("CAST(NULL AS BIGINT)")
+        rows += s"('$schema', '$name', false, ${st.start}, ${st.min}, " +
+          s"${st.max}, ${st.inc}, ${st.cycle}, $lastV)"
+      }
+    }
+    val rel =
+      if (rows.isEmpty)
+        "(SELECT CAST(NULL AS STRING) AS schema_name, CAST(NULL AS STRING) AS sequence_name, " +
+          "CAST(NULL AS BOOLEAN) AS temporary, CAST(NULL AS BIGINT) AS start_value, " +
+          "CAST(NULL AS BIGINT) AS min_value, CAST(NULL AS BIGINT) AS max_value, " +
+          "CAST(NULL AS BIGINT) AS increment_by, CAST(NULL AS BOOLEAN) AS cycle, " +
+          "CAST(NULL AS BIGINT) AS last_value WHERE 1=0)"
+      else
+        s"(SELECT * FROM VALUES ${rows.mkString(", ")} AS t(schema_name, " +
+          "sequence_name, temporary, start_value, min_value, max_value, " +
+          "increment_by, cycle, last_value))"
+    re.replaceAllIn(sql, java.util.regex.Matcher.quoteReplacement(rel))
   }
 
   private val CreateRe =
@@ -157,6 +203,21 @@ object Sequences {
     var maxSet = false
     val tok =
       """(?is)(INCREMENT(?:\s+BY)?\s+(-?\d+))|(MINVALUE\s+(-?\d+))|(MAXVALUE\s+(-?\d+))|(START(?:\s+WITH)?\s+(-?\d+))|(NO\s+MINVALUE)|(NO\s+MAXVALUE)|(NO\s+CYCLE)|(CYCLE)""".r
+    // each option at most once (transform_create_sequence.cpp: CYCLE and
+    // NO CYCLE share a key; NO MINVALUE/MAXVALUE collide with the valued
+    // spellings too)
+    val seen = scala.collection.mutable.Set[String]()
+    def once(key: String): Unit =
+      if (!seen.add(key))
+        throw new IllegalArgumentException(
+          s"Parser Error: ${key.capitalize} should be passed at most once")
+    for (m <- tok.findAllMatchIn(optText)) {
+      if (m.group(1) != null) once("increment")
+      else if (m.group(3) != null || m.group(9) != null) once("minvalue")
+      else if (m.group(5) != null || m.group(10) != null) once("maxvalue")
+      else if (m.group(7) != null) once("start")
+      else once("cycle")
+    }
     for (m <- tok.findAllMatchIn(optText)) {
       if (m.group(1) != null) {
         inc = m.group(2).toLong

@@ -322,7 +322,12 @@ class SqlLogicSpec extends AnyFunSuite {
           .takeWhile(l => l.trim.nonEmpty)
           .map(_.trim)
         caseNo += 1
-        val rows = exec(sql).collect()
+        val rows =
+          try exec(sql).collect()
+          catch {
+            case e: Throwable => throw new RuntimeException(
+              s"$name #$caseNo failed: ${sql.linesIterator.mkString(" ").take(300)}", e)
+          }
         val rendered: Vector[Vector[String]] = rows.iterator.map { r =>
           (0 until r.length).map { j =>
             if (imported) cellRef(r.get(j), sqliteMode) else cellLegacy(r.get(j))
@@ -355,9 +360,14 @@ class SqlLogicSpec extends AnyFunSuite {
             // rows are ROW-WISE only when a line contains a tab;
             // otherwise each line is ONE value (row-major)
             val numCols = if (header.length > 1) header(1).length else 1
+            // consecutive tabs are ONE separator (duckdb's runner splits
+            // with StringUtil::Split, which drops empty entries — the
+            // reference files align columns with extra tabs; a truly
+            // empty cell renders "(empty)")
             val expRows: Vector[Vector[String]] =
               if (expLines.exists(_.contains('\t')))
-                expLines.map(_.split('\t').map(_.trim).toVector).toVector
+                expLines.map(_.split('\t').filter(_.nonEmpty)
+                  .map(_.trim).toVector).toVector
               else expLines.toVector.grouped(math.max(numCols, 1)).map(_.toVector).toVector
             // canonicalize numeric tokens in the sort key so "1" (file)
             // and "1.0" (rendered double) order identically on both sides

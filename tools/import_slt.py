@@ -78,7 +78,7 @@ REJECT = ["mode ", "skipif",
           "onlyif", "hash-threshold", "restart", "load ", "sleep ",
           "<FILE>",
           "ATTACH", "EXCLUDE", "COLUMNS(", "ASOF", "POSITIONAL",
-          "SUMMARIZE", "DESCRIBE", "SHOW ", "CREATE INDEX", "SEQUENCE",
+          "SUMMARIZE", "DESCRIBE", "SHOW ", "CREATE INDEX",
           "INSTALL", "EXPORT", "reorder", "BY NAME",
           # CREATE/DROP MACRO and macro calls are handled by the Scala
           # runner (graft.functions.Macros bind-time expansion)
@@ -154,9 +154,10 @@ def reject_reason(text: str, sql_only: str):
     # ORDER BY inside an aggregate call (duckdb ordered aggregates).
     # Single-key list/string_agg/first/last/any_value forms are lowered
     # by rewrite_ordered_aggs — only the remainder (multi-key, DISTINCT,
-    # holistic fns) rejects. `OVER (ORDER BY ...)` window specs are NOT
-    # ordered aggregates and must not trip this.
-    if re.search(r"\b(?!over\b)\w+\s*\([^()]*ORDER\s+BY",
+    # holistic fns) rejects. `OVER (ORDER BY ...)` window specs and
+    # `WINDOW w AS (ORDER BY ...)` clauses are NOT ordered aggregates
+    # and must not trip this.
+    if re.search(r"\b(?!over\b|as\b)\w+\s*\([^()]*ORDER\s+BY",
                  rewrite_ordered_aggs(sql_only), re.I):
         return "ordered aggregate"
     return None
