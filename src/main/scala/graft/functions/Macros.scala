@@ -541,10 +541,10 @@ object Macros {
     * namespace. The SQL-text entry point for runners that feed whole
     * statements (graft.SqlLogicSpec). */
   def expandAll(spark: SparkSession, sql: String, maxDepth: Int = 16): String =
-    WindowRelocate(QualifyRewrite(rewriteDistinctOn(stripBuiltinCatalog(
+    WindowRelocate(QualifyRewrite(WindowRefs(rewriteDistinctOn(stripBuiltinCatalog(
       expandLoop(
         Sequences.rewriteDuckdbSequences(spark, rewriteDuckdbFunctions(spark, sql)),
-        registry.get(spark), tableRegistry.get(spark), maxDepth)))))
+        registry.get(spark), tableRegistry.get(spark), maxDepth))))))
 
   /** `duckdb_functions()` — the reference's function-catalog TVF,
     * inlined as a VALUES relation over the LIVE macro registries (one

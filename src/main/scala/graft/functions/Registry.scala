@@ -93,7 +93,7 @@ object Registry {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("json_keys", es => es.length match {
       case 1 => JsonKeysExpr(es.head, Literal("$"))
-      case 2 => JsonKeysExpr(es(0), es(1))
+      case 2 => JsonKeysExpr.of(es(0), es(1))
       case n => throw new IllegalArgumentException(
         s"json_keys expects 1-2 args, got $n")
     }, "scala_udf")
@@ -160,12 +160,23 @@ object Registry {
         LambdaFunction(rewrite(body), args, hidden)
       case other => other
     }
-    for (nm <- Seq("list_transform", "array_transform", "list_apply", "apply"))
-      f2(nm, (a, l) => ArrayTransform(a, oneBasedIdx(l)))
+    // a bare NULL list yields SQL NULL in the reference; Spark's HOFs
+    // fail analysis on the untyped NULL, so it is retyped to a NULL
+    // list (the HOF itself then evaluates to NULL, and the analyzer
+    // still sees a higher-order function consuming the lambda)
+    def fixNullList(e: Expression): Expression = e match {
+      case Literal(null, org.apache.spark.sql.types.NullType) =>
+        Literal.create(null, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.NullType))
+      case other => other
+    }
+    for (nm <- Seq("list_transform", "array_transform", "list_apply",
+        "array_apply", "apply"))
+      f2(nm, (a, l) => ArrayTransform(fixNullList(a), oneBasedIdx(l)))
     for (nm <- Seq("list_filter", "array_filter"))
-      f2(nm, (a, l) => ArrayFilter(a, oneBasedIdx(l)))
+      f2(nm, (a, l) => ArrayFilter(fixNullList(a), oneBasedIdx(l)))
     for (nm <- Seq("list_reduce", "array_reduce", "reduce"))
-      f2(nm, (arr, lam) => {
+      f2(nm, (arr0, lam) => { val arr = fixNullList(arr0)
         val fin = UnresolvedNamedLambdaVariable(Seq("acc_fin"))
         ArrayAggregate(
           Slice(arr, Literal(2), Subtract(Size(arr), Literal(1))),

@@ -299,6 +299,21 @@ object JsonNav {
       f: JsonNode => Any): GenericArrayData =
     new GenericArrayData(wildNodes(j.toString, p.toString).map(f).toArray)
 
+  /** LIST(JSON) → JSON array text, the reference's implicit list→JSON
+    * cast (a wildcard extract feeding another json function): elements
+    * are already JSON, inserted raw. */
+  def arrayToJson(a: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder("[")
+    var i = 0
+    while (i < a.numElements()) {
+      if (i > 0) sb.append(',')
+      if (a.isNullAt(i)) sb.append("null")
+      else sb.append(a.getUTF8String(i).toString)
+      i += 1
+    }
+    UTF8String.fromString(sb.append(']').toString)
+  }
+
   def extractWild(j: UTF8String, p: UTF8String): GenericArrayData =
     wildOf(j, p)(render)
   def extractStringWild(j: UTF8String, p: UTF8String): GenericArrayData =
@@ -389,15 +404,22 @@ object JsonNav {
   /** Keys of the object at `path` (empty array for non-objects), null
     * for a missing path — json_keys.cpp.
     */
-  def keys(json: UTF8String, path: UTF8String): GenericArrayData = {
-    val n = node(json.toString, path.toString)
-    if (n == null) return null
+  private def keysOf(n: JsonNode): GenericArrayData = {
     if (!n.isObject) return new GenericArrayData(Array.empty[Any])
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     val it = n.fieldNames()
     while (it.hasNext) out += UTF8String.fromString(it.next())
     new GenericArrayData(out.toArray)
   }
+
+  def keys(json: UTF8String, path: UTF8String): GenericArrayData = {
+    val n = node(json.toString, path.toString)
+    if (n == null) null else keysOf(n)
+  }
+
+  /** json_keys over a wildcard path: one key-list per match. */
+  def keysWild(j: UTF8String, p: UTF8String): GenericArrayData =
+    wildOf(j, p)(keysOf)
 
   // ---- list-of-paths overloads (json_executors.hpp ExecuteMany) ---------
 
@@ -721,8 +743,18 @@ case class JsonNavExpr(left: Expression, right: Expression, mode: String,
     wildcard: Boolean = false)
     extends BinaryExpression with ExpectsInputTypes {
   override def prettyName: String = s"json_$mode"
+  // a LIST(JSON) document (a wildcard extract's output) casts to a JSON
+  // array implicitly, like the reference binder
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(StringType, TypeCollection(StringType, ArrayType(StringType), LongType, IntegerType))
+    Seq(TypeCollection(StringType, ArrayType(StringType)),
+      TypeCollection(StringType, ArrayType(StringType), LongType, IntegerType))
+  private def leftList: Boolean = left.dataType.isInstanceOf[ArrayType]
+  private def asDoc(l: Any): UTF8String = l match {
+    case u: UTF8String => u
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => JsonNav.arrayToJson(a)
+  }
+  protected def docRef(a: String): String =
+    if (leftList) s"org.apache.spark.sql.graft.JsonNav.arrayToJson($a)" else a
   private def many: Boolean = right.dataType.isInstanceOf[ArrayType]
   private def integralPath: Boolean =
     right.dataType == LongType || right.dataType == IntegerType
@@ -744,7 +776,7 @@ case class JsonNavExpr(left: Expression, right: Expression, mode: String,
     case "type" => "typeOf"
   }) + (if (many) "Many" else if (wildcard) "Wild" else "")
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val j = l.asInstanceOf[UTF8String]
+    val j = asDoc(l)
     if (many) {
       val p = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       mode match {
@@ -773,7 +805,7 @@ case class JsonNavExpr(left: Expression, right: Expression, mode: String,
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |${ev.value} = org.apache.spark.sql.graft.JsonNav.$kernel($a, ${pathRef(b)});
+      |${ev.value} = org.apache.spark.sql.graft.JsonNav.$kernel(${docRef(a)}, ${pathRef(b)});
       |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -842,11 +874,20 @@ case class JsonExistsExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class JsonKeysExpr(left: Expression, right: Expression)
+case class JsonKeysExpr(left: Expression, right: Expression,
+    wildcard: Boolean = false)
     extends BinaryExpression with ExpectsInputTypes {
   override def prettyName: String = "json_keys"
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(StringType, TypeCollection(StringType, ArrayType(StringType), LongType, IntegerType))
+    Seq(TypeCollection(StringType, ArrayType(StringType)),
+      TypeCollection(StringType, ArrayType(StringType), LongType, IntegerType))
+  private def leftList: Boolean = left.dataType.isInstanceOf[ArrayType]
+  private def asDoc(l: Any): UTF8String = l match {
+    case u: UTF8String => u
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => JsonNav.arrayToJson(a)
+  }
+  protected def docRef(a: String): String =
+    if (leftList) s"org.apache.spark.sql.graft.JsonNav.arrayToJson($a)" else a
   private def many: Boolean = right.dataType.isInstanceOf[ArrayType]
   private def integralPath: Boolean =
     right.dataType == LongType || right.dataType == IntegerType
@@ -857,22 +898,34 @@ case class JsonKeysExpr(left: Expression, right: Expression)
   protected def pathRef(b: String): String =
     if (integralPath) s"org.apache.spark.sql.graft.JsonNav.pathOf((long) $b)" else b
   override def dataType: DataType =
-    if (many) ArrayType(ArrayType(StringType, containsNull = false), containsNull = true)
+    if (many || wildcard)
+      ArrayType(ArrayType(StringType, containsNull = false), containsNull = true)
     else ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
-  private def kernel: String = if (many) "keysMany" else "keys"
+  private def kernel: String =
+    if (many) "keysMany" else if (wildcard) "keysWild" else "keys"
   override def nullSafeEval(l: Any, r: Any): Any =
     if (many)
-      JsonNav.keysMany(l.asInstanceOf[UTF8String],
+      JsonNav.keysMany(asDoc(l),
         r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
-    else JsonNav.keys(l.asInstanceOf[UTF8String], asPathValue(r))
+    else if (wildcard) JsonNav.keysWild(asDoc(l), asPathValue(r))
+    else JsonNav.keys(asDoc(l), asPathValue(r))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |${ev.value} = org.apache.spark.sql.graft.JsonNav.$kernel($a, ${if (many) b else pathRef(b)});
+      |${ev.value} = org.apache.spark.sql.graft.JsonNav.$kernel(${docRef(a)}, ${if (many) b else pathRef(b)});
       |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+object JsonKeysExpr {
+  /** Same sticky bind-time wildcard detection as [[JsonNavExpr.of]]. */
+  def of(l: Expression, r: Expression): JsonKeysExpr =
+    JsonKeysExpr(l, r, r match {
+      case Literal(u: UTF8String, StringType) => JsonNav.isWildcardPath(u)
+      case _ => false
+    })
 }
 
 case class JsonArrayLengthPath(left: Expression, right: Expression)

@@ -984,6 +984,13 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # parenthesized single params only parse with >=2 params
     out = re.sub(r"\(\s*(\w+)\s*\)\s*->", r"\1 ->", out)
     out = rewrite_casts(out)
+    # the reference allows IGNORE/RESPECT NULLS INSIDE the call parens
+    # (`last_value(x IGNORE NULLS)`); Spark only parses it after the
+    # closing paren — move it out (single-arg calls only; the nested-
+    # paren case is handled by scanning for a simple argument)
+    out = re.sub(
+        r"(?i)\(([^()]*?)\s+(IGNORE|RESPECT)\s+NULLS\s*\)",
+        r"(\1) \2 NULLS", out)
     # JSON typed literals (`JSON '...'`) are plain VARCHAR to the engine
     out = re.sub(r"(?i)\bJSON\s+(\x00\d+\x01)", r"\1", out)
     # nested-type spellings (type position) must convert BEFORE the
