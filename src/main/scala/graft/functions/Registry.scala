@@ -123,11 +123,21 @@ object Registry {
       if (es.length != 2) throw new IllegalArgumentException(
         s"json_group_object expects 2 args, got ${es.length}")
       import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+      // collect (key, value) ENTRIES, not two parallel lists: CollectList
+      // silently drops NULL inputs, which would misalign keys and values
+      // (issue23114: a NULL value must keep its entry as JSON null, a
+      // NULL key must raise — MapFromEntries raises on null keys)
       org.apache.spark.sql.catalyst.expressions.StructsToJson(
-        Map.empty[String, String],
-        MapFromArrays(
-          CollectList(Cast(es(0), str)).toAggregateExpression(),
-          CollectList(es(1)).toAggregateExpression()))
+        Map("ignoreNullFields" -> "false"),
+        MapFromEntries(CollectList(CreateNamedStruct(Seq(
+          Literal("key"), Cast(es(0), str),
+          Literal("value"), es(1)))).toAggregateExpression()))
+    }, "scala_udf")
+    // json_object(k1, v1, ...) — reference json_create.cpp
+    reg.createOrReplaceTempFunction("json_object", es => {
+      if (es.length % 2 != 0) throw new IllegalArgumentException(
+        "json_object expects an even number of arguments")
+      JsonObjectExpr(es)
     }, "scala_udf")
     // list lambda spellings (core_functions/scalar/list): Spark's
     // transform/filter under the reference's names; list_reduce seeds

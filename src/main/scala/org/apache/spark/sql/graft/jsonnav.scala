@@ -21,8 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - paths: `$`-rooted reference syntax (`$.key`, `$."quoted key"`,
   *    `$[3]`, `$[#-1]` back-index, `$[#]` append position), JSON-pointer
-  *    (`/a/b/0`), a bare string key, or a bare integer (array index,
-  *    negative wraps); the empty path addresses the whole document;
+  *    (`/a/b/0`), a bare string key (digits included — only the
+  *    INTEGER-typed overload indexes, spelled through pathOf as
+  *    `$[i]`, negative wraps); the empty path addresses the whole
+  *    document;
   *    wildcard paths (`$.*`, `$[*]`, recursive `$.**`/`$..key`) make the
   *    extraction return a LIST of every match in the reference's
   *    traversal order (json_common.cpp GetWildcardPathInternal) — the
@@ -129,7 +131,6 @@ object JsonNav {
   private def parse(path: String): List[Seg] = {
     if (path == null) return null
     if (path.isEmpty || path == "$") return Nil
-    if (path.matches("-?\\d+")) return List(Idx(path.toInt))
     if (path.startsWith("/")) {
       // JSON pointer; ~1 -> '/', ~0 -> '~'; '-' is the append position
       return path.split("/", -1).toList.tail.map { raw =>
@@ -139,7 +140,14 @@ object JsonNav {
         else Key(s)
       }
     }
-    if (!path.startsWith("$")) return List(Key(path))
+    if (!path.startsWith("$")) {
+      // a bare double-quoted key unwraps (json_common.cpp: the quotes
+      // delimit the key, they are not part of it — issue13948)
+      return List(Key(
+        if (path.length >= 2 && path.head == '"' && path.last == '"')
+          path.substring(1, path.length - 1)
+        else path))
+    }
     val segs = scala.collection.mutable.ListBuffer.empty[Seg]
     var i = 1
     while (i < path.length) {
@@ -451,8 +459,42 @@ object JsonNav {
   def keysMany(j: UTF8String, p: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData =
     manyOf(j, p)(keys)
 
-  /** Integer-index path overload (`json_extract(j, 0)`) as a path. */
-  def pathOf(i: Long): UTF8String = UTF8String.fromString(String.valueOf(i))
+  /** Integer-index path overload (`json_extract(j, 0)`) as a path.
+    * Spelled `$[i]` — a bare digit STRING path is a KEY lookup in the
+    * reference (issue13948: json_extract('[1,2,3]', '0') is NULL), only
+    * the integer-typed overload indexes. */
+  def pathOf(i: Long): UTF8String = UTF8String.fromString(s"$$[$i]")
+
+  /** json_object(k1, v1, ...) — reference json_create.cpp: NULL keys
+    * raise, NULL values render as JSON null, VARCHAR values become JSON
+    * strings, numerics/booleans stay raw. */
+  def jsonObject(kvs: Array[AnyRef]): UTF8String = {
+    val node = mapper.createObjectNode()
+    var i = 0
+    while (i < kvs.length) {
+      val k = kvs(i)
+      if (k == null)
+        throw new IllegalArgumentException(
+          "Invalid Input Error: json_object JSON key cannot be NULL")
+      val key = k.toString
+      kvs(i + 1) match {
+        case null => node.putNull(key)
+        case u: UTF8String => node.put(key, u.toString)
+        case n: java.lang.Long => node.put(key, n.longValue)
+        case n: java.lang.Integer => node.put(key, n.intValue)
+        case n: java.lang.Short => node.put(key, n.intValue)
+        case n: java.lang.Byte => node.put(key, n.intValue)
+        case n: java.lang.Double => node.put(key, n.doubleValue)
+        case n: java.lang.Float => node.put(key, n.floatValue)
+        case b: java.lang.Boolean => node.put(key, b.booleanValue)
+        case d: org.apache.spark.sql.types.Decimal =>
+          node.put(key, d.toJavaBigDecimal)
+        case other => node.put(key, String.valueOf(other))
+      }
+      i += 2
+    }
+    render(node)
+  }
 
   // ---- json_contains (fuzzy containment, json_contains.cpp) -------------
 
@@ -809,6 +851,35 @@ case class JsonNavExpr(left: Expression, right: Expression, mode: String,
       |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** json_object(k1, v1, k2, v2, ...) — keys must be VARCHAR at bind
+  * (json_create.cpp), NULL keys raise at eval, NULL values keep a JSON
+  * null entry. */
+case class JsonObjectExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def prettyName: String = "json_object"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.length % 2 != 0)
+      TypeCheckFailure("json_object expects key/value pairs")
+    else if (!children.grouped(2).forall(_.head.dataType == StringType))
+      TypeCheckFailure("json_object() keys must be VARCHAR")
+    else TypeCheckSuccess
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val kvs = new Array[AnyRef](children.length)
+    var i = 0
+    while (i < children.length) {
+      kvs(i) = children(i).eval(input).asInstanceOf[AnyRef]
+      i += 1
+    }
+    JsonNav.jsonObject(kvs)
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression = copy(children = cs)
 }
 
 object JsonNavExpr {

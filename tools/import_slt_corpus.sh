@@ -155,6 +155,24 @@ import_pref ins     $REF/sql/insert/*.test
 import_pref seq     $REF/sql/catalog/sequence/*.test
 import_pref piv     $REF/sql/pivot/*.test
 import_pref ordi    $REF/sql/ordinality/*.test
+# r10b breadth: CREATE TABLE batteries, the table-function packs
+# (range/generate_series/unnest/glob batteries), vector-size-agnostic
+# type tests, the peg-parser syntax batteries, settings/alter/pragma
+# (SET records are execution tuning and drop; the surviving query
+# records are engine-independent), and the json issue-regression pack
+import_pref creat   $REF/sql/create/*.test
+import_pref tfn     $REF/sql/table_function/*.test
+import_pref vtypes  $REF/sql/vector_types/*.test
+import_pref pegp    $REF/sql/peg_parser/*.test
+import_pref parll   $REF/sql/parallelism/*.test
+import_pref sett    $REF/sql/settings/*.test
+import_pref alt     $REF/sql/alter/*.test
+import_pref xpragma $REF/sql/pragma/*.test
+for f in $REF/sql/json/issues/*.test; do
+  [ -f "$f" ] || continue
+  python3 tools/import_slt.py --json-arrows "$f" "jiss_$(basename $f)" \
+    >/dev/null 2>&1 || true
+done
 #   multi-row `nextval(...) FROM strings`: value-assignment order across
 #     rows is task-scheduling order in Spark (the emulation documents
 #     row-parallel nextval as order-undefined); the single record whose
@@ -458,6 +476,15 @@ python3 tools/import_slt.py --drop-matching "(?i)'-?[0-9. ]+' *AS *interval|'-?[
 #     same recursion family, excluded from SKIP_EVICT runs entirely
 #     (ordinality_inout HANGS the fixpoint driver via LATERAL range
 #     inside WITH RECURSIVE)
+#   r10b evictions: tfn_duckdb_*/information_schema/sqlite_master are
+#     engine-catalog introspection TVFs; piv_* use duckdb's
+#     value-discovering PIVOT ... USING syntax (no static Spark
+#     rewrite; the DataFrame operator is q_pivot_dynamic);
+#     aggregates/flagg bit batteries need the BIT type; settings files
+#     assert reference config values/errors; creat_* assert storage-
+#     catalog conflicts the temp-view lowering cannot reproduce;
+#     jiss evictions: generator-in-expression unnest, blob->VARCHAR
+#     \xNN cast rendering, CREATE TEMP TABLE without provider
 # SKIP_EVICT=1 keeps every imported file in the MANIFEST — used to
 # re-test the evicted set after engine improvements (a file leaves this
 # list only by going green in a full SqlLogicSpec run)
@@ -467,6 +494,65 @@ while read -r t; do
   sed -i "\\|^$t\$|d; \\|^sqlite:$t\$|d" src/test/resources/sql/ref/MANIFEST
 done <<'EOF'
 seq_test_sequence_dependency.test
+creat_create_as.test
+creat_create_as_partition_sorted_options.test
+creat_create_database.test
+creat_create_or_replace.test
+creat_create_table_as_duplicate_names.test
+creat_create_table_extra_options.test
+tfn_database_oid.test
+tfn_duckdb_available_metrics.test
+tfn_duckdb_constraints.test
+tfn_duckdb_constraints_issue11284.test
+tfn_duckdb_constraints_issue12863.test
+tfn_duckdb_dependencies.test
+tfn_duckdb_functions_window.test
+tfn_duckdb_indexes.test
+tfn_duckdb_keywords.test
+tfn_duckdb_optimizers.test
+tfn_duckdb_schemas.test
+tfn_duckdb_sequences.test
+tfn_duckdb_tables.test
+tfn_duckdb_types.test
+tfn_duckdb_views.test
+tfn_external_resource_discovery.test
+tfn_external_resource_discovery_error.test
+tfn_external_resource_types.test
+tfn_information_schema.test
+tfn_information_schema_fkey_constraint_names.test
+tfn_information_schema_issue12867.test
+tfn_range_timestamp.test
+tfn_range_timestamp_lateral_empty.test
+tfn_sqlite_master.test
+tfn_test_information_schema_columns.test
+tfn_test_range_function.test
+tfn_test_repeat_function.test
+tfn_warn_deprecated_identifier_conversion.test
+vtypes_list_vector_types.test
+pegp_binary_type.test
+pegp_escape_string.test
+pegp_expression_statement.test
+pegp_identifier.test
+pegp_qualified_operator.test
+jiss_issue11804.test
+jiss_issue16968.test
+jiss_test_json_temp_8062.test
+sett_access_mode.test
+sett_allowed_configs.test
+sett_dialect_compatibility_mode.test
+sett_max_execution_time.test
+sett_operator_memory_limit.test
+sett_set_schema_temp_main.test
+sett_setting_alias.test
+sett_setting_collation.test
+sett_setting_disabled_optimizer.test
+sett_setting_preserve_identifier_case.test
+sett_setting_profiling_mode.test
+sett_setting_threads.test
+sett_test_disabled_local_filesystem_metadata.test
+sett_test_lock_configuration.test
+alt_alter_table_set_table_options.test
+xpragma_test_query_log.test
 cmacro_test_sequence_macro.test
 ordi_ordinality_inout.test
 cte_recursive_cte_invariant_build.test
