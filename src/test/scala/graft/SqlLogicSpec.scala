@@ -299,6 +299,23 @@ class SqlLogicSpec extends AnyFunSuite {
       sqliteMode: Boolean): Unit = {
     graft.functions.Macros.clear(spark) // hermetic: no cross-file macros
     graft.functions.Sequences.clear(spark) // …and no cross-file sequences
+    // hermetic session confs: a corpus file's surviving SET/RESET
+    // statements (settings/pragma areas) run on the SHARED test session,
+    // and sbt executes suites concurrently in this JVM — restore every
+    // conf the file touched so it cannot race another suite's plans
+    val confBefore = spark.conf.getAll
+    try runFileBody(name, text, imported, sqliteMode)
+    finally {
+      val after = spark.conf.getAll
+      for ((k, v) <- confBefore if after.get(k) != Some(v))
+        try spark.conf.set(k, v) catch { case _: Throwable => () }
+      for (k <- after.keys if !confBefore.contains(k))
+        try spark.conf.unset(k) catch { case _: Throwable => () }
+    }
+  }
+
+  private def runFileBody(name: String, text: String, imported: Boolean,
+      sqliteMode: Boolean): Unit = {
     val lines = text.linesIterator.toVector
     var i = 0
     var caseNo = 0
