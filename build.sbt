@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share one SparkSession and several (PlanSpec, SpillSpec,
+// OperatorsSpec, the corpus runner) mutate session confs under
+// try/finally — concurrent suite execution races those windows
+// (observed: a settings-area corpus file flipping PlanSpec's
+// bucketed-join plan). Spark itself parallelizes each query across all
+// cores, so suite-level parallelism buys little here anyway.
+Test / parallelExecution := false
 // Collation fixtures carry non-ASCII literals; pin source + runtime
 // charsets so they survive any host-locale default.
 scalacOptions += "-encoding"
