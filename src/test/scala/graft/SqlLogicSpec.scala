@@ -311,6 +311,11 @@ class SqlLogicSpec extends AnyFunSuite {
         try spark.conf.set(k, v) catch { case _: Throwable => () }
       for (k <- after.keys if !confBefore.contains(k))
         try spark.conf.unset(k) catch { case _: Throwable => () }
+      // a file's USE <schema> must not leak: later suites resolve the
+      // memoized g_/cb_ catalog tables UNQUALIFIED in `default`
+      // (creat_create_index_on_issue_13643 leaves db0 current)
+      try spark.catalog.setCurrentDatabase("default")
+      catch { case _: Throwable => () }
     }
   }
 
