@@ -226,7 +226,11 @@ object Pipeline extends Pack {
       |SELECT query_id, corpus_id, cos_sim, rk FROM ranked WHERE rk <= 10
       |ORDER BY query_id, rk""") { (s, dir) =>
     val e = Tables.embeddings(s, dir)
-    Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 10, dims = 64, planes = 4)
+    // tables = 1: this row pins the SQL-reproducible single-table
+    // pipeline (seed-0 plane family, the oracle text above); the shipped
+    // multi-table recall config is pinned by PipelineSpec's quality gate
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 10, dims = 64,
+        planes = 4, tables = 1)
       .orderBy("query_id", "rk")
   }
 
@@ -413,20 +417,84 @@ object Pipeline extends Pack {
       .orderBy("doc_id")
   }
 
-  // multimodal plumbing (decode STUBBED — see graft.pipeline.Multimodal)
-  qRowsOnly("q_multimodal_features") { (s, dir) =>
+  // multimodal features: REAL JDK codec roundtrip (PNG via ImageIO, WAV
+  // via AudioSystem) over deterministically synthesized payloads — the
+  // oracle computes the decoded stats from the closed-form pixel/sample
+  // pattern, so any decode defect breaks the hash. Narrow map, no shuffle.
+  q("q_multimodal_features",
+    """WITH m AS (
+      |  SELECT doc_id, doc_id % 2 = 0 AS is_img,
+      |    CAST(doc_id % 13 + 4 AS BIGINT) AS w, CAST(doc_id % 11 + 4 AS BIGINT) AS h,
+      |    CAST(doc_id % 400 + 100 AS BIGINT) AS ns
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id AS media_id, 'image' AS modality,
+      |    CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |    CAST(NULL AS INT) AS sample_rate, w*h AS n_units,
+      |    list_transform(generate_series(0, w*h - 1),
+      |      p -> ((p % w)*7 + (p // w)*13 + doc_id) % 256) AS vals
+      |  FROM m WHERE is_img
+      |  UNION ALL
+      |  SELECT doc_id AS media_id, 'audio' AS modality,
+      |    CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+      |    8000 AS sample_rate, ns AS n_units,
+      |    list_transform(generate_series(0, ns - 1),
+      |      i -> (doc_id*31 + i*17) % 2003 - 1001) AS vals
+      |  FROM m WHERE NOT is_img)
+      |SELECT media_id, modality, width, height, sample_rate, n_units,
+      |  round(CAST(list_sum(vals) AS DOUBLE) / n_units, 6) AS mean_val,
+      |  round(sqrt(CAST(list_sum(list_transform(vals, v -> v*v)) AS DOUBLE) / n_units
+      |    - (CAST(list_sum(vals) AS DOUBLE) / n_units)
+      |      * (CAST(list_sum(vals) AS DOUBLE) / n_units)), 6) AS std_val
+      |FROM u ORDER BY media_id""") { (s, dir) =>
     Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, dir)))
+      .select(col("media_id"), col("modality"), col("width"), col("height"),
+        col("sample_rate"), col("n_units"),
+        round(col("mean_val"), 6).as("mean_val"),
+        round(col("std_val"), 6).as("std_val"))
       .orderBy("media_id")
   }
 
-  // resize + frame-sample stages: narrow maps + posexplode, no shuffle
-  qRowsOnly("q_multimodal_frames") { (s, dir) =>
-    val media = Multimodal.resize(
-      Multimodal.fromDocuments(Tables.documents(s, dir)), maxW = 320, maxH = 240)
-    Multimodal.sampleFrames(media, k = 4)
-      .select(col("media_id"), col("frame_no"),
-        length(col("frame_payload")).as("frame_bytes"),
-        col("meta.width"), col("meta.height"))
+  // REAL resize: Graphics2D bilinear scale into an 8×8 box + PNG
+  // re-encode; the reported dims come from decoding the re-encoded
+  // payload, oracle = the closed-form ceil(dim·scale)
+  q("q_multimodal_resize",
+    """SELECT doc_id AS media_id,
+      |  CAST(ceil((doc_id % 13 + 4) * least(1.0,
+      |    least(8.0 / (doc_id % 13 + 4), 8.0 / (doc_id % 11 + 4)))) AS INT) AS width,
+      |  CAST(ceil((doc_id % 11 + 4) * least(1.0,
+      |    least(8.0 / (doc_id % 13 + 4), 8.0 / (doc_id % 11 + 4)))) AS INT) AS height
+      |FROM documents WHERE doc_id % 2 = 0 ORDER BY media_id""") { (s, dir) =>
+    val media = Multimodal.fromDocuments(Tables.documents(s, dir))
+      .where(col("modality") === "image")
+    Multimodal.resizeImages(media, maxW = 8, maxH = 8)
+      .select(col("media_id"), col("width"), col("height"))
+      .orderBy("media_id")
+  }
+
+  // frame sampling over a raw frame container (honest demux stub — the
+  // JDK ships no video codec): declarative substring slicing + posexplode,
+  // per-frame byte stats oracle'd against the closed-form byte pattern
+  q("q_multimodal_frames",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 13 + 4 AS BIGINT) * CAST(doc_id % 11 + 4 AS BIGINT) AS fb
+      |  FROM documents),
+      |fr AS (SELECT doc_id, fb, f FROM m, generate_series(0, 3) t(f)),
+      |v AS (SELECT doc_id, fb, f,
+      |  list_transform(generate_series(f*fb, (f+1)*fb - 1),
+      |    j -> (doc_id*31 + j) % 256) AS vals FROM fr)
+      |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no, fb AS frame_bytes,
+      |  round(CAST(list_sum(vals) AS DOUBLE) / fb, 6) AS mean_byte,
+      |  round(sqrt(CAST(list_sum(list_transform(vals, x -> x*x)) AS DOUBLE) / fb
+      |    - (CAST(list_sum(vals) AS DOUBLE) / fb)
+      |      * (CAST(list_sum(vals) AS DOUBLE) / fb)), 6) AS std_byte
+      |FROM v ORDER BY media_id, frame_no""") { (s, dir) =>
+    val media = Multimodal.videoFromDocuments(Tables.documents(s, dir), k = 4)
+    Multimodal.frameStats(Multimodal.sampleFrames(media, k = 4))
+      .select(col("media_id"), col("frame_no"), col("frame_bytes"),
+        round(col("mean_byte"), 6).as("mean_byte"),
+        round(col("std_byte"), 6).as("std_byte"))
       .orderBy("media_id", "frame_no")
   }
 

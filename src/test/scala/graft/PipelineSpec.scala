@@ -135,6 +135,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(cells.length == e.count() && cells.forall(c => c >= 0 && c < cents.length))
   }
 
+  // ---- ANN quality gate: recall@10 vs brute-force cosine with the
+  // SHIPPED parameters. Measured on the sf0.001 embeddings fixture
+  // (50 query rows; near-isotropic — true top-10 at cosine ~0.3 over a
+  // ~0 background, the hard case for ANN): multi-table LSH (4 planes ×
+  // 6 tables, Hamming-1 probes) recall@10 = 0.98; IVF (16 cells,
+  // 12 probes) recall@10 = 0.95. Asserted at >= 0.9 to leave room for
+  // fixture regeneration. The r10 single-table defaults measured 0.10 /
+  // 0.57 here — this gate exists to keep that from shipping again.
+  private def recallAt10(approx: Array[(Long, Long)], exact: Array[(Long, Long)]): Double = {
+    val a = approx.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val e = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val per = e.map { case (q, ids) =>
+      a.get(q).map(got => (got & ids).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    per.sum / per.size
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+    df.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  test("ANN quality: LSH recall@10 >= 0.9 vs brute force (shipped params)") {
+    val e = graft.engine.Tables.embeddings(spark, GraftTest.sf)
+    val q = e.filter(col("vec_id") < 50)
+    val exact = pairs(Similarity.bruteForceTopK(e, q, 10))
+    val approx = pairs(Similarity.lshTopK(e, q, 10, dims = 64))
+    val r = recallAt10(approx, exact)
+    info(f"LSH recall@10 = $r%.3f")
+    assert(r >= 0.9, f"LSH recall@10 $r%.3f below 0.9")
+  }
+
+  test("ANN quality: IVF recall@10 >= 0.9 vs brute force (shipped params)") {
+    val e = graft.engine.Tables.embeddings(spark, GraftTest.sf)
+    val q = e.filter(col("vec_id") < 50)
+    val exact = pairs(Similarity.bruteForceTopK(e, q, 10))
+    val approx = pairs(Similarity.ivfTopK(e, q, 10, dims = 64))
+    val r = recallAt10(approx, exact)
+    info(f"IVF recall@10 = $r%.3f")
+    assert(r >= 0.9, f"IVF recall@10 $r%.3f below 0.9")
+  }
+
   test("language id picks the language with most stopwords") {
     import spark.implicits._
     val df = Seq(
@@ -159,15 +200,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L) > out(2L))
   }
 
-  test("multimodal feature extraction: deterministic stub stats") {
+  test("multimodal: real PNG decode recovers the synthesized pixels") {
     import spark.implicits._
-    val docs = Seq((7L, "abcd", "en", "src", 4L)).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs)).collect().head
-    assert(feats.getAs[Long]("n_bytes") == 4L)
-    val mean = Seq('a', 'b', 'c', 'd').map(_.toInt).sum / 4.0
-    assert(math.abs(feats.getAs[Double]("mean_intensity") - mean) < 1e-12)
-    assert(feats.getAs[Long]("n_pixels") ==
-      ((7 % 640) + 1).toLong * ((7 % 480) + 1))
+    val docs = Seq((6L, "x", "en", "src", 1L), (8L, "y", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    for (id <- Seq(6L, 8L)) {
+      val (w, h) = (Multimodal.imgW(id), Multimodal.imgH(id))
+      val vals = for (y <- 0 until h; x <- 0 until w) yield Multimodal.pix(id, x, y)
+      val mean = vals.sum.toDouble / vals.size
+      val std = math.sqrt(vals.map(v => v.toLong * v).sum.toDouble / vals.size - mean * mean)
+      val f = feats(id)
+      assert(f.getAs[String]("modality") == "image")
+      assert(f.getAs[Int]("width") == w && f.getAs[Int]("height") == h)
+      assert(f.getAs[Long]("n_units") == w.toLong * h)
+      assert(f.getAs[Double]("mean_val") == mean)
+      assert(f.getAs[Double]("std_val") == std)
+    }
+  }
+
+  test("multimodal: real WAV decode recovers the PCM16 samples + rate") {
+    import spark.implicits._
+    val docs = Seq((7L, "x", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.extractFeatures(Multimodal.fromDocuments(docs)).collect().head
+    val n = Multimodal.wavN(7L)
+    val vals = (0 until n).map(i => Multimodal.pcm(7L, i))
+    val mean = vals.sum.toDouble / n
+    assert(f.getAs[String]("modality") == "audio")
+    assert(f.getAs[Int]("sample_rate") == Multimodal.WavRate)
+    assert(f.getAs[Long]("n_units") == n.toLong)
+    assert(f.getAs[Double]("mean_val") == mean)
+  }
+
+  test("multimodal: real Graphics2D resize fits the box, dims from re-decode") {
+    import spark.implicits._
+    val docs = Seq((12L, "x", "en", "src", 1L), (2L, "y", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.resizeImages(Multimodal.fromDocuments(docs), 8, 8)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    for (id <- Seq(12L, 2L)) {
+      val (w, h) = (Multimodal.imgW(id), Multimodal.imgH(id))
+      val scale = math.min(1.0, math.min(8.0 / w, 8.0 / h))
+      val r = out(id)
+      assert(r.getAs[Int]("width") == math.ceil(w * scale).toInt)
+      assert(r.getAs[Int]("height") == math.ceil(h * scale).toInt)
+      assert(r.getAs[Int]("width") <= 8 && r.getAs[Int]("height") <= 8)
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+  }
+
+  test("multimodal: frame slicing recovers per-frame byte stats") {
+    import spark.implicits._
+    val docs = Seq((5L, "x", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.videoFromDocuments(docs, k = 4)
+    val rows = Multimodal.frameStats(Multimodal.sampleFrames(media, k = 4))
+      .orderBy("frame_no").collect()
+    val fb = Multimodal.imgW(5L) * Multimodal.imgH(5L)
+    assert(rows.length == 4)
+    for (f <- 0 until 4) {
+      val vals = (f * fb until (f + 1) * fb).map(j => Multimodal.vByte(5L, j))
+      val mean = vals.sum.toDouble / fb
+      assert(rows(f).getAs[Long]("frame_bytes") == fb.toLong)
+      assert(rows(f).getAs[Double]("mean_byte") == mean)
+    }
   }
 
   test("repetition signals match a scala brute force") {
