@@ -82,14 +82,25 @@ object Sequences {
     }
   }
 
-  // JVM-global, keyed by session identity + lowercased name: tasks in
-  // local mode share the JVM with the driver, so per-row nextval calls
-  // inside generated code reach the same state object.
+  // JVM-global, keyed by session + lowercased name: tasks in local mode
+  // share the JVM with the driver, so per-row nextval calls inside
+  // generated code reach the same state object.
   private val states =
     new java.util.concurrent.ConcurrentHashMap[String, SeqState]()
 
+  // Per-session UUID in a WeakHashMap: identityHashCode is NOT unique
+  // (two live sessions can collide; a new session can reuse a GC'd one's
+  // hash) and would pin dropped sessions' state forever. Weak keys let a
+  // dead session's id — and, via the id prefix, nothing else — be
+  // collected; its sequence entries are bounded garbage keyed by a UUID
+  // no new session can ever mint again.
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   def sessionKey(spark: SparkSession): String =
-    "seq:" + System.identityHashCode(spark)
+    "seq:" + sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
 
   /** Unquote, lowercase and schema-qualify a possibly quoted spelling
     * ('"main"."seq"', 'a.seq', 'seq' → main.seq). Unterminated quotes
@@ -150,7 +161,9 @@ object Sequences {
         val Array(schema, name) = qualified.split("\\.", 2)
         val lastV = st.lastValue.map(String.valueOf)
           .getOrElse("CAST(NULL AS BIGINT)")
-        rows += s"('$schema', '$name', false, ${st.start}, ${st.min}, " +
+        // escape quotes: a quoted identifier may itself contain '
+        def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+        rows += s"(${lit(schema)}, ${lit(name)}, false, ${st.start}, ${st.min}, " +
           s"${st.max}, ${st.inc}, ${st.cycle}, $lastV)"
       }
     }
@@ -168,10 +181,16 @@ object Sequences {
     re.replaceAllIn(sql, java.util.regex.Matcher.quoteReplacement(rel))
   }
 
+  // the quoted alternative carries the same qualified continuation as the
+  // bare one, so CREATE SEQUENCE "s1"."seq" captures the WHOLE name (a
+  // bare-first alternation would match "s1" and swallow '."seq"' into the
+  // options text, silently creating main.s1)
+  private val SeqName = """(?:"[^"]+"|[\w$]+)(?:\s*\.\s*(?:"[^"]+"|[\w$]+))*"""
   private val CreateRe =
-    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[\w.$]+(?:\s*\.\s*(?:"[^"]+"|[\w$]+))*)\s*(.*?);?\s*""".r
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?(""" +
+      SeqName + """)\s*(.*?);?\s*""").r
   private val DropRe =
-    """(?is)\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?("[^"]+"|[\w.$]+(?:\s*\.\s*(?:"[^"]+"|[\w$]+))*)\s*;?\s*""".r
+    ("""(?is)\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?(""" + SeqName + """)\s*;?\s*""").r
 
   def isSequenceDdl(sql: String): Boolean =
     CreateRe.matches(sql) || DropRe.matches(sql)
@@ -190,6 +209,14 @@ object Sequences {
 
   private def create(spark: SparkSession, rawName: String, optText: String,
       orReplace: Boolean, ifNotExists: Boolean): Unit = {
+    // counters live in THIS JVM: on a multi-executor master each executor
+    // would silently fork its own sequence — refuse loudly instead and
+    // point at the distributed-safe alternatives
+    if (!spark.sparkContext.isLocal)
+      throw new UnsupportedOperationException(
+        "CREATE SEQUENCE: sequence counters are JVM-local and only correct " +
+          "on a local master; on a cluster use row_number() or " +
+          "monotonically_increasing_id() for surrogate keys")
     val name = normalize(rawName)
     // option scan in textual order (the transformer processes options in
     // order: an INCREMENT only installs sign-derived min/max defaults

@@ -264,4 +264,25 @@ object Sources extends Pack {
       }
     }.toDF("table_name", "column_name", "pos")
   }
+
+  // CREATE SEQUENCE + nextval over an ordered single-partition series —
+  // the reference's exact counter protocol (START/INCREMENT/currval;
+  // sequence_catalog_entry.cpp), oracle'd against the closed form the
+  // protocol guarantees. Single partition + in-partition sort pin the
+  // hand-out order (nextval is stateful); CREATE OR REPLACE resets the
+  // counter at query construction so the row is hermetic per run.
+  q("q_sequence",
+    """SELECT CAST(i AS BIGINT) AS n,
+      |  CAST(100 + (i - 1) * 3 AS BIGINT) AS seq_val,
+      |  CAST(100 + (i - 1) * 3 AS BIGINT) AS curr_val
+      |FROM generate_series(1, 50) t(i) ORDER BY n""") { (s, dir) =>
+    graft.functions.Sequences.execute(s,
+      "CREATE OR REPLACE SEQUENCE q_seq_gate START 100 INCREMENT 3")
+    s.range(1, 51)
+      .coalesce(1)
+      .sortWithinPartitions("id")
+      .selectExpr("id AS n", "nextval('q_seq_gate') AS seq_val",
+        "currval('q_seq_gate') AS curr_val")
+      .orderBy("n")
+  }
 }

@@ -132,4 +132,29 @@ class SequencesSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       ddl("CREATE SEQUENCE z MAXVALUE 5 START 9")).getMessage.contains("cannot be greater than MAXVALUE"))
   }
+
+  test("quoted-qualified CREATE/DROP captures the whole name") {
+    Sequences.clear(spark)
+    // a bare-first alternation used to match only "s1" and swallow
+    // '."seq"' into the options, silently creating main.s1
+    ddl("""CREATE SEQUENCE "s1"."seq" START 7""")
+    assert(one("""SELECT nextval('"s1"."seq"')""") == 7L)
+    assert(one("SELECT nextval('s1.seq')") == 8L)
+    ddl("""DROP SEQUENCE "s1"."seq"""")
+    val e = intercept[Exception](one("SELECT nextval('s1.seq')"))
+    assert(e.getMessage.contains("does not exist") ||
+      e.getCause != null && e.getCause.getMessage.contains("does not exist"))
+  }
+
+  test("duckdb_sequences() escapes quotes inside identifiers") {
+    Sequences.clear(spark)
+    ddl("""CREATE SEQUENCE "se'q" START 3""")
+    val rows = spark.sql(graft.functions.Macros.expandAll(spark,
+        "SELECT sequence_name, start_value FROM duckdb_sequences()"))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "se'q")
+    assert(rows.head.getAs[Number](1).longValue == 3L)
+    ddl("""DROP SEQUENCE "se'q"""")
+  }
 }
