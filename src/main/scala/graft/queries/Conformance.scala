@@ -96,10 +96,11 @@ object Conformance extends Pack {
   // therefore oracle-exact).
   q("q_sample_reservoir",
     """SELECT o_orderkey, o_totalprice FROM orders
-      |ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey
+      |ORDER BY (o_orderkey % 100000007 * 2654435761) % 4294967296, o_orderkey
       |LIMIT 100""") { (s, dir) =>
     Tables.orders(s, dir)
-      .orderBy((col("o_orderkey") * 2654435761L) % 4294967296L, col("o_orderkey"))
+      .orderBy((col("o_orderkey") % 100000007L * 2654435761L) % 4294967296L,
+        col("o_orderkey"))
       .limit(100)
       .select("o_orderkey", "o_totalprice")
   }

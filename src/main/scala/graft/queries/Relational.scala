@@ -415,15 +415,30 @@ object Relational extends Pack {
   // independently with probability p. The coin is a deterministic Knuth
   // multiplicative hash of the unique row key instead of an RNG — same
   // per-row independence, reproducible across runs/engines/topologies
-  // (and therefore oracle-exact). l_linenumber is 1..7, so
-  // orderkey*7+linenumber is collision-free.
+  // (and therefore oracle-exact; the actual sampling OPERATOR is
+  // exercised by q_sample_tablesample below). l_linenumber is 1..7, so
+  // orderkey*7+linenumber is collision-free. The key is reduced modulo a
+  // ~1e8 prime BEFORE the Knuth multiply so the product provably fits
+  // int64 at any SF (raw orderkey*2654435761 overflows past orderkey
+  // ~4.9e8, i.e. sf>=100, where the two engines would diverge).
   q("q_sample_bernoulli",
     """SELECT * FROM lineitem
-      |WHERE ((l_orderkey * 7 + l_linenumber) * 2654435761)
+      |WHERE ((l_orderkey * 7 + l_linenumber) % 100000007 * 2654435761)
       |      % 4294967296 % 100 < 10""") { (s, dir) =>
     Tables.lineitem(s, dir)
-      .filter(((col("l_orderkey") * 7 + col("l_linenumber")) * 2654435761L)
+      .filter(((col("l_orderkey") * 7 + col("l_linenumber")) % 100000007L * 2654435761L)
         % 4294967296L % 100 < 10)
+  }
+
+  // Spark's OWN sampling operator (SampleExec over a seeded
+  // XORShiftRandom): rows-only per contract — the kept set is
+  // RNG-algorithm-specific so no cross-engine oracle exists, but the
+  // REPEATABLE seed pins it run-over-run and the spec asserts the rate.
+  qRowsOnly("q_sample_tablesample") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT l_orderkey, l_linenumber FROM lineitem
+            |TABLESAMPLE (10 PERCENT) REPEATABLE (42)""".stripMargin)
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   // TABLESAMPLE SYSTEM (reference sample_options.hpp:18 SampleMethod::
@@ -438,9 +453,10 @@ object Relational extends Pack {
   // kept on any cluster topology — which also makes it oracle-exact.
   q("q_sample_system",
     """SELECT * FROM lineitem
-      |WHERE ((l_orderkey // 128) * 2654435761) % 4294967296 % 100 < 50""") { (s, dir) =>
+      |WHERE ((l_orderkey // 128) % 100000007 * 2654435761)
+      |      % 4294967296 % 100 < 50""") { (s, dir) =>
     Tables.lineitem(s, dir)
-      .filter((floor(col("l_orderkey") / 128) * 2654435761L)
+      .filter((floor(col("l_orderkey") / 128) % 100000007L * 2654435761L)
         % 4294967296L % 100 < 50)
   }
 

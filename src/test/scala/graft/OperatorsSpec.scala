@@ -524,4 +524,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"running median funnels rows through one task:\n$p")
   }
+
+  test("TABLESAMPLE REPEATABLE: Spark's real sampling operator — seeded, ~rate") {
+    import spark.implicits._
+    (1 to 20000).toDF("k").createOrReplaceTempView("sample_src")
+    def run(): Long =
+      spark.sql("SELECT k FROM sample_src TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+        .count()
+    val n1 = run(); val n2 = run()
+    assert(n1 == n2, s"REPEATABLE seed not stable: $n1 vs $n2") // seeded RNG
+    // Bernoulli at p=0.1 over 20k rows: mean 2000, sd ~42 — ±10 sd bound
+    assert(n1 > 1500 && n1 < 2500, s"sample rate off: $n1 of 20000")
+  }
 }
