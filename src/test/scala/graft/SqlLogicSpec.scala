@@ -244,8 +244,12 @@ class SqlLogicSpec extends AnyFunSuite {
     // LIST(JSON) vs LIST(VARCHAR) is indistinguishable at Row level, so
     // the nested renderer quotes a "null"-text element defensively; a
     // JSON-typed list's expectation shows it bare (SQL NULL would be
-    // uppercase "NULL")
-    (got.contains("'null'") && got.replace("'null'", "null") == exp) ||
+    // uppercase "NULL"). Scoped to bracketed-list renderings and to
+    // 'null' as a WHOLE element — a scalar VARCHAR 'null' vs SQL NULL
+    // mismatch must still fail.
+    (got.startsWith("[") && got.endsWith("]") &&
+      exp.startsWith("[") && exp.endsWith("]") && got.contains("'null'") &&
+      got.replaceAll("""(?<=[\[,\s])'null'(?=[,\]])""", "null") == exp) ||
     ((got.toLowerCase, exp.toLowerCase) match {
       // booleans: type-lenient ("1"/"true") and case-lenient — some
       // reference files carry Python-style "True"/"False" expectations
@@ -292,6 +296,10 @@ class SqlLogicSpec extends AnyFunSuite {
       graft.functions.Macros.drop(spark, sql); spark.emptyDataFrame
     case s if graft.functions.Sequences.isSequenceDdl(s) =>
       graft.functions.Sequences.execute(spark, s); spark.emptyDataFrame
+    case s if graft.functions.Prepared.matches(s) =>
+      // TRUE parameter binding (spark.sql(text, args)), re-bound per
+      // EXECUTE — reference client_context.cpp:535-627 protocol
+      graft.functions.Prepared.execute(spark, s)
     case _ => spark.sql(graft.functions.Macros.expandAll(spark, sql))
   }
 
@@ -299,6 +307,7 @@ class SqlLogicSpec extends AnyFunSuite {
       sqliteMode: Boolean): Unit = {
     graft.functions.Macros.clear(spark) // hermetic: no cross-file macros
     graft.functions.Sequences.clear(spark) // …and no cross-file sequences
+    graft.functions.Prepared.clear(spark) // …and no cross-file templates
     // hermetic session confs: a corpus file's surviving SET/RESET
     // statements (settings/pragma areas) run on the SHARED test session,
     // and sbt executes suites concurrently in this JVM — restore every

@@ -74,6 +74,11 @@ import os
 # corpus spells LAMBDAS with `->`.
 JSON_ARROWS = False
 
+# --raw-prepare: pass PREPARE/EXECUTE/DEALLOCATE through verbatim for the
+# runner's true parameter binding (spark.sql(text, args)) instead of the
+# textual inliner below.
+RAW_PREPARE = False
+
 REJECT = ["mode ", "skipif",
           "onlyif", "hash-threshold", "restart", "load ", "sleep ",
           "<FILE>",
@@ -149,6 +154,8 @@ def reject_reason(text: str, sql_only: str):
     # pragma prefixes) stay exact to avoid over-rejecting
     lower = sql_only.lower()
     for tok in REJECT:
+        if RAW_PREPARE and tok in ("PREPARE", "EXECUTE"):
+            continue  # runner binds these natively under --raw-prepare
         if tok in sql_only or (tok.upper() == tok and tok.lower() in lower):
             return tok
     # ORDER BY inside an aggregate call (duckdb ordered aggregates).
@@ -1475,6 +1482,14 @@ def main():
         global JSON_ARROWS
         JSON_ARROWS = True
         args.remove("--json-arrows")
+    # --raw-prepare: keep PREPARE/EXECUTE/DEALLOCATE statements verbatim
+    # instead of textually inlining — the Scala runner binds them with
+    # spark.sql(text, args) (true re-binding per EXECUTE, the reference's
+    # client_context protocol)
+    global RAW_PREPARE
+    if "--raw-prepare" in args:
+        RAW_PREPARE = True
+        args.remove("--raw-prepare")
     drop_matching = None
     if "--drop-matching" in args:
         k = args.index("--drop-matching")
@@ -1548,6 +1563,9 @@ def main():
     prepared = {}
     inlined = []
     for kind, header, body, exp in records:
+        if RAW_PREPARE:  # runner binds; keep records verbatim
+            inlined.append((kind, header, body, exp))
+            continue
         sql = "\n".join(body)
         pm = re.match(r"(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$", sql)
         if pm and kind == "statement" and "error" not in header:
