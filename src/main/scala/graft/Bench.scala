@@ -120,7 +120,54 @@ object Bench {
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = totalOf(results)
     val extTotal = total + totalOf(extraResults)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_extended":$extTotal,"queries":$qJson,"totals":$totals,"sf":"$sfDir"}""")
+
+    // Same-run DuckDB pair (views-over-parquet + native load-then-query):
+    // the bench artifact carries its own baseline measured on the SAME
+    // fixtures in the SAME session, so the trajectory table never leans
+    // on a prior round's regenerated data. Skipped gracefully (null) when
+    // python3/duckdb or the tool isn't present (SPARK_GRAFT_NODUCK=1
+    // forces skip). Protocol: reference benchmark/README.md:15-33.
+    val duckPair: Map[String, Double] =
+      if (sys.env.contains("SPARK_GRAFT_NODUCK")) Map.empty
+      else try {
+        val tool = new java.io.File("tools/bench_duckdb.py")
+        if (!tool.isFile) Map.empty
+        else {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_bench_oracle")
+          def esc(s: String): String = "\"" + s.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case '\n' => "\\n"
+            case '\r' => "\\r"
+            case '\t' => "\\t"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          } + "\""
+          val oracleJson = SparkEntry.oracleSql
+            .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}")
+          java.nio.file.Files.writeString(tmp.resolve("oracle_sql.json"), oracleJson)
+          val valueRe = """"value":\s*([0-9.eE+-]+)""".r
+          def run(native: Boolean): Option[Double] = {
+            val pb = new ProcessBuilder("python3", tool.getPath, sfDir, tmp.toString)
+            if (native) pb.environment().put("DUCK_NATIVE", "1")
+            val p = pb.start()
+            val outStr = new String(p.getInputStream.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            p.getErrorStream.readAllBytes()
+            if (p.waitFor() != 0) None
+            else valueRe.findFirstMatchIn(outStr).map(_.group(1).toDouble)
+          }
+          (run(native = false).map("duck_views" -> _) ++
+            run(native = true).map("duck_native" -> _)).toMap
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] duckdb pair skipped: ${e.getMessage}")
+        Map.empty
+      }
+    val duckJson = duckPair
+      .map { case (k, v) => s""","$k":$v""" }.mkString
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_extended":$extTotal$duckJson,"queries":$qJson,"totals":$totals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,7 +26,11 @@ object ScaleSoak {
     "q_join_range", "q_join_asof", "q_window_running",
     "q_window_median_unbounded", "q_dedup_minhash_pairs", "q_dedup_exact",
     "q_cb09", "q_cb33", "q_h2o_g10", "q_h2o_j05", "q_job06a",
-    "q_sessionize", "q_text_quality")
+    "q_sessionize", "q_text_quality",
+    // r11: the r9/r10 additions under the same plan_equal+ratio
+    // discipline, plus the now-real multimodal decode pass
+    "q_ldbc_bi4", "q_ldbc_ic2", "q_jb2", "q_rn_transform_agg",
+    "q_qualify", "q_ds11_channel_growth", "q_multimodal_features")
 
   private val facts = Seq("lineitem", "orders", "events", "documents",
     "embeddings")
