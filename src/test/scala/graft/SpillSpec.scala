@@ -19,7 +19,10 @@ class SpillSpec extends AnyFunSuite {
     "spark.sql.windowExec.buffer.in.memory.threshold" -> "64",
     "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "64",
     "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "64",
-    "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "64")
+    "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "64",
+    // object-hash aggregates (collect_list/sorted-agg kernels) fall back
+    // to the sort-based external path after 1 in-memory row
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1")
 
   private def withForcedSpill[A](body: => A): A = {
     val saved = spillConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -47,6 +50,21 @@ class SpillSpec extends AnyFunSuite {
       val expected = rowsOf(name)
       val spilled = withForcedSpill { rowsOf(name) }
       assert(spilled == expected, s"$name diverged under forced spill")
+    }
+  }
+
+  test("custom operator kernels are identical under forced external sort") {
+    // the CUSTOM operators: two-heap running median/quantile, the banded
+    // range-join sweep, IEJoin, and the chunked partition-less window —
+    // every sort/shuffle feeding their mapPartitions kernels is forced
+    // external (reference analogue: debug_force_external,
+    // test/sql/join/inner/test_join.test:5-6)
+    for (name <- Seq("q_window_median_unbounded", "q_window_quantile_unbounded",
+        "q_join_range", "q_join_iejoin", "q_window_global")) {
+      val expected = rowsOf(name)
+      val spilled = withForcedSpill { rowsOf(name) }
+      assert(spilled == expected, s"$name diverged under forced spill")
+      assert(expected.nonEmpty, s"$name returned no rows")
     }
   }
 }

@@ -152,6 +152,14 @@ import_pref ins     $REF/sql/insert/*.test
 # (USING SAMPLE on the REJECT list: expectations bake the reference
 # RNG's exact picks); show_select/ stays out (DESCRIBE/SHOW output
 # shape is engine-specific).
+# r11 re-audit of sample/: even the REPEATABLE(seed) files are NOT
+# portable — same_seed_same_sample.test's expectations are the
+# reference RNG's exact outputs (COUNT 20480/24903, min 12288/6 for
+# seed 42), which no other engine's seeded sampler reproduces; the
+# too-big-bound errors are reference-specific caps, and RESERVOIR is
+# not Spark grammar. The seeded-stability PROPERTY is pinned instead by
+# OperatorsSpec ("TABLESAMPLE REPEATABLE ... seeded, ~rate") and the
+# operator by q_sample_tablesample (rows-only).
 import_pref seq     $REF/sql/catalog/sequence/*.test
 import_pref piv     $REF/sql/pivot/*.test
 import_pref ordi    $REF/sql/ordinality/*.test
