@@ -57,6 +57,9 @@ object EngineSession {
       // rejects them before any optimizer hook): int-as-bool CASE/IF
       // conditions (see graft.plans.IntCondToBool)
       .withExtensions(e => e.injectResolutionRule(_ => graft.plans.IntCondToBool))
+      // reference SELECT-alias binder extensions: aliases in WHERE +
+      // the explicit `alias.x` qualifier (graft.plans.AliasResolution)
+      .withExtensions(e => e.injectResolutionRule(_ => graft.plans.AliasResolution))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
