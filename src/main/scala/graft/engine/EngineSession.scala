@@ -58,8 +58,11 @@ object EngineSession {
       // conditions (see graft.plans.IntCondToBool)
       .withExtensions(e => e.injectResolutionRule(_ => graft.plans.IntCondToBool))
       // reference SELECT-alias binder extensions: aliases in WHERE +
-      // the explicit `alias.x` qualifier (graft.plans.AliasResolution)
-      .withExtensions(e => e.injectResolutionRule(_ => graft.plans.AliasResolution))
+      // the explicit `alias.x` qualifier (graft.plans.AliasResolution);
+      // SPARK_GRAFT_NOALIASRULE=1 disables for analysis-cost A/B
+      .withExtensions(e =>
+        if (!sys.env.contains("SPARK_GRAFT_NOALIASRULE"))
+          e.injectResolutionRule(_ => graft.plans.AliasResolution))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
