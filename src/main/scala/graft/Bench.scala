@@ -37,7 +37,9 @@ object Bench {
     "q_cb09", "q_cb33", "q_job06a", "q_job09a", "q_h2o_g10", "q_h2o_j05",
     "q_window_median_unbounded",
     // round-9 additions: LDBC graph-join and jsonbench representatives
-    "q_ldbc_bi4", "q_ldbc_ic2", "q_jb2", "q_rn_transform_agg")
+    "q_ldbc_bi4", "q_ldbc_ic2", "q_jb2", "q_rn_transform_agg",
+    // round-11: the now-real multimodal codec pass (PNG+WAV roundtrip)
+    "q_multimodal_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -291,6 +291,71 @@ object Pipeline extends Pack {
       .orderBy("doc_id")
   }
 
+  // END-TO-END training-data pipeline in ONE query: quality filter →
+  // language gate → exact dedup (keeper = min doc_id per content hash) →
+  // greedy 2048-token sequence packing. Each stage reuses the exact
+  // operators the standalone queries pin (TextQualityStats kernel,
+  // languageId, content-hash dedup, ChunkedWindow running sum), so the
+  // oracle is the same closed-form composition in DuckDB. Topology: one
+  // narrow scoring map, one dedup shuffle, one running-sum pass — three
+  // stages at any corpus size, no driver loops.
+  q("q_pipeline_e2e", {
+    val rs = Seq("en", "de", "es", "fr").map(l => l -> duckRatio(TextAnalysis.stopwords(l)))
+    val best = s"greatest(${rs.map(_._2).mkString(", ")})"
+    val predLang = s"CASE ${rs.map { case (l, r) => s"WHEN $r >= $best AND $best > 0 THEN '$l'" }
+        .mkString(" ")} ELSE 'und' END"
+    val nTok = s"len($duckToks)"
+    val punct =
+      s"""(CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         | / length(text))""".stripMargin
+    val quality =
+      s"""round((least($nTok / 64.0, 1.0)
+         |  + CAST(len(list_distinct($duckToks)) AS DOUBLE) / $nTok
+         |  + (1.0 - least($punct * 5.0, 1.0))
+         |  + least(${duckRatio(TextAnalysis.stopwords("en"))} * 5.0, 1.0)) / 4.0, 6)""".stripMargin
+    s"""WITH scored AS (
+       |  SELECT doc_id, text, $predLang AS plang, $quality AS q,
+       |    CAST($nTok AS BIGINT) AS n_tok
+       |  FROM documents),
+       |filt AS (SELECT * FROM scored WHERE q >= 0.5 AND plang = 'en'),
+       |kept AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+       |                               ORDER BY doc_id) AS rk FROM filt) WHERE rk = 1),
+       |packed AS (
+       |  SELECT doc_id, n_tok,
+       |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM kept)
+       |SELECT CAST(start_tok // 2048 AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+       |  min(doc_id) AS first_doc
+       |FROM packed GROUP BY 1 ORDER BY bin"""
+  }) { (s, dir) =>
+    import org.apache.spark.sql.graft.{Bridge, TextQualityStats}
+    import org.apache.spark.sql.expressions.Window
+    val stats = Bridge.column(TextQualityStats(
+      Bridge.expression(col("text")), TextAnalysis.stopwords("en")))
+    val scored = Tables.documents(s, dir)
+      .withColumn("_st", stats)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.languageId(col("text")).as("plang"),
+        round(col("_st.quality"), 6).as("q"),
+        col("_st.n_tokens").as("n_tok"))
+      .where(col("q") >= 0.5 && col("plang") === "en")
+    val kept = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(md5(lower(trim(col("text"))))).orderBy("doc_id")))
+      .where(col("rk") === 1)
+      .select(lit("en").as("plang"), col("doc_id"), col("n_tok"))
+    graft.operators.ChunkedWindow
+      .keyedRunningSum(kept, Seq("plang"), "doc_id", col("n_tok"), "start_tok")
+      .groupBy(floor(col("start_tok") / 2048).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("bigint").as("bin_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("bin")
+  }
+
   // token counting: whitespace + BPE-ish subword regex
   q("q_text_tokens",
     s"""SELECT doc_id,

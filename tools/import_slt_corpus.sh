@@ -1114,6 +1114,9 @@ json_test_json_empty_object.test
 #   lambda/larrow: list comprehensions (`x*x for x in l if p`), method
 #     syntax (`l.list_transform(...)`), CREATE FUNCTION table macros,
 #     optional lambda index parameters ((acc, x, i));
+#     (r11 SKIP_EVICT sweep: larrow_transform_with_index_deprecated and
+#     nstruct_struct_is_null now green — re-run 2x stable — re-admitted;
+#     the only other newly-green file was the pinned test_null_if flake)
 #   nmap/nmapfe/nlist2/nstruct/tlist/tstruct: MAP keys of MAP/NULL type,
 #     map() subscript-error expectations, remap_struct, duck-specific
 #     nested-update DDL
@@ -1150,7 +1153,6 @@ larrow_list_comprehension_deprecated.test
 larrow_reduce_deprecated.test
 larrow_reduce_initial_deprecated.test
 larrow_rhs_parameters_deprecated.test
-larrow_transform_with_index_deprecated.test
 larrow_warn_deprecated_arrow.test
 nlist2_any_list.test
 nlist2_array.test
@@ -1177,7 +1179,6 @@ nmapfe_null.test
 nmapfe_null_entry.test
 nstruct_struct_aggregates.test
 nstruct_struct_dict.test
-nstruct_struct_is_null.test
 nstruct_test_struct.test
 nstruct_test_struct_keys.test
 tstruct_struct_index.test
