@@ -1,0 +1,882 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructField
+
+/** Copy-on-write DML over catalog tables: UPDATE / DELETE / TRUNCATE /
+  * MERGE INTO.
+  *
+  * Reference semantics: `src/execution/operator/persistent/physical_update
+  * .cpp`, `physical_delete.cpp`, `physical_merge_into.cpp` and the
+  * `test/sql/update`, `/delete`, `/merge` suites. The reference mutates row
+  * versions inside its MVCC storage layer; Spark's immutable-files model
+  * instead RECOMPUTES the table's new contents as one declarative plan and
+  * swaps them in — the same copy-on-write shape Delta/Iceberg use. The
+  * distributed part (and the 100 TB shape) is the plan that computes the
+  * new rows: a narrow map for predicate-only UPDATE/DELETE, one shuffled
+  * join for UPDATE..FROM / DELETE..USING / MERGE. The swap itself writes
+  * the whole (corpus-scale) table; a cluster-scale deployment would prune
+  * the rewrite to the files whose rows changed — the plan side is
+  * unchanged by that.
+  *
+  * Row identity: predicate-free matching uses the parquet metadata columns
+  * (`_metadata.file_path` + `_metadata.row_index`) as a STABLE row id — no
+  * materialization, deterministic across re-evaluations (the same row-id
+  * design Delta row-tracking uses). Falls back to an eager localCheckpoint
+  * + `monotonically_increasing_id` for non-file-backed relations.
+  *
+  * Semantics pinned by the reference tests:
+  *  - UPDATE .. FROM updates each target row AT MOST ONCE; with multiple
+  *    source matches an arbitrary single match wins
+  *    (test/sql/update/update_from_multi_match.test).
+  *  - MERGE raises a cardinality error when a WHEN MATCHED action would
+  *    affect the same target row twice; rows whose clauses all miss (or
+  *    hit DO NOTHING) do not count (test/sql/merge/merge_multi_match_error
+  *    .test).
+  *  - Bare INSERT / INSERT * are POSITIONAL (arity must match: "has N
+  *    columns but K values were supplied"); INSERT BY NAME maps by name,
+  *    missing target columns take their DEFAULT
+  *    (test/sql/merge/merge_into_insert_star.test, _too_few_columns.test).
+  *  - RETURNING yields one row per affected target row — new values for
+  *    UPDATE, old values for DELETE (update_query_node.test).
+  */
+object Dml {
+
+  // ------------------------------------------------------------------
+  // text scanning (quote/paren aware, same discipline as QualifyRewrite)
+  // ------------------------------------------------------------------
+
+  private def isIdent(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '$'
+
+  private def scan(s: String): (Array[Boolean], Array[Int]) = {
+    val n = s.length
+    val inQ = new Array[Boolean](n)
+    val depth = new Array[Int](n)
+    var q = false; var qc = ' '; var d = 0; var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (q) { inQ(i) = true; depth(i) = d; if (c == qc) q = false }
+      else if (c == '\'' || c == '"') { inQ(i) = true; depth(i) = d; q = true; qc = c }
+      else if (c == '(') { depth(i) = d; d += 1 }
+      else if (c == ')') { d -= 1; depth(i) = d }
+      else depth(i) = d
+      i += 1
+    }
+    (inQ, depth)
+  }
+
+  private def kwAt(lower: String, inQ: Array[Boolean], i: Int, kw: String): Boolean =
+    !inQ(i) && lower.startsWith(kw, i) &&
+      (i == 0 || !isIdent(lower.charAt(i - 1))) &&
+      (i + kw.length >= lower.length || !isIdent(lower.charAt(i + kw.length)))
+
+  /** First top-level (depth 0, unquoted) occurrence of any keyword in
+    * `kws`, at or after `from`. Returns (index, keyword) or (-1, null). */
+  private def findKw(lower: String, inQ: Array[Boolean], depth: Array[Int],
+      from: Int, kws: Seq[String]): (Int, String) = {
+    var i = math.max(from, 0)
+    while (i < lower.length) {
+      if (depth(i) == 0 && !inQ(i)) {
+        var k = 0
+        while (k < kws.length) {
+          if (kwAt(lower, inQ, i, kws(k))) return (i, kws(k))
+          k += 1
+        }
+      }
+      i += 1
+    }
+    (-1, null)
+  }
+
+  /** Split `s` on top-level commas. */
+  private def splitTop(s: String): Seq[String] = {
+    val (inQ, depth) = scan(s)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ',' && depth(i) == 0 && !inQ(i)) {
+        out += s.substring(start, i); start = i + 1
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // statement-head detection (handles a leading WITH prefix: the CTE
+  // bodies sit inside parens, so the statement verb is the first
+  // depth-0 statement keyword)
+  // ------------------------------------------------------------------
+
+  private val StmtKws =
+    Seq("select", "values", "from", "update", "delete", "merge", "truncate",
+      "insert", "create", "drop", "alter", "table", "pivot", "unpivot",
+      "describe", "show", "explain", "set", "copy", "call", "summarize")
+
+  private val DmlKws = Set("update", "delete", "merge", "truncate")
+
+  /** (ctePrefix, head, bodyFromHead) — head is null for non-DML. */
+  private def splitHead(sql: String): (String, String, String) = {
+    val lower = sql.toLowerCase
+    val (inQ, depth) = scan(sql)
+    var i = 0
+    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+    if (i >= sql.length) return ("", null, sql)
+    if (kwAt(lower, inQ, i, "with")) {
+      val (j, kw) = findKw(lower, inQ, depth, i + 4, StmtKws)
+      if (j < 0 || !DmlKws.contains(kw)) ("", null, sql)
+      else (sql.substring(0, j).trim, kw, sql.substring(j))
+    } else {
+      val (j, kw) = findKw(lower, inQ, depth, i, StmtKws)
+      if (j != i || kw == null || !DmlKws.contains(kw)) ("", null, sql)
+      else ("", kw, sql.substring(j))
+    }
+  }
+
+  def matches(sql: String): Boolean = splitHead(sql)._2 != null
+
+  def execute(spark: SparkSession, sql: String): DataFrame = {
+    val (cte, head, body) = splitHead(sql)
+    head match {
+      case "update"   => runUpdate(spark, cte, body)
+      case "delete"   => runDelete(spark, cte, body)
+      case "truncate" => runTruncate(spark, body)
+      case "merge"    => runMerge(spark, cte, body)
+      case _ => throw new IllegalArgumentException(s"not a DML statement: $sql")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // shared plumbing
+  // ------------------------------------------------------------------
+
+  private val G = "__graft_"
+
+  /** Merge a user `WITH a AS (...)` prefix with our own CTE list. */
+  private def mergeCte(userCte: String, ours: String): String =
+    if (userCte.isEmpty) s"WITH $ours"
+    else userCte.trim.replaceAll("^(?is)WITH\\b", "WITH ") + s", $ours"
+
+  private def cteify(userCte: String, select: String): String =
+    if (userCte.isEmpty) select else s"${userCte.trim} $select"
+
+  private case class TableRef(name: String, alias: String, rest: String)
+
+  private val IdentRe = """(?s)^\s*((?:"[^"]+"|[\w$]+)(?:\s*\.\s*(?:"[^"]+"|[\w$]+))*)(.*)$""".r
+  private val AliasRe = """(?s)^\s*(?:AS\s+)?("[^"]+"|[\w$]+)(.*)$""".r
+
+  private val NonAliasKw = Set("set", "where", "using", "on", "when",
+    "returning", "from", "as")
+
+  private def parseTableRef(text: String): TableRef = text match {
+    case IdentRe(name, rest) =>
+      rest match {
+        case AliasRe(a, rest2)
+            if !NonAliasKw.contains(a.toLowerCase.stripPrefix("\"").stripSuffix("\"")) =>
+          TableRef(name, a.stripPrefix("\"").stripSuffix("\""), rest2)
+        case _ =>
+          val bare = name.split('.').last.trim.stripPrefix("\"").stripSuffix("\"")
+          TableRef(name, bare, rest)
+      }
+    case _ => throw new IllegalArgumentException(s"Parser Error: cannot parse table reference in: $text")
+  }
+
+  private def rejectView(spark: SparkSession, table: String, verb: String): Unit = {
+    val bare = table.split('.').last.stripPrefix("\"").stripSuffix("\"")
+    val isView =
+      try {
+        val t = spark.catalog.getTable(bare)
+        t.tableType == "VIEW" || t.tableType == "TEMPORARY"
+      } catch { case _: Throwable => false }
+    if (isView) throw new IllegalArgumentException(
+      s"Binder Error: Can only $verb base tables!")
+  }
+
+  private def schemaOf(spark: SparkSession, table: String): Seq[StructField] =
+    spark.table(table).schema.fields.toSeq
+
+  /** Column DEFAULT as a SQL expression ("NULL" when none declared). */
+  private def defaultExpr(f: StructField): String =
+    if (f.metadata.contains("CURRENT_DEFAULT")) f.metadata.getString("CURRENT_DEFAULT")
+    else "NULL"
+
+  private def castTo(expr: String, f: StructField): String =
+    s"CAST((${expr.trim}) AS ${f.dataType.sql})"
+
+  private def assignValue(rhs: String, f: StructField): String = {
+    val t = rhs.trim
+    if (t.equalsIgnoreCase("default")) castTo(defaultExpr(f), f) else castTo(t, f)
+  }
+
+  /** True when the predicate text can contain a subquery (needs the
+    * join-based row-id path instead of a projection CASE). */
+  private def hasSubquery(s: String): Boolean = {
+    val lower = s.toLowerCase
+    val (inQ, _) = scan(s)
+    var i = lower.indexOf("select")
+    while (i >= 0) {
+      if (kwAt(lower, inQ, i, "select")) return true
+      i = lower.indexOf("select", i + 1)
+    }
+    false
+  }
+
+  /** Relation text `(SELECT t0.*, <gid> AS __graft_gid FROM tbl AS t0)`
+    * with a stable per-row id. Probes the parquet metadata columns and
+    * falls back to an eager checkpoint for non-file-backed tables. */
+  private def gidRelation(spark: SparkSession, table: String): String = {
+    val probe = scala.util.Try {
+      spark.sql(s"SELECT _metadata FROM $table LIMIT 0").schema
+    }
+    if (probe.isSuccess)
+      s"(SELECT ${G}t0.*, concat_ws('#', ${G}t0._metadata.file_path, " +
+        s"CAST(${G}t0._metadata.row_index AS STRING)) AS ${G}gid " +
+        s"FROM $table AS ${G}t0)"
+    else {
+      import org.apache.spark.sql.functions.monotonically_increasing_id
+      val vn = G + "base_" + math.abs(table.hashCode).toString
+      spark.table(table).withColumn(G + "gid",
+        monotonically_increasing_id().cast("string"))
+        .localCheckpoint(true).createOrReplaceTempView(vn)
+      vn
+    }
+  }
+
+  /** Materialize the table's new contents and swap them in (tmp managed
+    * table + INSERT OVERWRITE: metadata-preserving two-phase COW). */
+  private def swapIn(spark: SparkSession, table: String, newSql: String): Unit = {
+    val df = spark.sql(newSql)
+    val tmp = table.replaceAll("[^\\w]", "_") + s"${G}dml_tmp"
+    df.write.mode("overwrite").saveAsTable(tmp)
+    try { spark.sql(s"INSERT OVERWRITE TABLE $table SELECT * FROM $tmp").collect(): Unit }
+    finally { spark.sql(s"DROP TABLE IF EXISTS $tmp").collect(): Unit }
+  }
+
+  private def countDf(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    Seq(n).toDF("Count")
+  }
+
+  /** Collect a result set eagerly (the table is about to be rewritten)
+    * and re-materialize it as a local DataFrame. RETURNING result sets
+    * are bounded by the rows one statement touches. */
+  private def freeze(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  // ------------------------------------------------------------------
+  // UPDATE
+  // ------------------------------------------------------------------
+
+  private case class Assign(col: String, rhs: String)
+
+  /** Parse a SET list: `a = e`, `(a, b) = (e1, e2)`, `(a, b) = e`. */
+  private def parseAssigns(setText: String, table: String,
+      fields: Seq[StructField]): Seq[Assign] = {
+    val byName = fields.map(f => f.name.toLowerCase -> f).toMap
+    def checkCol(raw0: String): String = {
+      val raw = raw0.trim
+      if (raw.contains('.'))
+        throw new IllegalArgumentException(
+          "Parser Error: Qualified column names in UPDATE .. SET not supported - use the unqualified name instead")
+      val name = raw.stripPrefix("\"").stripSuffix("\"")
+      byName.get(name.toLowerCase) match {
+        case Some(f) => f.name
+        case None =>
+          val cand = fields.map(_.name).sortBy(c =>
+            -c.toLowerCase.zip(name.toLowerCase).count { case (a, b) => a == b })
+            .headOption.getOrElse("")
+          throw new IllegalArgumentException(
+            s"""Binder Error: Referenced update column $name not found in table! Candidate update columns: "$cand"""")
+      }
+    }
+    splitTop(setText).flatMap { item =>
+      val (inQ, depth) = scan(item)
+      var eq = -1
+      var i = 0
+      while (eq < 0 && i < item.length) {
+        if (item.charAt(i) == '=' && depth(i) == 0 && !inQ(i) &&
+            (i == 0 || "<>!".indexOf(item.charAt(i - 1)) < 0) &&
+            (i + 1 >= item.length || item.charAt(i + 1) != '=')) eq = i
+        i += 1
+      }
+      if (eq < 0) throw new IllegalArgumentException(
+        s"Parser Error: expected assignment in SET clause: $item")
+      val lhs = item.substring(0, eq).trim
+      val rhs = item.substring(eq + 1).trim
+      if (lhs.startsWith("(")) {
+        val cols = splitTop(lhs.stripPrefix("(").stripSuffix(")")).map(checkCol)
+        val rhsInner = rhs.stripPrefix("ROW").trim
+        if (rhsInner.startsWith("(") && rhsInner.endsWith(")")) {
+          val exprs = splitTop(rhsInner.substring(1, rhsInner.length - 1))
+          if (exprs.length == cols.length) cols.zip(exprs).map { case (c, e) => Assign(c, e) }
+          else if (exprs.length == 1) cols.map(c => Assign(c, exprs.head))
+          else throw new IllegalArgumentException(
+            s"Binder Error: Number of columns (${cols.length}) does not match number of expressions (${exprs.length})")
+        } else cols.map(c => Assign(c, rhs)) // scalar broadcast
+      } else Seq(Assign(checkCol(lhs), rhs))
+    }
+  }
+
+  private def runUpdate(spark: SparkSession, cte: String, body: String): DataFrame = {
+    val after = body.replaceFirst("(?is)^\\s*UPDATE\\b", "")
+    val tr = parseTableRef(after)
+    rejectView(spark, tr.name, "update")
+    val fields = schemaOf(spark, tr.name)
+    val lower = tr.rest.toLowerCase
+    val (inQ, depth) = scan(tr.rest)
+    val (setIdx, _) = findKw(lower, inQ, depth, 0, Seq("set"))
+    if (setIdx < 0) throw new IllegalArgumentException("Parser Error: UPDATE requires a SET clause")
+    val (fromIdx, _) = findKw(lower, inQ, depth, setIdx + 3, Seq("from"))
+    val (whereIdx, _) = findKw(lower, inQ, depth, setIdx + 3, Seq("where"))
+    val (retIdx, _) = findKw(lower, inQ, depth, setIdx + 3, Seq("returning"))
+    def seg(from: Int, ends: Seq[Int]): String = {
+      val end = ends.filter(_ > from).sorted.headOption.getOrElse(tr.rest.length)
+      tr.rest.substring(from, end)
+    }
+    val setText = seg(setIdx + 3, Seq(fromIdx, whereIdx, retIdx))
+    val fromText = if (fromIdx < 0) "" else seg(fromIdx + 4, Seq(whereIdx, retIdx)).trim
+    val whereText = if (whereIdx < 0) "" else seg(whereIdx + 5, Seq(retIdx)).trim
+    val retText = if (retIdx < 0) "" else tr.rest.substring(retIdx + 9).trim
+    val assigns = parseAssigns(setText, tr.name, fields)
+    val assigned = assigns.map(a => a.col.toLowerCase -> a).toMap
+    val fieldByName = fields.map(f => f.name.toLowerCase -> f).toMap
+
+    if (fromText.isEmpty && (whereText.isEmpty || !hasSubquery(whereText))) {
+      // map-only path: one narrow projection, no shuffle
+      val cols = fields.map { f =>
+        assigned.get(f.name.toLowerCase) match {
+          case Some(a) if whereText.isEmpty => s"${assignValue(a.rhs, f)} AS ${q(f.name)}"
+          case Some(a) =>
+            s"CASE WHEN ($whereText) THEN ${assignValue(a.rhs, f)} ELSE ${q(f.name)} END AS ${q(f.name)}"
+          case None => q(f.name)
+        }
+      }
+      val rel = s"${tr.name} AS ${q(tr.alias)}"
+      val newSql = cteify(cte, s"SELECT ${cols.mkString(", ")} FROM $rel")
+      val cnt = spark.sql(cteify(cte,
+        s"SELECT count(*) FROM $rel" +
+          (if (whereText.isEmpty) "" else s" WHERE $whereText"))).head().getLong(0)
+      val ret =
+        if (retText.isEmpty) null
+        else freeze(spark, spark.sql(cteify(cte,
+          s"SELECT $retText FROM (SELECT ${cols.mkString(", ")} FROM $rel" +
+            (if (whereText.isEmpty) "" else s" WHERE $whereText") +
+            s") AS ${q(tr.alias)}")))
+      swapIn(spark, tr.name, newSql)
+      if (ret != null) ret else countDf(spark, cnt)
+    } else {
+      // join path (UPDATE .. FROM and/or subquery predicates): stable
+      // row id, arbitrary single match per target row
+      val base = gidRelation(spark, tr.name)
+      val newVals = assigns.zipWithIndex.map { case (a, i) =>
+        s"${assignValue(a.rhs, fieldByName(a.col.toLowerCase))} AS ${G}n_$i"
+      }
+      val fromPart = if (fromText.isEmpty) "" else s", $fromText"
+      val wherePart = if (whereText.isEmpty) "" else s" WHERE $whereText"
+      val matches =
+        s"""SELECT * FROM (
+           |  SELECT ${q(tr.alias)}.${G}gid AS ${G}mgid, ${newVals.mkString(", ")},
+           |         row_number() OVER (PARTITION BY ${q(tr.alias)}.${G}gid
+           |                            ORDER BY ${q(tr.alias)}.${G}gid) AS ${G}rn
+           |  FROM $base AS ${q(tr.alias)}$fromPart$wherePart
+           |) WHERE ${G}rn = 1""".stripMargin
+      val idxByCol = assigns.zipWithIndex.map { case (a, i) => a.col.toLowerCase -> i }.toMap
+      val outCols = fields.map { f =>
+        idxByCol.get(f.name.toLowerCase) match {
+          case Some(i) =>
+            s"CASE WHEN ${G}m.${G}mgid IS NOT NULL THEN ${G}m.${G}n_$i ELSE ${G}t.${q(f.name)} END AS ${q(f.name)}"
+          case None => s"${G}t.${q(f.name)} AS ${q(f.name)}"
+        }
+      }
+      val newSql = cteify(cte,
+        s"""SELECT ${outCols.mkString(", ")}
+           |FROM $base AS ${G}t LEFT JOIN ($matches) AS ${G}m
+           |  ON ${G}t.${G}gid = ${G}m.${G}mgid""".stripMargin)
+      val cnt = spark.sql(cteify(cte, s"SELECT count(*) FROM ($matches)")).head().getLong(0)
+      val ret =
+        if (retText.isEmpty) null
+        else {
+          val updCols = fields.map { f =>
+            idxByCol.get(f.name.toLowerCase) match {
+              case Some(i) => s"${G}m.${G}n_$i AS ${q(f.name)}"
+              case None => s"${G}t.${q(f.name)} AS ${q(f.name)}"
+            }
+          }
+          freeze(spark, spark.sql(cteify(cte,
+            s"""SELECT $retText FROM (
+               |  SELECT ${updCols.mkString(", ")}
+               |  FROM $base AS ${G}t JOIN ($matches) AS ${G}m
+               |    ON ${G}t.${G}gid = ${G}m.${G}mgid) AS ${q(tr.alias)}""".stripMargin)))
+        }
+      swapIn(spark, tr.name, newSql)
+      if (ret != null) ret else countDf(spark, cnt)
+    }
+  }
+
+  private def q(name: String): String =
+    if (name.forall(c => c.isLetterOrDigit || c == '_')) name else s"`$name`"
+
+  // ------------------------------------------------------------------
+  // DELETE
+  // ------------------------------------------------------------------
+
+  private def runDelete(spark: SparkSession, cte: String, body: String): DataFrame = {
+    val after = body.replaceFirst("(?is)^\\s*DELETE\\s+FROM\\b", "")
+    val tr = parseTableRef(after)
+    rejectView(spark, tr.name, "delete from")
+    val fields = schemaOf(spark, tr.name)
+    val lower = tr.rest.toLowerCase
+    val (inQ, depth) = scan(tr.rest)
+    val (usingIdx, _) = findKw(lower, inQ, depth, 0, Seq("using"))
+    val (whereIdx, _) = findKw(lower, inQ, depth, 0, Seq("where"))
+    val (retIdx, _) = findKw(lower, inQ, depth, 0, Seq("returning"))
+    def seg(from: Int, ends: Seq[Int]): String = {
+      val end = ends.filter(_ > from).sorted.headOption.getOrElse(tr.rest.length)
+      tr.rest.substring(from, end)
+    }
+    val usingText = if (usingIdx < 0) "" else seg(usingIdx + 5, Seq(whereIdx, retIdx)).trim
+    val whereText = if (whereIdx < 0) "" else seg(whereIdx + 5, Seq(retIdx)).trim
+    val retText = if (retIdx < 0) "" else tr.rest.substring(retIdx + 9).trim
+    val colList = fields.map(f => q(f.name)).mkString(", ")
+
+    if (usingText.isEmpty && (whereText.isEmpty || !hasSubquery(whereText))) {
+      val rel = s"${tr.name} AS ${q(tr.alias)}"
+      val newSql = cteify(cte,
+        if (whereText.isEmpty) s"SELECT $colList FROM $rel WHERE false"
+        else s"SELECT $colList FROM $rel WHERE ($whereText) IS NOT TRUE")
+      val cnt = spark.sql(cteify(cte,
+        s"SELECT count(*) FROM $rel" +
+          (if (whereText.isEmpty) "" else s" WHERE ($whereText) IS TRUE"))).head().getLong(0)
+      val ret =
+        if (retText.isEmpty) null
+        else freeze(spark, spark.sql(cteify(cte,
+          s"SELECT $retText FROM (SELECT $colList FROM $rel" +
+            (if (whereText.isEmpty) "" else s" WHERE ($whereText) IS TRUE") +
+            s") AS ${q(tr.alias)}")))
+      swapIn(spark, tr.name, newSql)
+      if (ret != null) ret else countDf(spark, cnt)
+    } else {
+      val base = gidRelation(spark, tr.name)
+      val usingPart = if (usingText.isEmpty) "" else s", $usingText"
+      val wherePart = if (whereText.isEmpty) "" else s" WHERE $whereText"
+      val matched =
+        s"""SELECT DISTINCT ${q(tr.alias)}.${G}gid AS ${G}mgid
+           |FROM $base AS ${q(tr.alias)}$usingPart$wherePart""".stripMargin
+      val tcols = fields.map(f => s"${G}t.${q(f.name)} AS ${q(f.name)}").mkString(", ")
+      val newSql = cteify(cte,
+        s"""SELECT $tcols FROM $base AS ${G}t
+           |LEFT ANTI JOIN ($matched) AS ${G}m ON ${G}t.${G}gid = ${G}m.${G}mgid""".stripMargin)
+      val cnt = spark.sql(cteify(cte, s"SELECT count(*) FROM ($matched)")).head().getLong(0)
+      val ret =
+        if (retText.isEmpty) null
+        else freeze(spark, spark.sql(cteify(cte,
+          s"""SELECT $retText FROM (
+             |  SELECT $tcols FROM $base AS ${G}t
+             |  LEFT SEMI JOIN ($matched) AS ${G}m ON ${G}t.${G}gid = ${G}m.${G}mgid
+             |) AS ${q(tr.alias)}""".stripMargin)))
+      swapIn(spark, tr.name, newSql)
+      if (ret != null) ret else countDf(spark, cnt)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // TRUNCATE
+  // ------------------------------------------------------------------
+
+  private def runTruncate(spark: SparkSession, body: String): DataFrame = {
+    val after = body.replaceFirst("(?is)^\\s*TRUNCATE\\b(\\s+TABLE\\b)?", "")
+    val tr = parseTableRef(after)
+    spark.sql(s"TRUNCATE TABLE ${tr.name}").collect()
+    countDf(spark, 0L)
+  }
+
+  // ------------------------------------------------------------------
+  // MERGE INTO
+  // ------------------------------------------------------------------
+
+  private sealed trait MergeAction
+  private case class ActUpdate(assigns: Seq[Assign], bare: Boolean) extends MergeAction
+  private case object ActDelete extends MergeAction
+  private case object ActNothing extends MergeAction
+  private case class ActError(msg: Option[String]) extends MergeAction
+  private case class ActInsert(cols: Option[Seq[String]], values: Option[Seq[String]],
+      byName: Boolean) extends MergeAction
+
+  /** kind: 0 = MATCHED, 1 = NOT MATCHED [BY TARGET], 2 = NOT MATCHED BY SOURCE */
+  private case class MergeClause(kind: Int, cond: Option[String], action: MergeAction)
+
+  private val ClauseRe =
+    """(?is)^\s*(NOT\s+)?MATCHED\s*(?:BY\s+(SOURCE|TARGET)\b)?\s*(.*)$""".r
+
+  /** First depth-0 THEN not inside a CASE .. END. */
+  private def findThen(text: String): Int = {
+    val lower = text.toLowerCase
+    val (inQ, depth) = scan(text)
+    var caseDepth = 0
+    var i = 0
+    while (i < text.length) {
+      if (depth(i) == 0 && !inQ(i)) {
+        if (kwAt(lower, inQ, i, "case")) caseDepth += 1
+        else if (kwAt(lower, inQ, i, "end") && caseDepth > 0) caseDepth -= 1
+        else if (caseDepth == 0 && kwAt(lower, inQ, i, "then")) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def parseAction(text0: String, tfields: Seq[StructField]): MergeAction = {
+    val text = text0.trim
+    val lower = text.toLowerCase
+    if (lower.startsWith("do")) ActNothing
+    else if (lower.startsWith("delete")) ActDelete
+    else if (lower.startsWith("error")) {
+      val rest = text.substring(5).trim
+      ActError(if (rest.isEmpty) None else Some(rest))
+    } else if (lower.startsWith("update")) {
+      val rest = text.substring(6).trim
+      if (rest.isEmpty || rest.equalsIgnoreCase("set *")) ActUpdate(Nil, bare = true)
+      else {
+        val setText = rest.replaceFirst("(?is)^SET\\b", "")
+        ActUpdate(parseAssigns(setText, "", tfields), bare = false)
+      }
+    } else if (lower.startsWith("insert")) {
+      val rest = text.substring(6).trim
+      val rl = rest.toLowerCase
+      if (rest.isEmpty || rest == "*") ActInsert(None, None, byName = false)
+      else if (rl.startsWith("by name")) ActInsert(None, None, byName = true)
+      else if (rl.startsWith("default values")) ActInsert(Some(Nil), Some(Nil), byName = false)
+      else {
+        // [(c1, c2)] VALUES (e1, e2)
+        val (cols, afterCols) =
+          if (rest.startsWith("(")) {
+            val (_, d) = scan(rest)
+            var close = 0
+            var i = 1
+            while (close == 0 && i < rest.length) {
+              if (rest.charAt(i) == ')' && d(i) == 0) close = i
+              i += 1
+            }
+            (Some(splitTop(rest.substring(1, close))
+              .map(_.stripPrefix("\"").stripSuffix("\""))), rest.substring(close + 1).trim)
+          } else (None, rest)
+        val vl = afterCols.replaceFirst("(?is)^VALUES\\b", "").trim
+        if (!vl.startsWith("(") || !vl.endsWith(")"))
+          throw new IllegalArgumentException(s"Parser Error: expected VALUES (...) in MERGE INSERT: $text0")
+        ActInsert(cols, Some(splitTop(vl.substring(1, vl.length - 1))), byName = false)
+      }
+    } else throw new IllegalArgumentException(
+      s"Parser Error: unknown MERGE action: $text0")
+  }
+
+  /** Rewrite bare relation-alias tokens used as row values
+    * (`t IS DISTINCT FROM q`) into positional structs of that side's
+    * data columns. */
+  private def rewriteRowRefs(cond: String, ta: String, tfields: Seq[StructField],
+      sa: String, scols: Seq[String]): String = {
+    def struct(alias: String, names: Seq[String]): String =
+      "named_struct(" + names.zipWithIndex.map { case (c, i) =>
+        s"'${G}f$i', ${q(alias)}.${q(c)}"
+      }.mkString(", ") + ")"
+    val lower = cond.toLowerCase
+    val (inQ, _) = scan(cond)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < cond.length) {
+      var replaced = false
+      for ((alias, names) <- Seq(ta -> tfields.map(_.name), sa -> scols) if !replaced) {
+        val al = alias.toLowerCase
+        if (kwAt(lower, inQ, i, al)) {
+          var j = i + al.length
+          while (j < cond.length && cond.charAt(j).isWhitespace) j += 1
+          val prevNonWs = {
+            var p = i - 1
+            while (p >= 0 && cond.charAt(p).isWhitespace) p -= 1
+            if (p >= 0) cond.charAt(p) else ' '
+          }
+          if ((j >= cond.length || cond.charAt(j) != '.') && prevNonWs != '.') {
+            sb.append(struct(alias, names))
+            i += al.length
+            replaced = true
+          }
+        }
+      }
+      if (!replaced) { sb.append(cond.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def runMerge(spark: SparkSession, cte: String, body: String): DataFrame = {
+    val after = body.replaceFirst("(?is)^\\s*MERGE\\s+INTO\\b", "")
+    val tr = parseTableRef(after)
+    rejectView(spark, tr.name, "merge into")
+    val tfields = schemaOf(spark, tr.name)
+    val rest = tr.rest
+    val lower = rest.toLowerCase
+    val (inQ, depth) = scan(rest)
+    val (usingIdx, _) = findKw(lower, inQ, depth, 0, Seq("using"))
+    if (usingIdx < 0) throw new IllegalArgumentException("Parser Error: MERGE INTO requires USING")
+    // source text runs to the next top-level ON / USING / WHEN
+    val (specIdx, specKw) = findKw(lower, inQ, depth, usingIdx + 5, Seq("on", "using", "when"))
+    if (specIdx < 0) throw new IllegalArgumentException("Parser Error: MERGE INTO requires a join condition")
+    val sourceText = rest.substring(usingIdx + 5, specIdx).trim
+    var joinOn: String = null
+    var joinUsing: String = null
+    var whenStart = specIdx
+    if (specKw == "on") {
+      val (w, _) = findKw(lower, inQ, depth, specIdx + 2, Seq("when"))
+      if (w < 0) throw new IllegalArgumentException(
+        "Parser Error: MERGE INTO must have at least one WHEN clause")
+      joinOn = rest.substring(specIdx + 2, w).trim
+      whenStart = w
+    } else if (specKw == "using") {
+      val (w, _) = findKw(lower, inQ, depth, specIdx + 5, Seq("when"))
+      if (w < 0) throw new IllegalArgumentException(
+        "Parser Error: MERGE INTO must have at least one WHEN clause")
+      joinUsing = rest.substring(specIdx + 5, w).trim.stripPrefix("(").stripSuffix(")").trim
+      whenStart = w
+    } else throw new IllegalArgumentException(
+      "Parser Error: MERGE INTO must have at least one WHEN clause")
+
+    val (retIdx, _) = findKw(lower, inQ, depth, whenStart, Seq("returning"))
+    if (retIdx >= 0) throw new UnsupportedOperationException(
+      "MERGE INTO .. RETURNING is not supported")
+    val whenText = rest.substring(whenStart)
+
+    // source alias: trailing identifier of the source text (optionally with
+    // a column-alias list), else the bare relation name
+    val (srcRel, srcAlias) = {
+      val t = sourceText.trim
+      val m = """(?s)^(.*?)(?:\s+(?:AS\s+)?("[^"]+"|[\w$]+)\s*(\([^()]*\))?)?$""".r
+        .findFirstMatchIn(t).get
+      val relPart = Option(m.group(1)).getOrElse("").trim
+      val aliasTok = Option(m.group(2)).map(_.stripPrefix("\"").stripSuffix("\""))
+      aliasTok match {
+        case Some(a) if relPart.nonEmpty && !NonAliasKw.contains(a.toLowerCase) =>
+          (t, a)
+        case _ =>
+          val bare = t.split('.').last.stripPrefix("\"").stripSuffix("\"")
+          (t, bare)
+      }
+    }
+
+    // source schema (for positional / by-name INSERT and bare UPDATE)
+    val scols: Seq[String] = spark.sql(
+      cteify(cte, s"SELECT * FROM $sourceText LIMIT 0")).schema.fields.map(_.name).toSeq
+
+    // parse WHEN clauses
+    val clauseTexts = {
+      val (inQ2, depth2) = scan(whenText)
+      val lower2 = whenText.toLowerCase
+      val starts = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i >= 0 && i < whenText.length) {
+        val (j, _) = findKw(lower2, inQ2, depth2, i, Seq("when"))
+        if (j < 0) i = -1 else { starts += j; i = j + 4 }
+      }
+      starts.zipAll(starts.drop(1), 0, whenText.length).map { case (s, e) =>
+        whenText.substring(s + 4, e)
+      }.toSeq
+    }
+    if (clauseTexts.isEmpty) throw new IllegalArgumentException(
+      "Parser Error: MERGE INTO must have at least one WHEN clause")
+
+    val clauses = clauseTexts.map { ct =>
+      val thenIdx = findThen(ct)
+      if (thenIdx < 0) throw new IllegalArgumentException(
+        s"Parser Error: WHEN clause missing THEN: $ct")
+      val head = ct.substring(0, thenIdx)
+      val action = parseAction(ct.substring(thenIdx + 4), tfields)
+      head match {
+        case ClauseRe(not, by, condText0) =>
+          val kind =
+            if (not == null) 0
+            else if (by != null && by.equalsIgnoreCase("source")) 2
+            else 1
+          val condText = condText0.trim.replaceFirst("(?is)^AND\\b", "").trim
+          val cond = if (condText.isEmpty) None
+            else Some(rewriteRowRefs(condText, tr.alias, tfields, srcAlias, scols))
+          // action validity per group
+          (kind, action) match {
+            case (1, _: ActUpdate) | (1, ActDelete) => throw new IllegalArgumentException(
+              "Binder Error: UPDATE/DELETE is not supported in WHEN NOT MATCHED BY TARGET")
+            case (0, _: ActInsert) | (2, _: ActInsert) => throw new IllegalArgumentException(
+              "Binder Error: INSERT is only supported in WHEN NOT MATCHED BY TARGET clauses")
+            case _ => ()
+          }
+          MergeClause(kind, cond, action)
+        case _ => throw new IllegalArgumentException(
+          s"Parser Error: cannot parse MERGE WHEN clause: $ct")
+      }
+    }
+    // duplicate-unconditional validation (reference binder diagnostic)
+    for (k <- Seq(0, 1, 2)) {
+      val uncond = clauses.filter(c => c.kind == k && c.cond.isEmpty)
+      if (uncond.length > 1) {
+        val label = k match {
+          case 0 => "WHEN MATCHED"
+          case 1 => "WHEN NOT MATCHED"
+          case 2 => "WHEN NOT MATCHED BY SOURCE"
+        }
+        throw new IllegalArgumentException(
+          s"Binder Error: Unconditional $label clause was already defined")
+      }
+    }
+
+    val ta = q(tr.alias)
+    val sa = q(srcAlias)
+    val needSourceSide = clauses.exists(_.kind == 1)
+    val joinType = if (needSourceSide) "FULL OUTER JOIN" else "LEFT OUTER JOIN"
+    val joinSpec =
+      if (joinOn != null)
+        s"ON (${rewriteRowRefs(joinOn, tr.alias, tfields, srcAlias, scols)})"
+      else s"USING (${joinUsing})"
+
+    val targetRel =
+      s"(SELECT ${G}w.*, true AS ${G}tm FROM ${gidRelation(spark, tr.name)} AS ${G}w) AS $ta"
+    val sourceRel = s"(SELECT *, true AS ${G}sm FROM $srcRel) AS $sa"
+
+    val tm = s"$ta.${G}tm IS NOT NULL"
+    val sm = s"$sa.${G}sm IS NOT NULL"
+    def guard(c: MergeClause): String = {
+      val base = c.kind match {
+        case 0 => s"($tm AND $sm)"
+        case 1 => s"($ta.${G}tm IS NULL AND $sm)"
+        case 2 => s"($tm AND $sa.${G}sm IS NULL)"
+      }
+      c.cond.map(x => s"($base AND ($x))").getOrElse(base)
+    }
+
+    val scolSet = scols.map(_.toLowerCase).toSet
+    def insertValue(f: StructField, act: ActInsert): String = act match {
+      case ActInsert(Some(Nil), Some(Nil), _) => castTo(defaultExpr(f), f) // DEFAULT VALUES
+      case ActInsert(None, None, byName) =>
+        if (byName) {
+          for (c <- scols if !tfields.exists(_.name.equalsIgnoreCase(c)))
+            throw new IllegalArgumentException(
+              s"""Binder Error: Column "$c" does not exist in target table! Did you mean "${tfields.map(_.name).minBy(t => math.abs(t.length - c.length))}"?""")
+          if (scolSet.contains(f.name.toLowerCase)) castTo(s"$sa.${q(f.name)}", f)
+          else castTo(defaultExpr(f), f)
+        } else {
+          if (scols.length != tfields.length) throw new IllegalArgumentException(
+            s"Binder Error: table ${tr.name} has ${tfields.length} columns but ${scols.length} values were supplied")
+          val i = tfields.indexWhere(_.name == f.name)
+          castTo(s"$sa.${q(scols(i))}", f)
+        }
+      case ActInsert(colsOpt, Some(values), _) =>
+        colsOpt match {
+          case None =>
+            if (values.length != tfields.length) throw new IllegalArgumentException(
+              s"Binder Error: table ${tr.name} has ${tfields.length} columns but ${values.length} values were supplied")
+            val i = tfields.indexWhere(_.name == f.name)
+            assignValue(values(i), f)
+          case Some(cols) =>
+            if (values.length != cols.length) throw new IllegalArgumentException(
+              s"Binder Error: INSERT has ${cols.length} columns but ${values.length} values were supplied")
+            cols.indexWhere(_.equalsIgnoreCase(f.name)) match {
+              case -1 => castTo(defaultExpr(f), f)
+              case i => assignValue(values(i), f)
+            }
+        }
+      case _ => castTo(defaultExpr(f), f)
+    }
+
+    def updateValue(f: StructField, act: ActUpdate): String =
+      if (act.bare) {
+        if (scolSet.contains(f.name.toLowerCase)) castTo(s"$sa.${q(f.name)}", f)
+        else s"$ta.${q(f.name)}"
+      } else act.assigns.find(_.col.equalsIgnoreCase(f.name)) match {
+        case Some(a) => assignValue(a.rhs, f)
+        case None => s"$ta.${q(f.name)}"
+      }
+
+    // one projection over the join computes everything
+    val colExprs = tfields.map { f =>
+      val arms = clauses.flatMap { c =>
+        c.action match {
+          case u: ActUpdate => Some(s"WHEN ${guard(c)} THEN ${updateValue(f, u)}")
+          case ins: ActInsert => Some(s"WHEN ${guard(c)} THEN ${insertValue(f, ins)}")
+          case _ => None
+        }
+      }
+      if (arms.isEmpty) s"$ta.${q(f.name)} AS ${q(f.name)}"
+      else s"CASE ${arms.mkString(" ")} ELSE $ta.${q(f.name)} END AS ${q(f.name)}"
+    }
+    def flagCase(value: MergeClause => Option[String], els: String, name: String): String = {
+      val arms = clauses.flatMap(c => value(c).map(v => s"WHEN ${guard(c)} THEN $v"))
+      if (arms.isEmpty) s"$els AS $name"
+      else s"CASE ${arms.mkString(" ")} ELSE $els END AS $name"
+    }
+    val keepExpr = flagCase(c => Some(c.action match {
+      case ActDelete => "false"
+      case _: ActInsert => "true"
+      case _ => "true"
+    }), els = s"$ta.${G}tm IS NOT NULL", name = s"${G}keep")
+    val cntExpr = flagCase(c => Some(c.action match {
+      case _: ActUpdate | ActDelete | _: ActInsert => "1"
+      case _ => "0"
+    }), els = "0", name = s"${G}cnt")
+    val actedExpr = flagCase(c => Some(c.action match {
+      case _: ActUpdate | ActDelete => "1"
+      case _ => "0"
+    }), els = "0", name = s"${G}acted")
+    val actIdx = clauses.zipWithIndex.map { case (c, i) =>
+      s"WHEN ${guard(c)} THEN $i"
+    }
+    val actExpr = s"CASE ${actIdx.mkString(" ")} ELSE -1 END AS ${G}act"
+    // every clause participates in the CASE (first-match-wins order):
+    // a non-error clause that applies SHIELDS later ERROR clauses
+    val errArms = clauses.map { c =>
+      val v = c.action match {
+        case ActError(msg) =>
+          msg.map(e => s"CAST(($e) AS STRING)").getOrElse(s"'Merge error on row'")
+        case _ => "CAST(NULL AS STRING)"
+      }
+      s"WHEN ${guard(c)} THEN $v"
+    }
+    val errExpr =
+      if (!clauses.exists(_.action.isInstanceOf[ActError]))
+        s"CAST(NULL AS STRING) AS ${G}err"
+      else s"CASE ${errArms.mkString(" ")} ELSE CAST(NULL AS STRING) END AS ${G}err"
+
+    val joined =
+      s"""SELECT ${colExprs.mkString(", ")}, $keepExpr, $cntExpr, $actedExpr,
+         |       $actExpr, $errExpr, $ta.${G}gid AS ${G}gid
+         |FROM $targetRel $joinType $sourceRel $joinSpec""".stripMargin
+
+    val ourCtes =
+      s"""${G}j AS ($joined),
+         |${G}tg AS (
+         |  SELECT *, row_number() OVER (PARTITION BY ${G}gid
+         |            ORDER BY ${G}acted DESC, ${G}act) AS ${G}rn
+         |  FROM ${G}j WHERE ${G}gid IS NOT NULL),
+         |${G}fin AS (
+         |  SELECT * FROM (SELECT ${tfields.map(f => q(f.name)).mkString(", ")},
+         |         ${G}keep, ${G}cnt FROM ${G}tg WHERE ${G}rn = 1)
+         |  UNION ALL
+         |  SELECT ${tfields.map(f => q(f.name)).mkString(", ")},
+         |         ${G}keep, ${G}cnt FROM ${G}j WHERE ${G}gid IS NULL AND ${G}cnt = 1)""".stripMargin
+    val pfx = mergeCte(cte, ourCtes)
+
+    // 1) per-row ERROR actions fire first (reference: abort before any write)
+    val err = spark.sql(s"$pfx SELECT ${G}err FROM ${G}j WHERE ${G}err IS NOT NULL LIMIT 1")
+      .collect()
+    if (err.nonEmpty) throw new RuntimeException("Merge error: " + err.head.getString(0))
+    // 2) cardinality check: a MATCHED action may affect a target row once
+    val dup = spark.sql(
+      s"""$pfx SELECT ${G}gid FROM ${G}j WHERE ${G}acted = 1 AND ${G}gid IS NOT NULL
+         |GROUP BY ${G}gid HAVING count(*) > 1 LIMIT 1""".stripMargin).collect()
+    if (dup.nonEmpty) throw new RuntimeException(
+      "Merge error: MERGE INTO cannot affect the same target row more than once")
+    val cnt = spark.sql(s"$pfx SELECT coalesce(sum(${G}cnt), 0) FROM ${G}fin")
+      .head().getLong(0)
+    val newSql =
+      s"$pfx SELECT ${tfields.map(f => q(f.name)).mkString(", ")} FROM ${G}fin WHERE ${G}keep"
+    swapIn(spark, tr.name, newSql)
+    countDf(spark, cnt)
+  }
+}

@@ -543,7 +543,7 @@ object Macros {
   def expandAll(spark: SparkSession, sql: String, maxDepth: Int = 16): String =
     WindowRelocate(QualifyRewrite(WindowRefs(rewriteDistinctOn(stripBuiltinCatalog(
       expandLoop(
-        Sequences.rewriteDuckdbSequences(spark, rewriteDuckdbFunctions(spark, sql)),
+        Sequences.rewriteDuckdbSequences(spark, rewriteDuckdbFunctions(spark, SampleRewrite(sql))),
         registry.get(spark), tableRegistry.get(spark), maxDepth))))))
 
   /** `duckdb_functions()` — the reference's function-catalog TVF,

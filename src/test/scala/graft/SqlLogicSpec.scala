@@ -296,6 +296,9 @@ class SqlLogicSpec extends AnyFunSuite {
       graft.functions.Macros.drop(spark, sql); spark.emptyDataFrame
     case s if graft.functions.Sequences.isSequenceDdl(s) =>
       graft.functions.Sequences.execute(spark, s); spark.emptyDataFrame
+    case s if graft.functions.Dml.matches(s) =>
+      // copy-on-write UPDATE/DELETE/TRUNCATE/MERGE (graft.functions.Dml)
+      graft.functions.Dml.execute(spark, s)
     case s if graft.functions.Prepared.matches(s) =>
       // TRUE parameter binding (spark.sql(text, args)), re-bound per
       // EXECUTE — reference client_context.cpp:535-627 protocol

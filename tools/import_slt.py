@@ -84,16 +84,22 @@ REJECT = ["mode ", "skipif",
           "<FILE>",
           "ATTACH", "EXCLUDE", "COLUMNS(", "ASOF", "POSITIONAL",
           "SUMMARIZE", "DESCRIBE", "SHOW ", "CREATE INDEX",
-          "INSTALL", "EXPORT", "reorder", "BY NAME",
+          "INSTALL", "EXPORT", "reorder", "UNION BY NAME",
           # CREATE/DROP MACRO and macro calls are handled by the Scala
           # runner (graft.functions.Macros bind-time expansion)
           # TIME itself is supported (spark.sql.timeType.enabled);
           # TIME WITH TIME ZONE / duckdb sub-second storage types are not
           "TIMETZ", "WITH TIME ZONE", "TIME_NS", "TIME_MS", "TIME_S",
           "PREPARE", "EXECUTE",
-          "rowid", "DELETE FROM", "UPDATE ", "MERGE INTO",
+          "rowid",
+          # r11: UPDATE/DELETE/MERGE INTO and USING SAMPLE import now —
+          # copy-on-write DML lives in graft.functions.Dml and the
+          # sampling dialect in SampleRewrite. ROLLBACK still rejects:
+          # the stateless runner drops BEGIN/COMMIT records, which is
+          # semantics-preserving only when nothing ever rolls back.
+          "ROLLBACK",
           "duckdb_connection_count",
-          "pragma_", "COPY ", "USING SAMPLE", "using sample",
+          "pragma_", "COPY ",
           # unsigned ints have no Spark type with matching overflow
           # behavior; CREATE TYPE is the duckdb enum/alias DDL
           "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT",

@@ -152,14 +152,23 @@ import_pref ins     $REF/sql/insert/*.test
 # (USING SAMPLE on the REJECT list: expectations bake the reference
 # RNG's exact picks); show_select/ stays out (DESCRIBE/SHOW output
 # shape is engine-specific).
-# r11 re-audit of sample/: even the REPEATABLE(seed) files are NOT
-# portable — same_seed_same_sample.test's expectations are the
-# reference RNG's exact outputs (COUNT 20480/24903, min 12288/6 for
-# seed 42), which no other engine's seeded sampler reproduces; the
-# too-big-bound errors are reference-specific caps, and RESERVOIR is
-# not Spark grammar. The seeded-stability PROPERTY is pinned instead by
-# OperatorsSpec ("TABLESAMPLE REPEATABLE ... seeded, ~rate") and the
-# operator by q_sample_tablesample (rows-only).
+# r11b: the sampling dialect (USING SAMPLE / TABLESAMPLE method(...))
+# now lowers to Spark TABLESAMPLE via graft.functions.SampleRewrite, so
+# sample/ imports. RNG-value-baked files still evict — their
+# expectations are the reference RNG's exact picks (COUNT 20480/24903,
+# min 12288/6 for seed 42), which no other engine's seeded sampler
+# reproduces — but the row-count/clamp/error-bound subset runs. The
+# seeded-stability PROPERTY is additionally pinned by OperatorsSpec and
+# SampleRewriteSpec; the operator by q_sample_tablesample (rows-only).
+# r11b: UPDATE/DELETE/MERGE INTO import — copy-on-write DML lives in
+# graft.functions.Dml, exec-dispatched by the runner. Multi-connection
+# and ROLLBACK files self-reject (the stateless runner drops
+# BEGIN/COMMIT, which is semantics-preserving only forward).
+import_pref smpl    $REF/sql/sample/*.test
+import_pref smplt   $REF/sql/sample/table_samples/*.test
+import_pref upd     $REF/sql/update/*.test
+import_pref del     $REF/sql/delete/*.test
+import_pref mrg     $REF/sql/merge/*.test
 import_pref seq     $REF/sql/catalog/sequence/*.test
 import_pref piv     $REF/sql/pivot/*.test
 import_pref ordi    $REF/sql/ordinality/*.test
