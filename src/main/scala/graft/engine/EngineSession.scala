@@ -57,6 +57,8 @@ object EngineSession {
       // rejects them before any optimizer hook): int-as-bool CASE/IF
       // conditions (see graft.plans.IntCondToBool)
       .withExtensions(e => e.injectResolutionRule(_ => graft.plans.IntCondToBool))
+      // reference list `+` = list_concat (graft.plans.ListPlusToConcat)
+      .withExtensions(e => e.injectResolutionRule(_ => graft.plans.ListPlusToConcat))
       // reference SELECT-alias binder extensions: aliases in WHERE +
       // the explicit `alias.x` qualifier (graft.plans.AliasResolution);
       // SPARK_GRAFT_NOALIASRULE=1 disables for analysis-cost A/B

@@ -125,8 +125,10 @@ object Dml {
     while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
     if (i >= sql.length) return ("", null, sql)
     if (kwAt(lower, inQ, i, "with")) {
+      // WITH-prefixed INSERT also routes here: Spark's INSERT grammar
+      // has no leading-CTE form (reference: WITH t AS (...) INSERT ...)
       val (j, kw) = findKw(lower, inQ, depth, i + 4, StmtKws)
-      if (j < 0 || !DmlKws.contains(kw)) ("", null, sql)
+      if (j < 0 || (!DmlKws.contains(kw) && kw != "insert")) ("", null, sql)
       else (sql.substring(0, j).trim, kw, sql.substring(j))
     } else {
       val (j, kw) = findKw(lower, inQ, depth, i, StmtKws)
@@ -144,6 +146,7 @@ object Dml {
       case "delete"   => runDelete(spark, cte, body)
       case "truncate" => runTruncate(spark, body)
       case "merge"    => runMerge(spark, cte, body)
+      case "insert"   => runInsertCte(spark, cte, body)
       case _ => throw new IllegalArgumentException(s"not a DML statement: $sql")
     }
   }
@@ -164,8 +167,11 @@ object Dml {
 
   private case class TableRef(name: String, alias: String, rest: String)
 
-  private val IdentRe = """(?s)^\s*((?:"[^"]+"|[\w$]+)(?:\s*\.\s*(?:"[^"]+"|[\w$]+))*)(.*)$""".r
-  private val AliasRe = """(?s)^\s*(?:AS\s+)?("[^"]+"|[\w$]+)(.*)$""".r
+  private val IdentRe = """(?s)^\s*((?:"[^"]+"|`[^`]+`|[\w$]+)(?:\s*\.\s*(?:"[^"]+"|`[^`]+`|[\w$]+))*)(.*)$""".r
+  private val AliasRe = """(?is)^\s*(?:AS\s+)?("[^"]+"|`[^`]+`|[\w$]+)(.*)$""".r
+
+  private def unq(s: String): String =
+    s.stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
 
   private val NonAliasKw = Set("set", "where", "using", "on", "when",
     "returning", "from", "as")
@@ -175,24 +181,30 @@ object Dml {
       rest match {
         case AliasRe(a, rest2)
             if !NonAliasKw.contains(a.toLowerCase.stripPrefix("\"").stripSuffix("\"")) =>
-          TableRef(name, a.stripPrefix("\"").stripSuffix("\""), rest2)
+          TableRef(name, unq(a), rest2)
         case _ =>
-          val bare = name.split('.').last.trim.stripPrefix("\"").stripSuffix("\"")
-          TableRef(name, bare, rest)
+          TableRef(name, unq(name.split('.').last.trim), rest)
       }
     case _ => throw new IllegalArgumentException(s"Parser Error: cannot parse table reference in: $text")
   }
 
+  /** Permanent views reject (reference binder: "can only update/merge
+    * into base tables"). TEMPORARY views are ALLOWED as targets: the
+    * corpus importer fuses CREATE TABLE + INSERT into temp views, so a
+    * temp view is how an imported base table materializes here —
+    * swapIn replaces its contents in place. */
   private def rejectView(spark: SparkSession, table: String, verb: String): Unit = {
-    val bare = table.split('.').last.stripPrefix("\"").stripSuffix("\"")
+    val bare = unq(table.split('.').last)
     val isView =
-      try {
-        val t = spark.catalog.getTable(bare)
-        t.tableType == "VIEW" || t.tableType == "TEMPORARY"
-      } catch { case _: Throwable => false }
+      try spark.catalog.getTable(bare).tableType == "VIEW"
+      catch { case _: Throwable => false }
     if (isView) throw new IllegalArgumentException(
       s"Binder Error: Can only $verb base tables!")
   }
+
+  private def isTempView(spark: SparkSession, table: String): Boolean =
+    try spark.catalog.getTable(unq(table.split('.').last)).tableType == "TEMPORARY"
+    catch { case _: Throwable => false }
 
   private def schemaOf(spark: SparkSession, table: String): Seq[StructField] =
     spark.table(table).schema.fields.toSeq
@@ -248,10 +260,16 @@ object Dml {
     * table + INSERT OVERWRITE: metadata-preserving two-phase COW). */
   private def swapIn(spark: SparkSession, table: String, newSql: String): Unit = {
     val df = spark.sql(newSql)
-    val tmp = table.replaceAll("[^\\w]", "_") + s"${G}dml_tmp"
-    df.write.mode("overwrite").saveAsTable(tmp)
-    try { spark.sql(s"INSERT OVERWRITE TABLE $table SELECT * FROM $tmp").collect(): Unit }
-    finally { spark.sql(s"DROP TABLE IF EXISTS $tmp").collect(): Unit }
+    if (isTempView(spark, table)) {
+      // importer-fused "table": materialize the new contents (they read
+      // the old view) and replace the view definition
+      df.localCheckpoint(true).createOrReplaceTempView(unq(table.split('.').last))
+    } else {
+      val tmp = table.replaceAll("[^\\w]", "_") + s"${G}dml_tmp"
+      df.write.mode("overwrite").saveAsTable(tmp)
+      try { spark.sql(s"INSERT OVERWRITE TABLE $table SELECT * FROM $tmp").collect(): Unit }
+      finally { spark.sql(s"DROP TABLE IF EXISTS $tmp").collect(): Unit }
+    }
   }
 
   private def countDf(spark: SparkSession, n: Long): DataFrame = {
@@ -282,7 +300,7 @@ object Dml {
       if (raw.contains('.'))
         throw new IllegalArgumentException(
           "Parser Error: Qualified column names in UPDATE .. SET not supported - use the unqualified name instead")
-      val name = raw.stripPrefix("\"").stripSuffix("\"")
+      val name = unq(raw)
       byName.get(name.toLowerCase) match {
         case Some(f) => f.name
         case None =>
@@ -484,14 +502,49 @@ object Dml {
   }
 
   // ------------------------------------------------------------------
+  // WITH .. INSERT (leading-CTE insert — Spark's grammar wants the CTE
+  // inside the query; evaluate the source under the CTE, then insert)
+  // ------------------------------------------------------------------
+
+  private def runInsertCte(spark: SparkSession, cte: String, body: String): DataFrame = {
+    val after = body.replaceFirst("(?is)^\\s*INSERT\\s+INTO\\b", "")
+    val tr = parseTableRef(after)
+    var rest = tr.rest.trim
+    var colsPart = ""
+    if (rest.startsWith("(")) {
+      // could be a column list or a parenthesized SELECT
+      val inner = rest.stripPrefix("(")
+      val head = inner.takeWhile(c => c != ')' && c != '(').toLowerCase
+      if (!head.trim.startsWith("select") && !head.trim.startsWith("from") &&
+          !head.trim.startsWith("values") && !head.trim.startsWith("with")) {
+        val (_, d) = scan(rest)
+        var close = 1
+        while (close < rest.length && !(rest.charAt(close) == ')' && d(close) == 0)) close += 1
+        colsPart = rest.substring(0, close + 1)
+        rest = rest.substring(close + 1).trim
+      }
+    }
+    val srcSql = cteify(cte, if (rest.startsWith("(")) s"SELECT * FROM $rest" else rest)
+    val src = freeze(spark, spark.sql(srcSql))
+    val vn = s"${G}ins_src"
+    src.createOrReplaceTempView(vn)
+    spark.sql(s"INSERT INTO ${tr.name} $colsPart SELECT * FROM $vn").collect()
+    countDf(spark, src.count())
+  }
+
+  // ------------------------------------------------------------------
   // TRUNCATE
   // ------------------------------------------------------------------
 
   private def runTruncate(spark: SparkSession, body: String): DataFrame = {
     val after = body.replaceFirst("(?is)^\\s*TRUNCATE\\b(\\s+TABLE\\b)?", "")
     val tr = parseTableRef(after)
-    spark.sql(s"TRUNCATE TABLE ${tr.name}").collect()
-    countDf(spark, 0L)
+    val cnt = spark.table(tr.name).count() // reference returns removed-row count
+    if (isTempView(spark, tr.name))
+      spark.table(tr.name).limit(0).localCheckpoint(true)
+        .createOrReplaceTempView(unq(tr.name.split('.').last))
+    else spark.sql(s"TRUNCATE TABLE ${tr.name}").collect()
+    countDf(spark, cnt)
   }
 
   // ------------------------------------------------------------------
@@ -499,7 +552,8 @@ object Dml {
   // ------------------------------------------------------------------
 
   private sealed trait MergeAction
-  private case class ActUpdate(assigns: Seq[Assign], bare: Boolean) extends MergeAction
+  private case class ActUpdate(assigns: Seq[Assign], bare: Boolean,
+      byName: Boolean = false) extends MergeAction
   private case object ActDelete extends MergeAction
   private case object ActNothing extends MergeAction
   private case class ActError(msg: Option[String]) extends MergeAction
@@ -540,6 +594,7 @@ object Dml {
     } else if (lower.startsWith("update")) {
       val rest = text.substring(6).trim
       if (rest.isEmpty || rest.equalsIgnoreCase("set *")) ActUpdate(Nil, bare = true)
+      else if (rest.equalsIgnoreCase("by name")) ActUpdate(Nil, bare = true, byName = true)
       else {
         val setText = rest.replaceFirst("(?is)^SET\\b", "")
         ActUpdate(parseAssigns(setText, "", tfields), bare = false)
@@ -561,8 +616,8 @@ object Dml {
               if (rest.charAt(i) == ')' && d(i) == 0) close = i
               i += 1
             }
-            (Some(splitTop(rest.substring(1, close))
-              .map(_.stripPrefix("\"").stripSuffix("\""))), rest.substring(close + 1).trim)
+            (Some(splitTop(rest.substring(1, close)).map(unq)),
+              rest.substring(close + 1).trim)
           } else (None, rest)
         val vl = afterCols.replaceFirst("(?is)^VALUES\\b", "").trim
         if (!vl.startsWith("(") || !vl.endsWith(")"))
@@ -610,6 +665,78 @@ object Dml {
     sb.toString
   }
 
+  /** Scope a MERGE clause expression: bind unqualified tokens that name
+    * a column of the in-scope side to that side's alias (the reference
+    * binder's clause scoping — NOT MATCHED [BY TARGET] sees only the
+    * source row, NOT MATCHED BY SOURCE only the target row, MATCHED
+    * binds target-first), and reject qualified references to the
+    * out-of-scope side. Function calls (ident followed by '(') and
+    * already-qualified names pass through. */
+  private def scopeExpr(text: String, bindAlias: String, bindCols: Seq[String],
+      rejectAlias: Option[String]): String = {
+    val lower = text.toLowerCase
+    val (inQ, _) = scan(text)
+    val colSet = bindCols.map(_.toLowerCase).toSet
+    // positions inside a (SELECT ...) subquery keep their OWN scope —
+    // binding an unqualified inner column to the merge alias would
+    // corrupt correlation (merge_into_subquery.test)
+    val inSub = {
+      val arr = new Array[Boolean](text.length)
+      val stack = scala.collection.mutable.ArrayBuffer[Boolean]()
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (!inQ(i) && c == '(') {
+          var k = i + 1
+          while (k < text.length && text.charAt(k).isWhitespace) k += 1
+          stack += (k < text.length && kwAt(lower, inQ, k, "select"))
+        } else if (!inQ(i) && c == ')' && stack.nonEmpty) stack.remove(stack.length - 1)
+        arr(i) = stack.contains(true)
+        i += 1
+      }
+      arr
+    }
+    val rej = rejectAlias.map(_.toLowerCase)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (!inQ(i) && !inSub(i) && c == '`' && text.indexOf('`', i + 1) > 0) {
+        // backtick-quoted identifier: one token (`id` = id)
+        val end = text.indexOf('`', i + 1)
+        val tok = text.substring(i + 1, end).toLowerCase
+        var k = end + 1
+        while (k < text.length && text.charAt(k).isWhitespace) k += 1
+        val nextCh = if (k < text.length) text.charAt(k) else ' '
+        var p = i - 1
+        while (p >= 0 && text.charAt(p).isWhitespace) p -= 1
+        val prevCh = if (p >= 0) text.charAt(p) else ' '
+        if (colSet.contains(tok) && nextCh != '.' && nextCh != '(' && prevCh != '.')
+          sb.append(q(bindAlias)).append('.').append(text.substring(i, end + 1))
+        else sb.append(text.substring(i, end + 1))
+        i = end + 1
+      } else if (!inQ(i) && !inSub(i) && (c.isLetter || c == '_')) {
+        var j = i
+        while (j < text.length && isIdent(text.charAt(j))) j += 1
+        val tok = lower.substring(i, j)
+        var k = j
+        while (k < text.length && text.charAt(k).isWhitespace) k += 1
+        val nextCh = if (k < text.length) text.charAt(k) else ' '
+        var p = i - 1
+        while (p >= 0 && text.charAt(p).isWhitespace) p -= 1
+        val prevCh = if (p >= 0) text.charAt(p) else ' '
+        if (rej.contains(tok) && nextCh == '.' && prevCh != '.')
+          throw new IllegalArgumentException(
+            s"Binder Error: Referenced column \"${text.substring(i, j)}\" is not in scope for this MERGE clause")
+        if (colSet.contains(tok) && nextCh != '.' && nextCh != '(' && prevCh != '.')
+          sb.append(q(bindAlias)).append('.').append(q(text.substring(i, j)))
+        else sb.append(text.substring(i, j))
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def runMerge(spark: SparkSession, cte: String, body: String): DataFrame = {
     val after = body.replaceFirst("(?is)^\\s*MERGE\\s+INTO\\b", "")
     val tr = parseTableRef(after)
@@ -643,30 +770,48 @@ object Dml {
       "Parser Error: MERGE INTO must have at least one WHEN clause")
 
     val (retIdx, _) = findKw(lower, inQ, depth, whenStart, Seq("returning"))
-    if (retIdx >= 0) throw new UnsupportedOperationException(
-      "MERGE INTO .. RETURNING is not supported")
-    val whenText = rest.substring(whenStart)
+    val retText = if (retIdx < 0) "" else rest.substring(retIdx + 9).trim.stripSuffix(";")
+    val whenText = rest.substring(whenStart,
+      if (retIdx < 0) rest.length else retIdx)
 
     // source alias: trailing identifier of the source text (optionally with
     // a column-alias list), else the bare relation name
     val (srcRel, srcAlias) = {
       val t = sourceText.trim
-      val m = """(?s)^(.*?)(?:\s+(?:AS\s+)?("[^"]+"|[\w$]+)\s*(\([^()]*\))?)?$""".r
+      val m = """(?is)^(.*?)(?:\s+(?:AS\s+)?("[^"]+"|`[^`]+`|[\w$]+)\s*(\([^()]*\))?)?$""".r
         .findFirstMatchIn(t).get
       val relPart = Option(m.group(1)).getOrElse("").trim
-      val aliasTok = Option(m.group(2)).map(_.stripPrefix("\"").stripSuffix("\""))
+      val aliasTok = Option(m.group(2)).map(unq)
       aliasTok match {
         case Some(a) if relPart.nonEmpty && !NonAliasKw.contains(a.toLowerCase) =>
           (t, a)
         case _ =>
-          val bare = t.split('.').last.stripPrefix("\"").stripSuffix("\"")
-          (t, bare)
+          (t, unq(t.split('.').last))
+      }
+    }
+
+    // the reference allows PARTIAL column-alias lists — alias(a) over a
+    // 3-column relation names only the first column; Spark requires the
+    // full list, so pad with the base relation's own names
+    val srcRelPadded = {
+      val m = """(?is)^(.*?)\s+(?:AS\s+)?("[^"]+"|`[^`]+`|[\w$]+)\s*\(([^()]*)\)\s*$""".r
+        .findFirstMatchIn(srcRel.trim)
+      m match {
+        case Some(mm) =>
+          val given = splitTop(mm.group(3)).map(unq)
+          val baseNames = scala.util.Try(spark.sql(
+            cteify(cte, s"SELECT * FROM ${mm.group(1)} LIMIT 0"))
+            .schema.fields.map(_.name).toSeq).getOrElse(given)
+          if (given.length < baseNames.length)
+            s"${mm.group(1)} ${mm.group(2)}(${(given ++ baseNames.drop(given.length)).map(q).mkString(", ")})"
+          else srcRel
+        case None => srcRel
       }
     }
 
     // source schema (for positional / by-name INSERT and bare UPDATE)
     val scols: Seq[String] = spark.sql(
-      cteify(cte, s"SELECT * FROM $sourceText LIMIT 0")).schema.fields.map(_.name).toSeq
+      cteify(cte, s"SELECT * FROM $srcRelPadded LIMIT 0")).schema.fields.map(_.name).toSeq
 
     // parse WHEN clauses
     val clauseTexts = {
@@ -698,8 +843,25 @@ object Dml {
             else if (by != null && by.equalsIgnoreCase("source")) 2
             else 1
           val condText = condText0.trim.replaceFirst("(?is)^AND\\b", "").trim
+          val tcolNames = tfields.map(_.name)
+          // reference clause scoping: NOT MATCHED [BY TARGET] sees only
+          // the source row, NOT MATCHED BY SOURCE only the target row,
+          // MATCHED binds unqualified names target-first
+          def scoped(e: String): String = kind match {
+            case 0 => scopeExpr(e, tr.alias, tcolNames, None)
+            case 1 => scopeExpr(e, srcAlias, scols, Some(tr.alias))
+            case _ => scopeExpr(e, tr.alias, tcolNames, Some(srcAlias))
+          }
           val cond = if (condText.isEmpty) None
-            else Some(rewriteRowRefs(condText, tr.alias, tfields, srcAlias, scols))
+            else Some(scoped(rewriteRowRefs(condText, tr.alias, tfields, srcAlias, scols)))
+          val scopedAction = action match {
+            case ActUpdate(assigns, bare, byName) =>
+              ActUpdate(assigns.map(a => a.copy(rhs = scoped(a.rhs))), bare, byName)
+            case ActInsert(cols, Some(values), byName) =>
+              ActInsert(cols, Some(values.map(scoped)), byName)
+            case ActError(msg) => ActError(msg.map(scoped))
+            case other => other
+          }
           // action validity per group
           (kind, action) match {
             case (1, _: ActUpdate) | (1, ActDelete) => throw new IllegalArgumentException(
@@ -708,7 +870,7 @@ object Dml {
               "Binder Error: INSERT is only supported in WHEN NOT MATCHED BY TARGET clauses")
             case _ => ()
           }
-          MergeClause(kind, cond, action)
+          MergeClause(kind, cond, scopedAction)
         case _ => throw new IllegalArgumentException(
           s"Parser Error: cannot parse MERGE WHEN clause: $ct")
       }
@@ -738,7 +900,7 @@ object Dml {
 
     val targetRel =
       s"(SELECT ${G}w.*, true AS ${G}tm FROM ${gidRelation(spark, tr.name)} AS ${G}w) AS $ta"
-    val sourceRel = s"(SELECT *, true AS ${G}sm FROM $srcRel) AS $sa"
+    val sourceRel = s"(SELECT *, true AS ${G}sm FROM $srcRelPadded) AS $sa"
 
     val tm = s"$ta.${G}tm IS NOT NULL"
     val sm = s"$sa.${G}sm IS NOT NULL"
@@ -786,22 +948,38 @@ object Dml {
     }
 
     def updateValue(f: StructField, act: ActUpdate): String =
-      if (act.bare) {
+      if (act.bare && act.byName) {
+        // UPDATE BY NAME: source columns map by name; an unmatched
+        // source column is a binder error (reference suggestion text)
+        for (c <- scols if !tfields.exists(_.name.equalsIgnoreCase(c)))
+          throw new IllegalArgumentException(
+            s"""Binder Error: Column "$c" does not exist in target table! Did you mean "${tfields.map(_.name).minBy(t => math.abs(t.length - c.length))}"?""")
         if (scolSet.contains(f.name.toLowerCase)) castTo(s"$sa.${q(f.name)}", f)
         else s"$ta.${q(f.name)}"
+      } else if (act.bare) {
+        // bare UPDATE / UPDATE SET * are POSITIONAL, like bare INSERT
+        // (merge_into_update_star.test)
+        if (scols.length != tfields.length) throw new IllegalArgumentException(
+          s"Binder Error: source column count (${scols.length}) does not match column count of table ${tr.name} (${tfields.length})")
+        val i = tfields.indexWhere(_.name == f.name)
+        castTo(s"$sa.${q(scols(i))}", f)
       } else act.assigns.find(_.col.equalsIgnoreCase(f.name)) match {
         case Some(a) => assignValue(a.rhs, f)
         case None => s"$ta.${q(f.name)}"
       }
 
     // one projection over the join computes everything
+    // every clause participates, first-match order: a DELETE-matched
+    // row keeps its OLD values (RETURNING shows them) even when a later
+    // UPDATE clause's guard would also hold
     val colExprs = tfields.map { f =>
-      val arms = clauses.flatMap { c =>
-        c.action match {
-          case u: ActUpdate => Some(s"WHEN ${guard(c)} THEN ${updateValue(f, u)}")
-          case ins: ActInsert => Some(s"WHEN ${guard(c)} THEN ${insertValue(f, ins)}")
-          case _ => None
+      val arms = clauses.map { c =>
+        val v = c.action match {
+          case u: ActUpdate => updateValue(f, u)
+          case ins: ActInsert => insertValue(f, ins)
+          case _ => s"$ta.${q(f.name)}"
         }
+        s"WHEN ${guard(c)} THEN $v"
       }
       if (arms.isEmpty) s"$ta.${q(f.name)} AS ${q(f.name)}"
       else s"CASE ${arms.mkString(" ")} ELSE $ta.${q(f.name)} END AS ${q(f.name)}"
@@ -876,7 +1054,36 @@ object Dml {
       .head().getLong(0)
     val newSql =
       s"$pfx SELECT ${tfields.map(f => q(f.name)).mkString(", ")} FROM ${G}fin WHERE ${G}keep"
+    // RETURNING: one row per affected row with the merge_action pseudo-
+    // column — new values for INSERT/UPDATE, old values for DELETE
+    // (first-match colExprs above guarantee that)
+    val ret =
+      if (retText.isEmpty) null
+      else {
+        val actionName = clauses.zipWithIndex.map { case (c, i) =>
+          val n = c.action match {
+            case _: ActUpdate => "'UPDATE'"
+            case ActDelete => "'DELETE'"
+            case _: ActInsert => "'INSERT'"
+            case _ => "NULL"
+          }
+          s"WHEN $i THEN $n"
+        }
+        val colList = tfields.map(f => q(f.name)).mkString(", ")
+        val retExprs = splitTop(retText).map { e =>
+          if (e.trim == "*") colList else e
+        }.mkString(", ")
+        val affected =
+          s"""SELECT $colList,
+             |       CASE ${G}act ${actionName.mkString(" ")} ELSE NULL END AS merge_action
+             |FROM (SELECT * FROM ${G}tg WHERE ${G}rn = 1 AND ${G}cnt = 1
+             |      UNION ALL
+             |      SELECT *, 0 AS ${G}rn FROM ${G}j
+             |      WHERE ${G}gid IS NULL AND ${G}cnt = 1)""".stripMargin
+        freeze(spark, spark.sql(
+          s"$pfx SELECT $retExprs FROM ($affected) AS ${q(tr.alias)}"))
+      }
     swapIn(spark, tr.name, newSql)
-    countDf(spark, cnt)
+    if (ret != null) ret else countDf(spark, cnt)
   }
 }

@@ -542,9 +542,9 @@ object Macros {
     * statements (graft.SqlLogicSpec). */
   def expandAll(spark: SparkSession, sql: String, maxDepth: Int = 16): String =
     WindowRelocate(QualifyRewrite(WindowRefs(rewriteDistinctOn(stripBuiltinCatalog(
-      expandLoop(
+      FnChain(spark, expandLoop(
         Sequences.rewriteDuckdbSequences(spark, rewriteDuckdbFunctions(spark, SampleRewrite(sql))),
-        registry.get(spark), tableRegistry.get(spark), maxDepth))))))
+        registry.get(spark), tableRegistry.get(spark), maxDepth)))))))
 
   /** `duckdb_functions()` — the reference's function-catalog TVF,
     * inlined as a VALUES relation over the LIVE macro registries (one

@@ -15,6 +15,12 @@ object Registry {
   @volatile private var registered = false
 
   def registerAll(spark: SparkSession): Unit = synchronized {
+    // Overriding builtins (length/len/typeof/reduce/...) with the
+    // reference's semantics is INTENDED — silence only the registry's
+    // replacement notice so real warnings stay visible in bench logs.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
+      org.apache.logging.log4j.Level.ERROR)
     val reg = spark.sessionState.functionRegistry
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.graft._
@@ -314,6 +320,23 @@ object Registry {
       case _ => throw new IllegalArgumentException(
         "regex options must be a literal string")
     }
+    f2("icu_sort_key", IcuSortKey(_, _))
+    // printf: Spark's format_string feeds its Decimal wrapper straight
+    // to java.util.Formatter, which rejects %f — coerce (printf.cpp)
+    reg.createOrReplaceTempFunction("printf", es => {
+      if (es.isEmpty) throw new IllegalArgumentException("printf expects arguments")
+      GraftPrintf(es)
+    }, "scala_udf")
+    // regexp_replace: the reference replaces the FIRST match unless the
+    // 'g' option is given (re_functions.cpp) — Spark's builtin replaces
+    // all, so override with the reference-semantics expression
+    reg.createOrReplaceTempFunction("regexp_replace", es => es.length match {
+      case 3 => GraftRegexpReplace(es(0), es(1), es(2),
+        Literal.create("", org.apache.spark.sql.types.StringType))
+      case 4 => GraftRegexpReplace(es(0), es(1), es(2), es(3))
+      case n => throw new IllegalArgumentException(
+        s"regexp_replace expects 3-4 args, got $n")
+    }, "scala_udf")
     // regexp_matches = partial-match boolean (re_functions.cpp) = RLIKE,
     // with an optional options arg; regexp_full_match anchors the string
     reg.createOrReplaceTempFunction("regexp_matches", es => es.length match {
@@ -949,13 +972,34 @@ object Registry {
     reg.createOrReplaceTempFunction("array_agg", es =>
       org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(es.head),
       "scala_udf")
-    for (nm <- Seq("list_aggregate", "list_aggr"))
+    for (nm <- Seq("list_aggregate", "list_aggr", "array_aggregate", "array_aggr"))
       reg.createOrReplaceTempFunction(nm, es => es.length match {
         case 2 => ListAggr(es(0), es(1), None)
         case 3 => ListAggr(es(0), es(1), Some(es(2)))
         case k => throw new IllegalArgumentException(
           s"$nm expects 2-3 args, got $k")
       }, "scala_udf")
+    // `aggregate` is BOTH Spark's fold HOF (aggregate(arr, init, merge
+    // [, finish])) and the reference's list_aggregate alias
+    // (aggregate(arr, 'name'[, arg])). A string-literal second argument
+    // picks the reference form; everything else stays the builtin.
+    locally {
+      val builtin = reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("aggregate"))
+      reg.createOrReplaceTempFunction("aggregate", es => {
+        val isName = es.length >= 2 && (es(1) match {
+          case Literal(v, org.apache.spark.sql.types.StringType) => v != null
+          case _ => false
+        })
+        if (isName && es.length == 2) ListAggr(es(0), es(1), None)
+        else if (isName && es.length == 3) ListAggr(es(0), es(1), Some(es(2)))
+        else builtin match {
+          case Some(b) => b(es)
+          case None => throw new IllegalArgumentException(
+            s"aggregate expects (list, 'fn') or the fold form, got ${es.length} args")
+        }
+      }, "scala_udf")
+    }
     for (nm <- Seq("sum", "min", "max", "avg", "mean", "median", "mode",
         "count", "product", "sem", "skewness", "kurtosis", "entropy",
         "mad", "stddev", "stddev_samp", "stddev_pop", "var_samp",

@@ -45,11 +45,13 @@ object TextAnalysis {
 
   /** Ratio of non (ascii-alnum/space) characters. */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(lower(text), lit("[^a-z0-9 ]"), lit(""))))
+    (length(text) - length(call_function("regexp_replace",
+      lower(text), lit("[^a-z0-9 ]"), lit(""), lit("g"))))
       .cast("double") / length(text)
 
   def avgWordLen(text: Column): Column =
-    length(regexp_replace(text, lit("\\s+"), lit(""))).cast("double") / tokenCount(text)
+    length(call_function("regexp_replace", text, lit("\\s+"), lit(""), lit("g")))
+      .cast("double") / tokenCount(text)
 
   /** Composite quality score in [0,1]: length fitness + lexical diversity
     * + low punctuation + stopword presence (the usual pretraining filters,
@@ -131,12 +133,10 @@ object TextAnalysis {
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
   val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private def gsub(c: Column, re: String, rep: String): Column =
+    call_function("regexp_replace", c, lit(re), lit(rep), lit("g"))
   def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, emailRe, "<EMAIL>"),
-        phoneRe, "<PHONE>"),
-      ipRe, "<IP>")
+    gsub(gsub(gsub(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
 
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))

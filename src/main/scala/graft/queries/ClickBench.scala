@@ -292,7 +292,7 @@ object ClickBench extends Pack {
       hits(s, dir).createOrReplaceTempView(view)
       s.sql(
         s"""SELECT REGEXP_REPLACE(Referer,
-           |  '^https?://(?:www\\\\.)?([^/]+)/.*$$', '$$1') AS k$q28Tail"""
+           |  '^https?://(?:www\\\\.)?([^/]+)/.*$$', '\\\\1') AS k$q28Tail"""
           .stripMargin.replace("FROM hits", s"FROM $view"))
   }
 }

@@ -5,7 +5,8 @@ import graft.engine.Tables
 
 /** Driver-gated DML + sampling rows (SURVEY §2.9, §2.6).
   *
-  * The DML rows build a scratch catalog table from the fixtures, run the
+  * The DML rows build a scratch table (a temp view — the importer-equivalent table
+  * materialization, location-free across driver rounds) from the fixtures, run the
   * copy-on-write DML engine (graft.functions.Dml), and return the final
   * table contents; the DuckDB oracle expresses the same final state as a
   * pure SELECT over the untouched fixtures — so the gate checks that the
@@ -40,8 +41,7 @@ object DmlQueries extends Pack {
       |ORDER BY k""") { (s, dir) =>
     Tables.registerAll(s, dir)
     run(s,
-      "DROP TABLE IF EXISTS dml_drv_bal",
-      """CREATE TABLE dml_drv_bal USING parquet AS
+      """CREATE OR REPLACE TEMPORARY VIEW dml_drv_bal AS
         |SELECT c_custkey AS k, c_acctbal AS bal, c_nationkey AS nk FROM customer""".stripMargin,
       """UPDATE dml_drv_bal SET bal = bal + d.delta
         |FROM (SELECT o_custkey AS k, count(*) * 10.0 AS delta
@@ -70,8 +70,7 @@ object DmlQueries extends Pack {
       |) f ORDER BY k""") { (s, dir) =>
     Tables.registerAll(s, dir)
     run(s,
-      "DROP TABLE IF EXISTS dml_drv_m",
-      """CREATE TABLE dml_drv_m USING parquet AS
+      """CREATE OR REPLACE TEMPORARY VIEW dml_drv_m AS
         |SELECT n_nationkey AS k, n_name AS name, CAST(0.0 AS DOUBLE) AS total
         |FROM nation WHERE n_nationkey < 15""".stripMargin,
       """MERGE INTO dml_drv_m USING (SELECT c_nationkey AS k,

@@ -37,7 +37,7 @@ object Functions extends Pack {
         col("p_partkey"),
         upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
         substring(col("p_name"), 3, 8).as("sub"),
-        regexp_replace(col("p_name"), lit("a"), lit("@")).as("repl"),
+        expr("replace(p_name, 'a', '@')").as("repl"),
         reverse(col("p_brand")).as("rev"),
         substring(col("p_name"), 1, 4).as("l4"),
         expr("right(p_name, 4)").as("r4"),
@@ -542,7 +542,7 @@ object Functions extends Pack {
         col("p_partkey"),
         col("p_name").rlike("[0-9]+").as("has_num"),
         regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
-        regexp_replace(col("p_name"), lit("[aeiou]"), lit("_")).as("devowel"),
+        call_function("regexp_replace", col("p_name"), lit("[aeiou]"), lit("_"), lit("g")).as("devowel"),
         array_join(split(col("p_type"), "\\s+"), ",").as("parts"),
         size(split(col("p_type"), "\\s+")).cast("bigint").as("n_parts"))
       .orderBy("p_partkey")

@@ -310,6 +310,99 @@ object TextFns {
     }
   }
 
+  private val collatorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.text.Collator]()
+
+  def icuSortKey(s: UTF8String, locale: UTF8String): UTF8String = {
+    val loc = locale.toString.replace('_', '-').toLowerCase
+    val coll = collatorCache.computeIfAbsent(loc, l => {
+      // modifier segments compose with an optional locale:
+      // 'de.NOCASE' / 'NOACCENT' / 'icu.NOACCENT' (the extension's
+      // alias for the root collator)
+      val parts = l.split('-').filter(_.nonEmpty)
+      val mods = parts.filter(p => p == "noaccent" || p == "nocase" || p == "icu")
+      val locParts = parts.filterNot(mods.contains)
+      val jl =
+        if (locParts.isEmpty) java.util.Locale.ROOT
+        else java.util.Locale.forLanguageTag(locParts.mkString("-"))
+      if (locParts.nonEmpty) {
+        val known = java.text.Collator.getAvailableLocales
+          .exists(_.getLanguage == jl.getLanguage)
+        if (jl.getLanguage.isEmpty || !known)
+          throw new IllegalArgumentException(
+            s"Conversion Error: Not a valid collation: $l")
+      }
+      val c = java.text.Collator.getInstance(jl)
+      if (mods.contains("noaccent")) c.setStrength(java.text.Collator.PRIMARY)
+      else if (mods.contains("nocase")) c.setStrength(java.text.Collator.SECONDARY)
+      c
+    })
+    val bytes = coll.synchronized { coll.getCollationKey(s.toString).toByteArray }
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** regexp_replace with the reference's semantics (re_functions.cpp
+    * RegexpReplace): replaces the FIRST match unless the 'g' option is
+    * given; options i/c/l/m/n/p/s as in regexp_matches; replacement
+    * backrefs are RE2-style (\\1..\\9), converted to Java's $N. */
+  def regexpReplace(s: UTF8String, p: UTF8String, r: UTF8String,
+      opts: UTF8String): UTF8String = {
+    val o = opts.toString.filterNot(_.isWhitespace)
+    o.find(c => !"gcilmnps".contains(c)).foreach { c =>
+      throw new IllegalArgumentException(s"unrecognized regex option '$c'")
+    }
+    val literal = o.contains('l')
+    var flags = 0
+    if (o.contains('i')) flags |= java.util.regex.Pattern.CASE_INSENSITIVE
+    if (o.contains('s')) flags |= java.util.regex.Pattern.DOTALL
+    if (o.contains('m') || o.contains('n') || o.contains('p'))
+      flags |= java.util.regex.Pattern.MULTILINE
+    val key = (if (literal) "\u0000L" else "\u0000R") + flags + "\u0000" + p.toString
+    val pat = patternCache.computeIfAbsent(key, _ =>
+      java.util.regex.Pattern.compile(
+        if (literal) java.util.regex.Pattern.quote(p.toString) else p.toString, flags))
+    val repl =
+      if (literal) java.util.regex.Matcher.quoteReplacement(r.toString)
+      else {
+        // RE2 \N backrefs -> Java $N; literal $ escaped
+        val sb = new java.lang.StringBuilder
+        val rs = r.toString
+        var i = 0
+        while (i < rs.length) {
+          val c = rs.charAt(i)
+          if (c == '$') sb.append("\\$")
+          else if (c == '\\' && i + 1 < rs.length && rs.charAt(i + 1).isDigit) {
+            sb.append('$').append(rs.charAt(i + 1)); i += 1
+          } else if (c == '\\' && i + 1 < rs.length && rs.charAt(i + 1) == '\\') {
+            sb.append("\\\\"); i += 1
+          } else if (c == '\\') {
+            // RE2 rewrite strings allow only \0-\9 and \\ (re2.cc Rewrite)
+            throw new IllegalArgumentException(
+              "regexp_replace: invalid escape sequence in replacement string")
+          } else sb.append(c)
+          i += 1
+        }
+        sb.toString
+      }
+    val m = pat.matcher(s.toString)
+    if (!o.contains('g'))
+      return UTF8String.fromString(m.replaceFirst(repl))
+    // RE2-style global replace: an EMPTY match immediately after the
+    // previous match is skipped (Java's replaceAll would double-fire,
+    // e.g. '.*' with DOTALL replacing "a\nb" -> "xx" instead of "x")
+    val sb = new java.lang.StringBuffer
+    var prevEnd = -1
+    while (m.find()) {
+      if (!(m.start() == m.end() && m.start() == prevEnd))
+        m.appendReplacement(sb, repl)
+      prevEnd = m.end()
+    }
+    m.appendTail(sb)
+    UTF8String.fromString(sb.toString)
+  }
+
   // to_binary/from_binary: byte string <-> '0'/'1' bit string (the
   // reference's bin()/from_binary over VARCHAR)
   def toBitString(s: UTF8String): UTF8String = {
@@ -551,6 +644,28 @@ case class GraftRegexpExtract(str: Expression, pattern: Expression,
       c: Expression) = copy(str = a, pattern = b, idx = c)
 }
 
+case class GraftRegexpReplace(str: Expression, pattern: Expression,
+    repl: Expression, opts: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "regexp_replace"
+  override def first: Expression = str
+  override def second: Expression = pattern
+  override def third: Expression = repl
+  override def fourth: Expression = opts
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType, StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(s: Any, p: Any, r: Any, o: Any): Any =
+    TextFns.regexpReplace(s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], o.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p, r, o) =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.regexpReplace($s, $p, $r, $o);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression) = copy(str = a, pattern = b, repl = c, opts = d)
+}
+
 case class ToBitString(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "to_binary"
@@ -594,6 +709,60 @@ case class GraftReverse(child: Expression)
 }
 
 // fmt-style format('{} and {}', a, b); cold-path utility, plain eval
+/** printf with argument coercion the JVM Formatter needs: Spark's
+  * Decimal unwraps to BigDecimal (reference printf accepts DECIMAL for
+  * %f — printf.cpp), UTF8String to String. */
+/** icu_sort_key(s, locale) — the reference ICU extension's sort-key
+  * function (extension: icu; test/sql/collate/test_icu_collate.test).
+  * The key's only contract is locale-correct ORDERING; the JDK Collator
+  * key bytes render as fixed-width hex so lexicographic string order
+  * equals collation order. */
+case class IcuSortKey(str: Expression, locale: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "icu_sort_key"
+  override def left: Expression = str
+  override def right: Expression = locale
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(s: Any, l: Any): Any =
+    TextFns.icuSortKey(s.asInstanceOf[UTF8String], l.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, l) =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextFns.icuSortKey($s, $l);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression) =
+    copy(str = a, locale = b)
+}
+
+case class GraftPrintf(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "printf"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes() =
+    if (children.nonEmpty && children.head.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "printf expects a string template first argument")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val fmt = children.head.eval(input)
+    if (fmt == null) return null
+    val args = children.tail.map { c =>
+      c.eval(input) match {
+        case null => null
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case u: UTF8String => u.toString
+        case v => v
+      }
+    }
+    UTF8String.fromString(
+      String.format(fmt.asInstanceOf[UTF8String].toString,
+        args.asInstanceOf[Seq[Object]]: _*))
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]) = copy(children = cs)
+}
+
 case class GraftFormat(children: Seq[Expression]) extends Expression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def prettyName: String = "format"

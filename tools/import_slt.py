@@ -84,7 +84,7 @@ REJECT = ["mode ", "skipif",
           "<FILE>",
           "ATTACH", "EXCLUDE", "COLUMNS(", "ASOF", "POSITIONAL",
           "SUMMARIZE", "DESCRIBE", "SHOW ", "CREATE INDEX",
-          "INSTALL", "EXPORT", "reorder", "UNION BY NAME",
+          "INSTALL", "EXPORT", "reorder", "UNION BY NAME", "ALL BY NAME",
           # CREATE/DROP MACRO and macro calls are handled by the Scala
           # runner (graft.functions.Macros bind-time expansion)
           # TIME itself is supported (spark.sql.timeType.enabled);
@@ -140,6 +140,16 @@ NULL_ORDER_OK = re.compile(
 
 
 def reject_reason(text: str, sql_only: str):
+    # ROLLBACK must be checked on the RAW text: BEGIN/COMMIT/ROLLBACK
+    # records are dropped before sql_only is assembled, and dropping a
+    # ROLLBACK silently turns "undo" into "keep" (del_test_delete's
+    # post-rollback expectations). Scoped to files that also mutate
+    # rows: the BEGIN..CREATE..ROLLBACK "scoped table" pattern is safe
+    # (every kept CREATE gets a DROP IF EXISTS).
+    if (re.search(r"(?im)^\s*ROLLBACK\b", text) and
+            re.search(r"(?i)\b(UPDATE\s|DELETE\s+FROM|MERGE\s+INTO|TRUNCATE)",
+                      text)):
+        return "ROLLBACK"
     for tok in DIRECTIVE_REJECT:
         for line in text.splitlines():
             if line.strip().startswith(tok):
@@ -170,7 +180,7 @@ def reject_reason(text: str, sql_only: str):
     # holistic fns) rejects. `OVER (ORDER BY ...)` window specs and
     # `WINDOW w AS (ORDER BY ...)` clauses are NOT ordered aggregates
     # and must not trip this.
-    if re.search(r"\b(?!over\b|as\b)\w+\s*\([^()]*ORDER\s+BY",
+    if re.search(r"\b(?!over\b|as\b|using\b|in\b|exists\b)\w+\s*\([^()]*ORDER\s+BY",
                  rewrite_ordered_aggs(sql_only), re.I):
         return "ordered aggregate"
     return None
@@ -959,6 +969,29 @@ def rewrite_json_arrows(sql: str) -> str:
 
 
 def transform_sql(sql: str, sqlite_mode: bool) -> str:
+    # duckdb numeric-literal underscores (92_000.0) — no Spark grammar
+    sql = re.sub(r"(?<=\d)_(?=\d)", "", sql)
+    # E'...' escape-string literals: DECODE the escapes into the plain-
+    # literal equivalent (E'X\\xY' carries one backslash + x), so the
+    # later literal re-substitution (which doubles backslashes for
+    # Spark's escape-processing strings) round-trips them correctly
+    def _estr(m):
+        body = m.group(1)
+        try:
+            dec = body.encode("utf-8").decode("unicode_escape")
+        except Exception:
+            dec = body
+        return "'" + dec + "'"
+    sql = re.sub(r"(?<![\w'])E'((?:[^'\\]|\\.|'')*)'", _estr, sql)
+    # ORDER BY ALL: the reference defaults to NULLS LAST, Spark's ASC
+    # defaults to NULLS FIRST — spell the reference default explicitly
+    sql = re.sub(r"(?i)\bORDER\s+BY\s+ALL\s+ASC\b(?!\s+NULLS)",
+                 "ORDER BY ALL ASC NULLS LAST", sql)
+    sql = re.sub(r"(?i)\bORDER\s+BY\s+ALL\b(?!\s+(ASC|DESC|NULLS))",
+                 "ORDER BY ALL NULLS LAST", sql)
+    # DROP TABLE/VIEW .. CASCADE: Spark has no CASCADE; equivalent when
+    # the corpus drops leaves (dependent-object records self-evict)
+    sql = re.sub(r"(?i)^(\s*DROP\s+(?:TABLE|VIEW)\s+[^;]*?)\s+CASCADE\b", r"\1", sql)
     # ordered aggregates first (pre-mask: the scanner is quote-aware and
     # the string_agg separator must stay a visible literal)
     sql = rewrite_ordered_aggs(sql)
@@ -1112,6 +1145,7 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     out = re.sub(r"(?i)\bFLOAT4\b", "FLOAT", out)
     out = re.sub(r"(?i)\bFLOAT8\b", "DOUBLE", out)
     out = re.sub(r"(?i)\bTIMESTAMPTZ\b", "TIMESTAMP", out)
+    out = re.sub(r"(?i)\bDATETIME\b", "TIMESTAMP", out)
     out = re.sub(r"(?i)\bTIMESTAMP_(S|MS|NS|US)\b", "TIMESTAMP", out)
     out = re.sub(r"(?i)\bBLOB\b", "BINARY", out)
     # more reference aliases: SIGNED is INTEGER, BYTEA is BLOB
@@ -1195,7 +1229,19 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # reference CONCAT skips NULLs (Spark's returns NULL) — route to the
     # engine's graft_concat, which implements the reference semantics
     out = re.sub(r"(?i)\bCONCAT\s*\(", "graft_concat(", out)
+    # locale-qualified collation modifiers: de.NOCASE -> de_CI (Spark's
+    # ICU collation spellings)
+    out = re.sub(r"(?i)\bCOLLATE\s+(\w+)\.(?:NOCASE\.NOACCENT|NOACCENT\.NOCASE)\b",
+                 r"COLLATE \1_CI_AI", out)
+    out = re.sub(r"(?i)\bCOLLATE\s+(\w+)\.NOCASE\b", r"COLLATE \1_CI", out)
+    out = re.sub(r"(?i)\bCOLLATE\s+(\w+)\.NOACCENT\b", r"COLLATE \1_AI", out)
+    out = re.sub(r"(?i)\bCOLLATE\s+NOCASE\.(\w+)\b", r"COLLATE \1_CI", out)
+    out = re.sub(r"(?i)\bCOLLATE\s+NOACCENT\.(\w+)\b", r"COLLATE \1_AI", out)
     out = re.sub(r"(?i)\bCOLLATE\s+NOCASE\b", "COLLATE UTF8_LCASE", out)
+    out = re.sub(r"(?i)\bCOLLATE\s+NOACCENT\b", "COLLATE UNICODE_AI", out)
+    # NFC-normalizing collation: ICU comparison is canonical-equivalence
+    # tolerant, which is the observable contract these records assert
+    out = re.sub(r"(?i)\bCOLLATE\s+NFC\b", "COLLATE UNICODE", out)
     # double-quoted identifiers -> backticks (literals are masked, so
     # any remaining double quotes delimit identifiers)
     out = re.sub(r'"([^"]+)"', r"`\1`", out)
@@ -1274,16 +1320,20 @@ def parse_records(lines):
                     i += 1
             yield ("statement", line, body, exp)
         elif line.startswith("query"):
+            # a query body never contains blank lines — stopping at one
+            # keeps a ----less record (query-over-DDL quirk files) from
+            # swallowing the records after it
             body = []
             i += 1
-            while i < n and lines[i].strip() != "----":
+            while i < n and lines[i].strip() and lines[i].strip() != "----":
                 body.append(lines[i])
                 i += 1
-            i += 1  # ----
             exp = []
-            while i < n and lines[i].strip():
-                exp.append(lines[i])
+            if i < n and lines[i].strip() == "----":
                 i += 1
+                while i < n and lines[i].strip():
+                    exp.append(lines[i])
+                    i += 1
             yield ("query", line, body, exp)
         else:
             i += 1
@@ -1339,11 +1389,18 @@ def split_tuples(s: str):
     return tuples
 
 
+CONSTRAINT_COLDEF = re.compile(
+    r"(?i)^\s*(CHECK|PRIMARY|UNIQUE|FOREIGN|CONSTRAINT)\b")
+
+
 def parse_coldef(c: str):
-    """'a DECIMAL(18,3)' -> ('a', 'DECIMAL(18,3)')"""
+    """'a DECIMAL(18,3) NOT NULL' -> ('a', 'DECIMAL(18,3)') — constraint
+    tails (NOT NULL / DEFAULT / PRIMARY KEY / CHECK / REFERENCES) are
+    metadata, not part of the CAST target type."""
     c = c.strip()
-    m = re.match(r"(\w+)\s*(.*)", c, re.S)
-    return (m.group(1), " ".join(m.group(2).split()) or "STRING")
+    m = re.match(r"(\"[^\"]+\"|\w+)\s*(.*)", c, re.S)
+    ty = TYPE_TAIL.sub("", " ".join(m.group(2).split())) or "STRING"
+    return (m.group(1).strip('"'), ty)
 
 
 def merge_tables(records):
@@ -1399,7 +1456,8 @@ def merge_tables(records):
                 # column — VALUES alone would re-infer types and lose
                 # DECIMAL scales / BIGINT-ness
                 schemas[t] = [parse_coldef(c)
-                              for c in split_top(m.group(2)) if c.strip()]
+                              for c in split_top(m.group(2))
+                              if c.strip() and not CONSTRAINT_COLDEF.match(c)]
                 rows[t] = []
                 continue
             ma = any_create_re.match(sql)
@@ -1413,7 +1471,8 @@ def merge_tables(records):
                 if m:
                     real_schemas[m.group(1).lower()] = [
                         parse_coldef(c)
-                        for c in split_top(m.group(2)) if c.strip()]
+                        for c in split_top(m.group(2))
+                        if c.strip() and not CONSTRAINT_COLDEF.match(c)]
             ms = re.match(r"\s*CREATE\s+SCHEMA\s+(\w+)", sql, re.I)
             if ms:  # schemas leak across files in one spec JVM: same
                 # idempotence treatment (CASCADE clears leftover tables)
@@ -1470,8 +1529,9 @@ def merge_tables(records):
     return views, out
 
 
-TXN_RE = re.compile(r"^\s*(BEGIN(\s+TRANSACTION)?|COMMIT|ROLLBACK)\s*;?\s*$",
-                    re.I)
+TXN_RE = re.compile(
+    r"^\s*(BEGIN(\s+TRANSACTION)?|COMMIT|ROLLBACK|(FORCE\s+)?CHECKPOINT)\s*;?\s*$",
+    re.I)
 
 
 def main():
