@@ -157,6 +157,12 @@ object Dml {
 
   private val G = "__graft_"
 
+  /** All SQL built here runs through the engine's dialect pipeline
+    * (macro expansion, builtin-catalog strip, chaining, sampling) so
+    * user expression text inside DML keeps full dialect support. */
+  private def gsql(spark: SparkSession, text: String): DataFrame =
+    spark.sql(Macros.expandAll(spark, text))
+
   /** Merge a user `WITH a AS (...)` prefix with our own CTE list. */
   private def mergeCte(userCte: String, ours: String): String =
     if (userCte.isEmpty) s"WITH $ours"
@@ -177,7 +183,11 @@ object Dml {
     "returning", "from", "as")
 
   private def parseTableRef(text: String): TableRef = text match {
-    case IdentRe(name, rest) =>
+    case IdentRe(name0, rest) =>
+      // the reference's builtin catalog prefix (main.t / system.main.t)
+      // has no Spark database — strip it, like the engine's
+      // stripBuiltinCatalog does for queries
+      val name = name0.replaceAll("(?i)^(system\\s*\\.\\s*)?main\\s*\\.\\s*", "")
       rest match {
         case AliasRe(a, rest2)
             if !NonAliasKw.contains(a.toLowerCase.stripPrefix("\"").stripSuffix("\"")) =>
@@ -259,7 +269,7 @@ object Dml {
   /** Materialize the table's new contents and swap them in (tmp managed
     * table + INSERT OVERWRITE: metadata-preserving two-phase COW). */
   private def swapIn(spark: SparkSession, table: String, newSql: String): Unit = {
-    val df = spark.sql(newSql)
+    val df = gsql(spark, newSql)
     if (isTempView(spark, table)) {
       // importer-fused "table": materialize the new contents (they read
       // the old view) and replace the view definition
@@ -375,12 +385,12 @@ object Dml {
       }
       val rel = s"${tr.name} AS ${q(tr.alias)}"
       val newSql = cteify(cte, s"SELECT ${cols.mkString(", ")} FROM $rel")
-      val cnt = spark.sql(cteify(cte,
+      val cnt = gsql(spark, cteify(cte,
         s"SELECT count(*) FROM $rel" +
           (if (whereText.isEmpty) "" else s" WHERE $whereText"))).head().getLong(0)
       val ret =
         if (retText.isEmpty) null
-        else freeze(spark, spark.sql(cteify(cte,
+        else freeze(spark, gsql(spark, cteify(cte,
           s"SELECT $retText FROM (SELECT ${cols.mkString(", ")} FROM $rel" +
             (if (whereText.isEmpty) "" else s" WHERE $whereText") +
             s") AS ${q(tr.alias)}")))
@@ -414,7 +424,7 @@ object Dml {
         s"""SELECT ${outCols.mkString(", ")}
            |FROM $base AS ${G}t LEFT JOIN ($matches) AS ${G}m
            |  ON ${G}t.${G}gid = ${G}m.${G}mgid""".stripMargin)
-      val cnt = spark.sql(cteify(cte, s"SELECT count(*) FROM ($matches)")).head().getLong(0)
+      val cnt = gsql(spark, cteify(cte, s"SELECT count(*) FROM ($matches)")).head().getLong(0)
       val ret =
         if (retText.isEmpty) null
         else {
@@ -424,7 +434,7 @@ object Dml {
               case None => s"${G}t.${q(f.name)} AS ${q(f.name)}"
             }
           }
-          freeze(spark, spark.sql(cteify(cte,
+          freeze(spark, gsql(spark, cteify(cte,
             s"""SELECT $retText FROM (
                |  SELECT ${updCols.mkString(", ")}
                |  FROM $base AS ${G}t JOIN ($matches) AS ${G}m
@@ -466,12 +476,12 @@ object Dml {
       val newSql = cteify(cte,
         if (whereText.isEmpty) s"SELECT $colList FROM $rel WHERE false"
         else s"SELECT $colList FROM $rel WHERE ($whereText) IS NOT TRUE")
-      val cnt = spark.sql(cteify(cte,
+      val cnt = gsql(spark, cteify(cte,
         s"SELECT count(*) FROM $rel" +
           (if (whereText.isEmpty) "" else s" WHERE ($whereText) IS TRUE"))).head().getLong(0)
       val ret =
         if (retText.isEmpty) null
-        else freeze(spark, spark.sql(cteify(cte,
+        else freeze(spark, gsql(spark, cteify(cte,
           s"SELECT $retText FROM (SELECT $colList FROM $rel" +
             (if (whereText.isEmpty) "" else s" WHERE ($whereText) IS TRUE") +
             s") AS ${q(tr.alias)}")))
@@ -488,10 +498,10 @@ object Dml {
       val newSql = cteify(cte,
         s"""SELECT $tcols FROM $base AS ${G}t
            |LEFT ANTI JOIN ($matched) AS ${G}m ON ${G}t.${G}gid = ${G}m.${G}mgid""".stripMargin)
-      val cnt = spark.sql(cteify(cte, s"SELECT count(*) FROM ($matched)")).head().getLong(0)
+      val cnt = gsql(spark, cteify(cte, s"SELECT count(*) FROM ($matched)")).head().getLong(0)
       val ret =
         if (retText.isEmpty) null
-        else freeze(spark, spark.sql(cteify(cte,
+        else freeze(spark, gsql(spark, cteify(cte,
           s"""SELECT $retText FROM (
              |  SELECT $tcols FROM $base AS ${G}t
              |  LEFT SEMI JOIN ($matched) AS ${G}m ON ${G}t.${G}gid = ${G}m.${G}mgid
@@ -639,13 +649,31 @@ object Dml {
       }.mkString(", ") + ")"
     val lower = cond.toLowerCase
     val (inQ, _) = scan(cond)
+    // a bare alias INSIDE a subquery is that subquery's own relation
+    // reference (FROM Buy), never a row value of the outer merge
+    val inSub = {
+      val arr = new Array[Boolean](cond.length)
+      val stack = scala.collection.mutable.ArrayBuffer[Boolean]()
+      var i = 0
+      while (i < cond.length) {
+        val c = cond.charAt(i)
+        if (!inQ(i) && c == '(') {
+          var k = i + 1
+          while (k < cond.length && cond.charAt(k).isWhitespace) k += 1
+          stack += (k < cond.length && kwAt(lower, inQ, k, "select"))
+        } else if (!inQ(i) && c == ')' && stack.nonEmpty) stack.remove(stack.length - 1)
+        arr(i) = stack.contains(true)
+        i += 1
+      }
+      arr
+    }
     val sb = new StringBuilder
     var i = 0
     while (i < cond.length) {
       var replaced = false
       for ((alias, names) <- Seq(ta -> tfields.map(_.name), sa -> scols) if !replaced) {
         val al = alias.toLowerCase
-        if (kwAt(lower, inQ, i, al)) {
+        if (!inSub(i) && kwAt(lower, inQ, i, al)) {
           var j = i + al.length
           while (j < cond.length && cond.charAt(j).isWhitespace) j += 1
           val prevNonWs = {
@@ -853,7 +881,20 @@ object Dml {
             case _ => scopeExpr(e, tr.alias, tcolNames, Some(srcAlias))
           }
           val cond = if (condText.isEmpty) None
-            else Some(scoped(rewriteRowRefs(condText, tr.alias, tfields, srcAlias, scols)))
+            else {
+              val c0 = scoped(rewriteRowRefs(condText, tr.alias, tfields, srcAlias, scols))
+              // an UNCORRELATED subquery condition folds to a constant
+              // up front — Spark cannot resolve EXISTS inside the join
+              // projection (correlated ones stay and error visibly)
+              val c =
+                if (hasSubquery(c0))
+                  scala.util.Try(gsql(spark, cteify(cte,
+                    s"SELECT count(*) FROM (SELECT 1) ${G}probe WHERE ($c0)")).head())
+                    .toOption.map(r => if (r.getLong(0) > 0) "true" else "false")
+                    .getOrElse(c0)
+                else c0
+              Some(c)
+            }
           val scopedAction = action match {
             case ActUpdate(assigns, bare, byName) =>
               ActUpdate(assigns.map(a => a.copy(rhs = scoped(a.rhs))), bare, byName)
@@ -1041,16 +1082,16 @@ object Dml {
     val pfx = mergeCte(cte, ourCtes)
 
     // 1) per-row ERROR actions fire first (reference: abort before any write)
-    val err = spark.sql(s"$pfx SELECT ${G}err FROM ${G}j WHERE ${G}err IS NOT NULL LIMIT 1")
+    val err = gsql(spark, s"$pfx SELECT ${G}err FROM ${G}j WHERE ${G}err IS NOT NULL LIMIT 1")
       .collect()
     if (err.nonEmpty) throw new RuntimeException("Merge error: " + err.head.getString(0))
     // 2) cardinality check: a MATCHED action may affect a target row once
-    val dup = spark.sql(
+    val dup = gsql(spark,
       s"""$pfx SELECT ${G}gid FROM ${G}j WHERE ${G}acted = 1 AND ${G}gid IS NOT NULL
          |GROUP BY ${G}gid HAVING count(*) > 1 LIMIT 1""".stripMargin).collect()
     if (dup.nonEmpty) throw new RuntimeException(
       "Merge error: MERGE INTO cannot affect the same target row more than once")
-    val cnt = spark.sql(s"$pfx SELECT coalesce(sum(${G}cnt), 0) FROM ${G}fin")
+    val cnt = gsql(spark, s"$pfx SELECT coalesce(sum(${G}cnt), 0) FROM ${G}fin")
       .head().getLong(0)
     val newSql =
       s"$pfx SELECT ${tfields.map(f => q(f.name)).mkString(", ")} FROM ${G}fin WHERE ${G}keep"

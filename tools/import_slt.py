@@ -968,9 +968,19 @@ def rewrite_json_arrows(sql: str) -> str:
                + sql[rhs_end:])
 
 
+ORDER_ALL_NULLS_LAST = True
+
+
 def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # duckdb numeric-literal underscores (92_000.0) — no Spark grammar
     sql = re.sub(r"(?<=\d)_(?=\d)", "", sql)
+    # main is the reference's DEFAULT schema — main.t is t (and
+    # system.main.t likewise); Spark's default database is `default`
+    # ... but NOT in function-call position: system.main.sum(x) pins the
+    # BUILTIN under a shadowing macro, and main.macro(...) is a
+    # registry-qualified call
+    sql = re.sub(r"(?i)\bsystem\s*\.\s*main\s*\.(?!\s*\w+\s*\()", "", sql)
+    sql = re.sub(r"(?i)(?<![\w.])main\s*\.\s*(?=[\w`\"])(?!\w+\s*\()", "", sql)
     # E'...' escape-string literals: DECODE the escapes into the plain-
     # literal equivalent (E'X\\xY' carries one backslash + x), so the
     # later literal re-substitution (which doubles backslashes for
@@ -983,12 +993,15 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
             dec = body
         return "'" + dec + "'"
     sql = re.sub(r"(?<![\w'])E'((?:[^'\\]|\\.|'')*)'", _estr, sql)
-    # ORDER BY ALL: the reference defaults to NULLS LAST, Spark's ASC
-    # defaults to NULLS FIRST — spell the reference default explicitly
-    sql = re.sub(r"(?i)\bORDER\s+BY\s+ALL\s+ASC\b(?!\s+NULLS)",
-                 "ORDER BY ALL ASC NULLS LAST", sql)
-    sql = re.sub(r"(?i)\bORDER\s+BY\s+ALL\b(?!\s+(ASC|DESC|NULLS))",
-                 "ORDER BY ALL NULLS LAST", sql)
+    # ORDER BY ALL: the reference defaults to NULLS LAST
+    # (settings.hpp DefaultNullOrderSetting), Spark's ASC defaults to
+    # NULLS FIRST — spell the reference default explicitly. Files that
+    # SET default_null_order='nulls_first' (Spark's default) opt out.
+    if ORDER_ALL_NULLS_LAST:
+        sql = re.sub(r"(?i)\bORDER\s+BY\s+ALL\s+ASC\b(?!\s+NULLS)",
+                     "ORDER BY ALL ASC NULLS LAST", sql)
+        sql = re.sub(r"(?i)\bORDER\s+BY\s+ALL\b(?!\s+(ASC|DESC|NULLS))",
+                     "ORDER BY ALL NULLS LAST", sql)
     # DROP TABLE/VIEW .. CASCADE: Spark has no CASCADE; equivalent when
     # the corpus drops leaves (dependent-object records self-evict)
     sql = re.sub(r"(?i)^(\s*DROP\s+(?:TABLE|VIEW)\s+[^;]*?)\s+CASCADE\b", r"\1", sql)
@@ -1562,7 +1575,11 @@ def main():
         drop_matching = re.compile(args[k + 1], re.S)
         del args[k:k + 2]
     src, dest_name = args
-    lines = unroll_loops(open(src).read().splitlines())
+    text0 = open(src).read()
+    global ORDER_ALL_NULLS_LAST
+    ORDER_ALL_NULLS_LAST = not (NULL_ORDER_SET.search(text0)
+                                and NULL_ORDER_OK.search(text0))
+    lines = unroll_loops(text0.splitlines())
     text = "\n".join(lines)
     records = list(parse_records(lines))
     # a single `statement ok` may carry several ';'-separated statements

@@ -610,6 +610,10 @@ python3 tools/import_slt.py --drop-matching "(?i)'-?[0-9. ]+' *AS *interval|'-?[
 #     piv_pivot_in_boolean / piv_top_level_pivot_syntax: duckdb's
 #       value-discovering PIVOT ... USING statement syntax
 #     tbit_test_bit: BIT type
+#     piv_pivot_in_subquery: PIVOT ... USING statement syntax (same
+#       family as the other piv evictions)
+#     tfn_sqlite_master_quotes: table names with SPACES — Spark's
+#       catalog restricts names to [A-Za-z0-9_]
 #     tblob_*: '\xAA' blob-literal escape decoding (our blob surface is
 #       covered by the listfns batteries + q_read_blob)
 #     flagg_approx_count_distinct: sketch-estimate values baked in
@@ -637,6 +641,8 @@ optim_rewrite_nan_null.test
 piv_pivot_in_boolean.test
 piv_top_level_pivot_syntax.test
 tbit_test_bit.test
+piv_pivot_in_subquery.test
+tfn_sqlite_master_quotes.test
 tblob_test_blob.test
 tblob_test_blob_function.test
 flagg_approx_count_distinct.test
