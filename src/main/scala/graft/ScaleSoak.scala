@@ -30,7 +30,10 @@ object ScaleSoak {
     // r11: the r9/r10 additions under the same plan_equal+ratio
     // discipline, plus the now-real multimodal decode pass
     "q_ldbc_bi4", "q_ldbc_ic2", "q_jb2", "q_rn_transform_agg",
-    "q_qualify", "q_ds11_channel_growth", "q_multimodal_features")
+    "q_qualify", "q_ds11_channel_growth", "q_multimodal_features",
+    // r11b: copy-on-write DML (merge = one full-outer join + swap),
+    // native sampling, and the end-to-end pipeline composition
+    "q_dml_update_from", "q_dml_merge", "q_sample_rows", "q_pipeline_e2e")
 
   private val facts = Seq("lineitem", "orders", "events", "documents",
     "embeddings")

@@ -57,8 +57,11 @@ object EngineSession {
       // rejects them before any optimizer hook): int-as-bool CASE/IF
       // conditions (see graft.plans.IntCondToBool)
       .withExtensions(e => e.injectResolutionRule(_ => graft.plans.IntCondToBool))
-      // reference list `+` = list_concat (graft.plans.ListPlusToConcat)
-      .withExtensions(e => e.injectResolutionRule(_ => graft.plans.ListPlusToConcat))
+      // reference list `+` = list_concat (graft.plans.ListPlusToConcat);
+      // SPARK_GRAFT_NOLISTPLUS=1 is the perf A/B handle
+      .withExtensions(e =>
+        if (sys.env.get("SPARK_GRAFT_NOLISTPLUS").isEmpty)
+          e.injectResolutionRule(_ => graft.plans.ListPlusToConcat))
       // reference SELECT-alias binder extensions: aliases in WHERE +
       // the explicit `alias.x` qualifier (graft.plans.AliasResolution);
       // SPARK_GRAFT_NOALIASRULE=1 disables for analysis-cost A/B
