@@ -132,7 +132,14 @@ object Dml {
       else (sql.substring(0, j).trim, kw, sql.substring(j))
     } else {
       val (j, kw) = findKw(lower, inQ, depth, i, StmtKws)
-      if (j != i || kw == null || !DmlKws.contains(kw)) ("", null, sql)
+      if (j == i && kw == "insert") {
+        // plain INSERTs stay native; RETURNING and DEFAULT VALUES need
+        // the emulation (Spark's INSERT has neither)
+        val (r, _) = findKw(lower, inQ, depth, j, Seq("returning"))
+        val dv = """(?is)DEFAULT\s+VALUES\s*;?\s*$""".r.findFirstIn(sql).isDefined
+        if (r >= 0 || dv) ("", "insert", sql.substring(j)) else ("", null, sql)
+      }
+      else if (j != i || kw == null || !DmlKws.contains(kw)) ("", null, sql)
       else ("", kw, sql.substring(j))
     }
   }
@@ -180,7 +187,7 @@ object Dml {
     s.stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
 
   private val NonAliasKw = Set("set", "where", "using", "on", "when",
-    "returning", "from", "as")
+    "returning", "from", "as", "values", "select", "default", "by", "with")
 
   private def parseTableRef(text: String): TableRef = text match {
     case IdentRe(name0, rest) =>
@@ -519,8 +526,14 @@ object Dml {
   private def runInsertCte(spark: SparkSession, cte: String, body: String): DataFrame = {
     val after = body.replaceFirst("(?is)^\\s*INSERT\\s+INTO\\b", "")
     val tr = parseTableRef(after)
+    val fields = schemaOf(spark, tr.name)
     var rest = tr.rest.trim
-    var colsPart = ""
+    // RETURNING tail
+    val (inQ0, depth0) = scan(rest)
+    val (retIdx, _) = findKw(rest.toLowerCase, inQ0, depth0, 0, Seq("returning"))
+    val retText = if (retIdx < 0) "" else rest.substring(retIdx + 9).trim.stripSuffix(";")
+    if (retIdx >= 0) rest = rest.substring(0, retIdx).trim
+    var givenCols: Option[Seq[String]] = None
     if (rest.startsWith("(")) {
       // could be a column list or a parenthesized SELECT
       val inner = rest.stripPrefix("(")
@@ -530,16 +543,44 @@ object Dml {
         val (_, d) = scan(rest)
         var close = 1
         while (close < rest.length && !(rest.charAt(close) == ')' && d(close) == 0)) close += 1
-        colsPart = rest.substring(0, close + 1)
+        givenCols = Some(splitTop(rest.substring(1, close)).map(unq))
         rest = rest.substring(close + 1).trim
       }
     }
-    val srcSql = cteify(cte, if (rest.startsWith("(")) s"SELECT * FROM $rest" else rest)
-    val src = freeze(spark, spark.sql(srcSql))
+    val isDefaultValues = rest.replaceAll("[;\\s]+$", "")
+      .equalsIgnoreCase("default values")
+    val src =
+      if (isDefaultValues) {
+        val cols = fields.map(f => s"${castTo(defaultExpr(f), f)} AS ${q(f.name)}")
+        freeze(spark, gsql(spark, s"SELECT ${cols.mkString(", ")}"))
+      } else {
+        val srcSql = cteify(cte, if (rest.startsWith("(")) s"SELECT * FROM $rest" else rest)
+        freeze(spark, gsql(spark, srcSql))
+      }
     val vn = s"${G}ins_src"
     src.createOrReplaceTempView(vn)
-    spark.sql(s"INSERT INTO ${tr.name} $colsPart SELECT * FROM $vn").collect()
-    countDf(spark, src.count())
+    val colsPart =
+      if (isDefaultValues || givenCols.isEmpty) ""
+      else s" (${givenCols.get.map(q).mkString(", ")})"
+    gsql(spark, s"INSERT INTO ${tr.name}$colsPart SELECT * FROM $vn").collect()
+    if (retText.isEmpty) countDf(spark, src.count())
+    else {
+      // RETURNING evaluates over the FULL inserted row (given columns
+      // from the source positionally, the rest from their defaults)
+      val srcNames = src.schema.fields.map(_.name)
+      val byTarget = givenCols.getOrElse(fields.map(_.name)).map(_.toLowerCase)
+        .zipWithIndex.toMap
+      val rowCols = fields.map { f =>
+        byTarget.get(f.name.toLowerCase) match {
+          case Some(i) if i < srcNames.length =>
+            s"CAST(${q(srcNames(i))} AS ${f.dataType.sql}) AS ${q(f.name)}"
+          case _ => s"${castTo(defaultExpr(f), f)} AS ${q(f.name)}"
+        }
+      }
+      freeze(spark, gsql(spark,
+        s"""SELECT $retText FROM (
+           |  SELECT ${rowCols.mkString(", ")} FROM $vn) AS ${q(tr.alias)}""".stripMargin))
+    }
   }
 
   // ------------------------------------------------------------------

@@ -239,6 +239,20 @@ class DmlSpec extends AnyFunSuite {
     assert(c2 == 0)
   }
 
+  test("INSERT: RETURNING, DEFAULT VALUES, CTE-prefixed") {
+    sql("DROP TABLE IF EXISTS dml_ins")
+    sql("CREATE TABLE dml_ins(a INT, b STRING DEFAULT 'dflt') USING parquet")
+    val r = dml("INSERT INTO dml_ins VALUES (4, 'bar') RETURNING a, b")
+      .collect().map(_.toSeq).toSeq
+    assert(r == Seq(Seq(4, "bar")))
+    val r2 = dml("WITH v AS (SELECT 5 AS a) INSERT INTO dml_ins (a) SELECT * FROM v RETURNING b")
+      .collect().map(_.getString(0)).toSeq
+    assert(r2 == Seq("dflt"))
+    dml("INSERT INTO dml_ins DEFAULT VALUES")
+    assert(rows("SELECT count(*) FROM dml_ins WHERE a IS NULL AND b = 'dflt'") == Seq(Seq(1L)))
+    assert(rows("SELECT count(*) FROM dml_ins") == Seq(Seq(3L)))
+  }
+
   test("TRUNCATE empties the table") {
     sql("DROP TABLE IF EXISTS dml_tr")
     sql("CREATE TABLE dml_tr(a INT) USING parquet")

@@ -587,6 +587,14 @@ python3 tools/import_slt.py --drop-matching "(?i)'-?[0-9. ]+' *AS *interval|'-?[
 #     catalog conflicts the temp-view lowering cannot reproduce;
 #     jiss evictions: generator-in-expression unnest, blob->VARCHAR
 #     \xNN cast rendering, CREATE TEMP TABLE without provider
+#   r11b SWEEP re-admissions (15): the dialect wave un-evicted
+#     binder/cmacro function-chaining files, the UPDATE/DELETE-bearing
+#     scalar-subquery and list-update batteries, recursive-CTE tutorial
+#     files (WITH..INSERT now runs), iejoin, trailing commas,
+#     decimal_float_cast, grouping_sets_issue_3730,
+#     order_limit_full_outer_join, exists_test_issue_23979 — each green
+#     in the r11b SKIP_EVICT run and re-verified in the follow-up full
+#     suite before re-admission.
 #   r11b evictions (the DML/sampling/chaining admission wave):
 #     smpl_same_seed_* / numeric_set_seed_for_sample: expectations are
 #       the reference RNG's exact picks (COUNT 20480/min 12288, seed 42)
@@ -713,7 +721,6 @@ ordi_ordinality_inout.test
 cte_recursive_cte_invariant_build.test
 cte_recursive_cte_key_final_drain.test
 cte_test_recursive_cte_union_all.test
-jie_test_iejoin.test
 order_test_limit.test
 lambda_transform.test
 lambda_transform_with_index.test
@@ -817,7 +824,6 @@ ctemat_recursive_cte_complex_pipelines.test
 ctemat_test_correlated_recursive_cte_materialized.test
 ctemat_test_nested_recursive_cte_materialized.test
 ctemat_test_outer_joins_recursive_cte_materialized.test
-ctemat_test_recursive_cte_tutorial_materialized.test
 ctemat_test_recursive_cte_union_materialized.test
 generic_case_condition.test
 operator_test_in_empty_table.test
@@ -863,7 +869,6 @@ any_all_test_scalar_in.test
 any_all_test_uncorrelated_all_subquery.test
 any_all_test_uncorrelated_any_subquery.test
 exists_test_correlated_exists.test
-exists_test_issue_23979.test
 scalar_in_multiple_columns.test
 scalar_nested_subquery_window.test
 scalar_test_correlated_subquery.test
@@ -878,7 +883,6 @@ scalar_test_varchar_correlated_subquery.test
 grouping_sets_cube.test
 grouping_sets_grouping.test
 grouping_sets_grouping_sets.test
-grouping_sets_issue_3730.test
 grouping_sets_rollup.test
 complex_complex_correlated_subquery_issue.test
 table_test_unnamed_subquery.test
@@ -892,7 +896,6 @@ cte_lazy_cte_bind.test
 cte_lazy_cte_bind_correlated.test
 cte_recursive_cte_batch_index.test
 cte_recursive_cte_key_hll_aggregation.test
-cte_test_issue_5673.test
 cte_test_nested_recursive_cte.test
 cte_test_outer_joins_recursive_cte.test
 distinct_issue19616.test
@@ -936,7 +939,6 @@ operator_test_bitwise_ops.test
 cast_boolean_autocast.test
 cast_test_string_cast.test
 cast_double_float_cast.test
-cast_decimal_float_cast.test
 cast_decimal_integer_cast.test
 cast_float_integer_cast.test
 decimal_decimal_aggregates.test
@@ -969,7 +971,6 @@ window_test_mode_window.test
 window_test_volatile_independence.test
 cte_cte_with_replacement_scan.test
 cte_test_cte.test
-cte_test_recursive_cte_tutorial.test
 cte_test_recursive_cte_union.test
 generic_test_sleep.test
 generic_test_stats.test
@@ -990,7 +991,6 @@ limit_test_batch_limit_filters.test
 null_test_boolean_null.test
 null_test_is_null.test
 null_test_null.test
-order_limit_full_outer_join.test
 order_limit_percent_view.test
 order_order_by_all.test
 order_order_overflow.test
@@ -1000,10 +1000,8 @@ order_test_nulls_first.test
 order_test_order_pragma.test
 order_test_order_by_exceptions.test
 order_test_order_by_non_ordinal_literal.test
-scalar_test_delete_subquery.test
 scalar_test_many_correlated_columns.test
 scalar_test_subquery_any_join.test
-scalar_test_update_subquery.test
 aggregates_test_quantile_cont_list.test
 any_all_test_any_all.test
 binder_column_value_alias_group.test
@@ -1121,7 +1119,6 @@ parser_indirection.test
 parser_invisible_spaces.test
 parser_switch_case.test
 parser_test_operator_precedence.test
-parser_trailing_commas.test
 scalar_correlated_pivot.test
 scalar_correlated_pivot_error.test
 scalar_test_unnest_subquery.test
@@ -1156,8 +1153,6 @@ tlist_list_null_members_small.test
 tlist_list_of_struct.test
 tlist_list_stats.test
 tlist_list_to_varchar_cast.test
-tlist_list_update_with_many_matches.test
-tlist_nested_list_updates.test
 tlist_recursive_unnest.test
 tlist_unnest_array.test
 tlist_unnest_complex_types.test
@@ -1310,13 +1305,11 @@ collate_icu_collation_propagation.test
 tlist_unnest_table_function.test
 narray_array_statistics.test
 flambda_expression_iterator_cases.test
-binder_function_chaining_19035.test
 binder_test_alias_map_in_subquery.test
 tvar_variant_map_to_variant_filter.test
 cmacro_macro_query_table.test
 cmacro_query_function.test
 cmacro_test_macro_correlated_cte.test
-cmacro_test_macro_issue_18927.test
 prep_test_prepare_subquery.test
 prep_test_issue_21077.test
 ins_insert_rollback.test
