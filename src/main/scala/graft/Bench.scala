@@ -37,9 +37,14 @@ object Bench {
     "q_cb09", "q_cb33", "q_job06a", "q_job09a", "q_h2o_g10", "q_h2o_j05",
     "q_window_median_unbounded",
     // round-9 additions: LDBC graph-join and jsonbench representatives
-    "q_ldbc_bi4", "q_ldbc_ic2", "q_jb2", "q_rn_transform_agg",
-    // round-11: the now-real multimodal codec pass (PNG+WAV roundtrip)
-    "q_multimodal_features")
+    "q_ldbc_bi4", "q_ldbc_ic2", "q_jb2", "q_rn_transform_agg")
+
+  /** The real-codec pass (PNG+WAV decode). Timed and reported in its
+    * OWN metric, outside total_extended: its DuckDB "pair" computes a
+    * closed-form SQL analog of the pixel/sample stats, not an actual
+    * decode, so folding it into a cross-engine total would compare
+    * apples to oranges (r11 verdict). */
+  val headlineCodec: Seq[String] = Seq("q_multimodal_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,6 +75,7 @@ object Bench {
 
     val qs = SparkEntry.queries
     val extra = headlineExtra.filter(qs.contains)
+    val codec = headlineCodec.filter(qs.contains)
     val names = headline.filter(qs.contains) ++
       (if (sys.env.contains("SPARK_GRAFT_BENCH_ALL"))
         qs.keys.toSeq.sorted.diff(headline ++ headlineExtra)
@@ -103,19 +109,30 @@ object Bench {
     // warmup ×2 (codegen + JIT + file listing): a single warm run leaves
     // the analyzer/optimizer paths half-JITted — measured build+plan for
     // q1_agg drops 46 → 16 ms between the first and second full pass, so
-    // one extra warmup pass moves that cost out of the timed passes
-    for (_ <- 1 to 2; n <- names ++ extra) {
-      try runOnce(n)
-      catch { case _: Throwable => () }
-    }
+    // one extra warmup pass moves that cost out of the timed passes.
+    // Core-only first: warming the heavy extended/codec queries before
+    // the core timed passes leaves GC/heap pressure that inflated the
+    // r11 driver-box core total ~1.3× uniformly — each group now warms
+    // immediately before its own timed passes.
+    def warm(ns: Seq[String]): Unit =
+      for (_ <- 1 to 2; n <- ns) {
+        try runOnce(n)
+        catch { case _: Throwable => () }
+      }
+    def settle(): Unit = { System.gc(); Thread.sleep(200) }
     def totalOf(r: Seq[(String, Double)]): Double = r.map(_._2).filter(_ >= 0).sum
     // the round-7 additions time in their own passes AFTER the core so
     // `value` (the original 22-query total) stays protocol-identical
     // round-over-round; `total_extended` adds their min-pass total
+    warm(names); settle()
     val passes = (1 to suiteRuns).map(_ => onePass())
+    warm(extra); settle()
     val extraPasses = (1 to suiteRuns).map(_ => onePass(extra))
+    warm(codec)
+    val codecPasses = (1 to suiteRuns).map(_ => onePass(codec))
     val results = passes.minBy(totalOf)
     val extraResults = extraPasses.minBy(totalOf)
+    val codecResults = codecPasses.minBy(totalOf)
     val totals = passes.map(p => f"${totalOf(p)}%.4f").mkString("[", ",", "]")
 
     val qJson = (results ++ extraResults)
@@ -129,6 +146,7 @@ object Bench {
     // on a prior round's regenerated data. Skipped gracefully (null) when
     // python3/duckdb or the tool isn't present (SPARK_GRAFT_NODUCK=1
     // forces skip). Protocol: reference benchmark/README.md:15-33.
+    var duckQueriesJson: String = null
     val duckPair: Map[String, Double] =
       if (sys.env.contains("SPARK_GRAFT_NODUCK")) Map.empty
       else try {
@@ -149,6 +167,8 @@ object Bench {
             .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}")
           java.nio.file.Files.writeString(tmp.resolve("oracle_sql.json"), oracleJson)
           val valueRe = """"value":\s*([0-9.eE+-]+)""".r
+          val queriesRe = """(?s)"queries":\s*(\{[^}]*\})""".r
+          var perQuery: String = null
           def run(native: Boolean): Option[Double] = {
             val pb = new ProcessBuilder("python3", tool.getPath, sfDir, tmp.toString)
             if (native) pb.environment().put("DUCK_NATIVE", "1")
@@ -157,19 +177,31 @@ object Bench {
               java.nio.charset.StandardCharsets.UTF_8)
             p.getErrorStream.readAllBytes()
             if (p.waitFor() != 0) None
-            else valueRe.findFirstMatchIn(outStr).map(_.group(1).toDouble)
+            else {
+              // per-query medians from the views run ride into the
+              // artifact so per-query ratio regressions stay visible
+              if (!native)
+                queriesRe.findFirstMatchIn(outStr)
+                  .foreach(m => perQuery = m.group(1))
+              valueRe.findFirstMatchIn(outStr).map(_.group(1).toDouble)
+            }
           }
-          (run(native = false).map("duck_views" -> _) ++
+          val totalsMap = (run(native = false).map("duck_views" -> _) ++
             run(native = true).map("duck_native" -> _)).toMap
+          duckQueriesJson = perQuery
+          totalsMap
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] duckdb pair skipped: ${e.getMessage}")
         Map.empty
       }
     val duckJson = duckPair
-      .map { case (k, v) => s""","$k":$v""" }.mkString
+      .map { case (k, v) => s""","$k":$v""" }.mkString +
+      (if (duckQueriesJson != null) s""","duck_queries":$duckQueriesJson""" else "")
+    val codecJson = codecResults
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_extended":$extTotal$duckJson,"queries":$qJson,"totals":$totals,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_extended":$extTotal$duckJson,"queries":$qJson,"multimodal":$codecJson,"multimodal_note":"real PNG/WAV decode; its oracle is a closed-form SQL analog, so it is reported outside total_extended","totals":$totals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

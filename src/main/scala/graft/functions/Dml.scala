@@ -46,33 +46,41 @@ object Dml {
   // text scanning (quote/paren aware, same discipline as QualifyRewrite)
   // ------------------------------------------------------------------
 
-  private def isIdent(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '$'
+  private[functions] def isIdent(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '$'
 
-  private def scan(s: String): (Array[Boolean], Array[Int]) = {
+  /** Per-position active quote char (' ' when unquoted) + paren
+    * depth. Backticks count as quotes so keyword-named identifiers are
+    * masked from keyword detection (r11 ADVICE). */
+  private[functions] def scanFull(s: String): (Array[Char], Array[Int]) = {
     val n = s.length
-    val inQ = new Array[Boolean](n)
+    val qch = new Array[Char](n)
     val depth = new Array[Int](n)
     var q = false; var qc = ' '; var d = 0; var i = 0
     while (i < n) {
       val c = s.charAt(i)
-      if (q) { inQ(i) = true; depth(i) = d; if (c == qc) q = false }
-      else if (c == '\'' || c == '"') { inQ(i) = true; depth(i) = d; q = true; qc = c }
-      else if (c == '(') { depth(i) = d; d += 1 }
-      else if (c == ')') { d -= 1; depth(i) = d }
-      else depth(i) = d
+      if (q) { qch(i) = qc; depth(i) = d; if (c == qc) q = false }
+      else if (c == '\'' || c == '"' || c == '`') { qch(i) = c; depth(i) = d; q = true; qc = c }
+      else if (c == '(') { qch(i) = ' '; depth(i) = d; d += 1 }
+      else if (c == ')') { qch(i) = ' '; d -= 1; depth(i) = d }
+      else { qch(i) = ' '; depth(i) = d }
       i += 1
     }
-    (inQ, depth)
+    (qch, depth)
   }
 
-  private def kwAt(lower: String, inQ: Array[Boolean], i: Int, kw: String): Boolean =
+  private[functions] def scan(s: String): (Array[Boolean], Array[Int]) = {
+    val (qch, depth) = scanFull(s)
+    (qch.map(_ != ' '), depth)
+  }
+
+  private[functions] def kwAt(lower: String, inQ: Array[Boolean], i: Int, kw: String): Boolean =
     !inQ(i) && lower.startsWith(kw, i) &&
       (i == 0 || !isIdent(lower.charAt(i - 1))) &&
       (i + kw.length >= lower.length || !isIdent(lower.charAt(i + kw.length)))
 
   /** First top-level (depth 0, unquoted) occurrence of any keyword in
     * `kws`, at or after `from`. Returns (index, keyword) or (-1, null). */
-  private def findKw(lower: String, inQ: Array[Boolean], depth: Array[Int],
+  private[functions] def findKw(lower: String, inQ: Array[Boolean], depth: Array[Int],
       from: Int, kws: Seq[String]): (Int, String) = {
     var i = math.max(from, 0)
     while (i < lower.length) {
@@ -89,7 +97,7 @@ object Dml {
   }
 
   /** Split `s` on top-level commas. */
-  private def splitTop(s: String): Seq[String] = {
+  private[functions] def splitTop(s: String): Seq[String] = {
     val (inQ, depth) = scan(s)
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var start = 0
@@ -133,11 +141,15 @@ object Dml {
     } else {
       val (j, kw) = findKw(lower, inQ, depth, i, StmtKws)
       if (j == i && kw == "insert") {
-        // plain INSERTs stay native; RETURNING and DEFAULT VALUES need
-        // the emulation (Spark's INSERT has neither)
+        // plain INSERTs stay native; RETURNING, DEFAULT VALUES,
+        // ON CONFLICT and OR REPLACE|IGNORE need the emulation
         val (r, _) = findKw(lower, inQ, depth, j, Seq("returning"))
         val dv = """(?is)DEFAULT\s+VALUES\s*;?\s*$""".r.findFirstIn(sql).isDefined
-        if (r >= 0 || dv) ("", "insert", sql.substring(j)) else ("", null, sql)
+        val oc = findOnConflictIdx(sql) >= 0
+        val orm = """(?is)^\s*INSERT\s+OR\s+(REPLACE|IGNORE)\b""".r
+          .findFirstIn(sql).isDefined
+        if (r >= 0 || dv || oc || orm) ("", "insert", sql.substring(j))
+        else ("", null, sql)
       }
       else if (j != i || kw == null || !DmlKws.contains(kw)) ("", null, sql)
       else ("", kw, sql.substring(j))
@@ -145,6 +157,19 @@ object Dml {
   }
 
   def matches(sql: String): Boolean = splitHead(sql)._2 != null
+
+  private val InsertHeadRe =
+    """(?is)^\s*INSERT\s+(?:OR\s+(?:REPLACE|IGNORE)\s+)?INTO\s+((?:"[^"]+"|`[^`]+`|[\w$]+)(?:\s*\.\s*(?:"[^"]+"|`[^`]+`|[\w$]+))*)""".r
+
+  private def insertTarget(sql: String): Option[String] =
+    InsertHeadRe.findFirstMatchIn(sql).map(_.group(1))
+
+  /** Session-aware overload: additionally routes plain INSERTs whose
+    * target table has registered constraints (pre-append verification —
+    * reference data_table.cpp VerifyAppendConstraints). */
+  def matches(spark: SparkSession, sql: String): Boolean =
+    matches(sql) ||
+      insertTarget(sql).exists(t => Constraints.of(spark, t).nonEmpty)
 
   def execute(spark: SparkSession, sql: String): DataFrame = {
     val (cte, head, body) = splitHead(sql)
@@ -154,6 +179,8 @@ object Dml {
       case "truncate" => runTruncate(spark, body)
       case "merge"    => runMerge(spark, cte, body)
       case "insert"   => runInsertCte(spark, cte, body)
+      case _ if insertTarget(sql).exists(t => Constraints.of(spark, t).nonEmpty) =>
+        runInsertCte(spark, "", sql)
       case _ => throw new IllegalArgumentException(s"not a DML statement: $sql")
     }
   }
@@ -162,34 +189,34 @@ object Dml {
   // shared plumbing
   // ------------------------------------------------------------------
 
-  private val G = "__graft_"
+  private[functions] val G = "__graft_"
 
   /** All SQL built here runs through the engine's dialect pipeline
     * (macro expansion, builtin-catalog strip, chaining, sampling) so
     * user expression text inside DML keeps full dialect support. */
-  private def gsql(spark: SparkSession, text: String): DataFrame =
+  private[functions] def gsql(spark: SparkSession, text: String): DataFrame =
     spark.sql(Macros.expandAll(spark, text))
 
   /** Merge a user `WITH a AS (...)` prefix with our own CTE list. */
-  private def mergeCte(userCte: String, ours: String): String =
+  private[functions] def mergeCte(userCte: String, ours: String): String =
     if (userCte.isEmpty) s"WITH $ours"
     else userCte.trim.replaceAll("^(?is)WITH\\b", "WITH ") + s", $ours"
 
-  private def cteify(userCte: String, select: String): String =
+  private[functions] def cteify(userCte: String, select: String): String =
     if (userCte.isEmpty) select else s"${userCte.trim} $select"
 
-  private case class TableRef(name: String, alias: String, rest: String)
+  private[functions] case class TableRef(name: String, alias: String, rest: String)
 
   private val IdentRe = """(?s)^\s*((?:"[^"]+"|`[^`]+`|[\w$]+)(?:\s*\.\s*(?:"[^"]+"|`[^`]+`|[\w$]+))*)(.*)$""".r
   private val AliasRe = """(?is)^\s*(?:AS\s+)?("[^"]+"|`[^`]+`|[\w$]+)(.*)$""".r
 
-  private def unq(s: String): String =
+  private[functions] def unq(s: String): String =
     s.stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
 
   private val NonAliasKw = Set("set", "where", "using", "on", "when",
     "returning", "from", "as", "values", "select", "default", "by", "with")
 
-  private def parseTableRef(text: String): TableRef = text match {
+  private[functions] def parseTableRef(text: String): TableRef = text match {
     case IdentRe(name0, rest) =>
       // the reference's builtin catalog prefix (main.t / system.main.t)
       // has no Spark database — strip it, like the engine's
@@ -219,29 +246,29 @@ object Dml {
       s"Binder Error: Can only $verb base tables!")
   }
 
-  private def isTempView(spark: SparkSession, table: String): Boolean =
+  private[functions] def isTempView(spark: SparkSession, table: String): Boolean =
     try spark.catalog.getTable(unq(table.split('.').last)).tableType == "TEMPORARY"
     catch { case _: Throwable => false }
 
-  private def schemaOf(spark: SparkSession, table: String): Seq[StructField] =
+  private[functions] def schemaOf(spark: SparkSession, table: String): Seq[StructField] =
     spark.table(table).schema.fields.toSeq
 
   /** Column DEFAULT as a SQL expression ("NULL" when none declared). */
-  private def defaultExpr(f: StructField): String =
+  private[functions] def defaultExpr(f: StructField): String =
     if (f.metadata.contains("CURRENT_DEFAULT")) f.metadata.getString("CURRENT_DEFAULT")
     else "NULL"
 
-  private def castTo(expr: String, f: StructField): String =
+  private[functions] def castTo(expr: String, f: StructField): String =
     s"CAST((${expr.trim}) AS ${f.dataType.sql})"
 
-  private def assignValue(rhs: String, f: StructField): String = {
+  private[functions] def assignValue(rhs: String, f: StructField): String = {
     val t = rhs.trim
     if (t.equalsIgnoreCase("default")) castTo(defaultExpr(f), f) else castTo(t, f)
   }
 
   /** True when the predicate text can contain a subquery (needs the
     * join-based row-id path instead of a projection CASE). */
-  private def hasSubquery(s: String): Boolean = {
+  private[functions] def hasSubquery(s: String): Boolean = {
     val lower = s.toLowerCase
     val (inQ, _) = scan(s)
     var i = lower.indexOf("select")
@@ -255,7 +282,7 @@ object Dml {
   /** Relation text `(SELECT t0.*, <gid> AS __graft_gid FROM tbl AS t0)`
     * with a stable per-row id. Probes the parquet metadata columns and
     * falls back to an eager checkpoint for non-file-backed tables. */
-  private def gidRelation(spark: SparkSession, table: String): String = {
+  private[functions] def gidRelation(spark: SparkSession, table: String): String = {
     val probe = scala.util.Try {
       spark.sql(s"SELECT _metadata FROM $table LIMIT 0").schema
     }
@@ -275,8 +302,13 @@ object Dml {
 
   /** Materialize the table's new contents and swap them in (tmp managed
     * table + INSERT OVERWRITE: metadata-preserving two-phase COW). */
-  private def swapIn(spark: SparkSession, table: String, newSql: String): Unit = {
+  private[functions] def swapIn(spark: SparkSession, table: String, newSql: String): Unit = {
     val df = gsql(spark, newSql)
+    // declared constraints verify on the FULL new contents before any
+    // write (reference data_table.cpp:914 VerifyAppendConstraints /
+    // art.cpp:839 duplicate-key diagnostics)
+    Constraints.of(spark, table).foreach(tc =>
+      Constraints.verifyContents(spark, tc, df))
     if (isTempView(spark, table)) {
       // importer-fused "table": materialize the new contents (they read
       // the old view) and replace the view definition
@@ -289,7 +321,7 @@ object Dml {
     }
   }
 
-  private def countDf(spark: SparkSession, n: Long): DataFrame = {
+  private[functions] def countDf(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     Seq(n).toDF("Count")
   }
@@ -297,7 +329,7 @@ object Dml {
   /** Collect a result set eagerly (the table is about to be rewritten)
     * and re-materialize it as a local DataFrame. RETURNING result sets
     * are bounded by the rows one statement touches. */
-  private def freeze(spark: SparkSession, df: DataFrame): DataFrame = {
+  private[functions] def freeze(spark: SparkSession, df: DataFrame): DataFrame = {
     val rows = df.collect()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
@@ -306,10 +338,10 @@ object Dml {
   // UPDATE
   // ------------------------------------------------------------------
 
-  private case class Assign(col: String, rhs: String)
+  private[functions] case class Assign(col: String, rhs: String)
 
   /** Parse a SET list: `a = e`, `(a, b) = (e1, e2)`, `(a, b) = e`. */
-  private def parseAssigns(setText: String, table: String,
+  private[functions] def parseAssigns(setText: String, table: String,
       fields: Seq[StructField]): Seq[Assign] = {
     val byName = fields.map(f => f.name.toLowerCase -> f).toMap
     def checkCol(raw0: String): String = {
@@ -452,8 +484,10 @@ object Dml {
     }
   }
 
-  private def q(name: String): String =
-    if (name.forall(c => c.isLetterOrDigit || c == '_')) name else s"`$name`"
+  /** Always backtick-quote: keyword-named columns (`order`, `from`)
+    * would otherwise make generated SQL unparseable (r11 ADVICE). */
+  private[functions] def q(name: String): String =
+    "`" + name.replace("`", "``") + "`"
 
   // ------------------------------------------------------------------
   // DELETE
@@ -519,20 +553,136 @@ object Dml {
   }
 
   // ------------------------------------------------------------------
-  // WITH .. INSERT (leading-CTE insert — Spark's grammar wants the CTE
-  // inside the query; evaluate the source under the CTE, then insert)
+  // INSERT: leading-CTE, RETURNING, DEFAULT VALUES, constraint-verified
+  // appends, and ON CONFLICT upsert (INSERT OR REPLACE / OR IGNORE).
+  //
+  // Reference: `src/execution/operator/persistent/physical_insert
+  // .cpp:32-91` (OnConflictAction THROW/NOTHING/UPDATE with excluded.*
+  // binding) and `src/planner/binder/statement/bind_insert.cpp:380-460`
+  // — which lowers ON CONFLICT onto MERGE INTO, the same shape used
+  // here: one LEFT JOIN of the table against the (deduplicated) batch
+  // computes the updated contents, one ANTI JOIN the fresh appends.
+  // Batch-internal conflicts keep the LAST occurrence
+  // (test/sql/upsert/upsert_global_mixed_conflicts.test: key 7 inserts
+  // 'tes', not 'tese'); NULL keys never conflict
+  // (upsert_unique_null.test); a DO UPDATE .. WHERE that filters a
+  // conflict out degrades it to DO NOTHING (upsert_returning.test).
   // ------------------------------------------------------------------
 
+  /** Start index of the first top-level `ON CONFLICT`, or -1. */
+  private def findOnConflictIdx(rest: String): Int = {
+    val lower = rest.toLowerCase
+    val (inQ, depth) = scan(rest)
+    var i = 0
+    while (i >= 0 && i < rest.length) {
+      val (j, _) = findKw(lower, inQ, depth, i, Seq("conflict"))
+      if (j < 0) return -1
+      var p = j - 1
+      while (p >= 0 && rest.charAt(p).isWhitespace) p -= 1
+      if (p >= 1 && !inQ(p) && lower.charAt(p) == 'n' && lower.charAt(p - 1) == 'o' &&
+          (p - 1 == 0 || !isIdent(lower.charAt(p - 2))))
+        return p - 1
+      i = j + 8
+    }
+    -1
+  }
+
+  /** `update` None = DO NOTHING; Some((assigns, whereText)). */
+  private case class Conflict(target: Option[Seq[String]],
+      update: Option[(Seq[Assign], String)])
+
+  private def parseConflict(text0: String, fields: Seq[StructField]): Conflict = {
+    var t = text0.replaceFirst("(?is)^\\s*ON\\s+CONFLICT\\b", "").trim
+    var target: Option[Seq[String]] = None
+    if (t.startsWith("(")) {
+      val (_, d) = scanFull(t)
+      var close = 1
+      while (close < t.length && !(t.charAt(close) == ')' && d(close) == d(0))) close += 1
+      target = Some(splitTop(t.substring(1, close)).map(unq))
+      t = t.substring(close + 1).trim
+    }
+    if (!t.toLowerCase.startsWith("do")) throw new IllegalArgumentException(
+      s"Parser Error: expected DO NOTHING or DO UPDATE in ON CONFLICT clause: $text0")
+    t = t.substring(2).trim
+    val tl = t.toLowerCase
+    if (tl.startsWith("nothing")) Conflict(target, None)
+    else if (tl.startsWith("update")) {
+      var rest = t.substring(6).trim.replaceFirst("(?is)^SET\\b", "").trim
+      val (inQ, depth) = scan(rest)
+      val (wIdx, _) = findKw(rest.toLowerCase, inQ, depth, 0, Seq("where"))
+      val setText = if (wIdx < 0) rest else rest.substring(0, wIdx)
+      val whText = if (wIdx < 0) "" else rest.substring(wIdx + 5).trim
+      Conflict(target, Some((parseAssigns(setText, "", fields), whText)))
+    } else throw new IllegalArgumentException(
+      s"Parser Error: expected DO NOTHING or DO UPDATE in ON CONFLICT clause: $text0")
+  }
+
+  /** Rewrite `alias.`-qualified references (any name in `from`) to the
+    * internal alias `to`, quote/ident aware. */
+  private def requalify(e: String, from: Seq[String], to: String): String = {
+    val lower = e.toLowerCase
+    val (inQ, _) = scan(e)
+    val aliases = from.map(_.toLowerCase).distinct.filter(_.nonEmpty)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < e.length) {
+      var hit = false
+      for (al <- aliases if !hit) {
+        if (kwAt(lower, inQ, i, al)) {
+          var j = i + al.length
+          while (j < e.length && e.charAt(j).isWhitespace) j += 1
+          var p = i - 1
+          while (p >= 0 && e.charAt(p).isWhitespace) p -= 1
+          if (j < e.length && e.charAt(j) == '.' && (p < 0 || e.charAt(p) != '.')) {
+            sb.append(to).append('.')
+            i = j + 1
+            while (i < e.length && e.charAt(i).isWhitespace) i += 1
+            hit = true
+          }
+        }
+      }
+      if (!hit) { sb.append(e.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Append full-width rows from `view` to `table` (native INSERT for
+    * real tables; union + view swap for importer-fused temp views). */
+  private def appendRows(spark: SparkSession, table: String,
+      fields: Seq[StructField], view: String): Unit = {
+    val colList = fields.map(f => q(f.name)).mkString(", ")
+    if (isTempView(spark, table)) {
+      spark.table(table)
+        .unionAll(spark.sql(s"SELECT $colList FROM $view"))
+        .localCheckpoint(true)
+        .createOrReplaceTempView(unq(table.split('.').last))
+    } else gsql(spark, s"INSERT INTO $table SELECT $colList FROM $view").collect(): Unit
+  }
+
   private def runInsertCte(spark: SparkSession, cte: String, body: String): DataFrame = {
-    val after = body.replaceFirst("(?is)^\\s*INSERT\\s+INTO\\b", "")
+    val HeadRe = """(?is)^\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\b""".r
+    val hm = HeadRe.findFirstMatchIn(body).getOrElse(
+      throw new IllegalArgumentException(s"Parser Error: cannot parse INSERT statement: $body"))
+    val orMode = Option(hm.group(1)).map(_.toLowerCase)
+    val after = body.substring(hm.end)
     val tr = parseTableRef(after)
     val fields = schemaOf(spark, tr.name)
+    val colList = fields.map(f => q(f.name)).mkString(", ")
     var rest = tr.rest.trim
     // RETURNING tail
     val (inQ0, depth0) = scan(rest)
     val (retIdx, _) = findKw(rest.toLowerCase, inQ0, depth0, 0, Seq("returning"))
     val retText = if (retIdx < 0) "" else rest.substring(retIdx + 9).trim.stripSuffix(";")
     if (retIdx >= 0) rest = rest.substring(0, retIdx).trim
+    // ON CONFLICT clause
+    val ocIdx = findOnConflictIdx(rest)
+    val conflictOpt =
+      if (ocIdx < 0) None
+      else {
+        val c = parseConflict(rest.substring(ocIdx), fields)
+        rest = rest.substring(0, ocIdx).trim
+        Some(c)
+      }
     var givenCols: Option[Seq[String]] = None
     if (rest.startsWith("(")) {
       // could be a column list or a parenthesized SELECT
@@ -547,9 +697,33 @@ object Dml {
         rest = rest.substring(close + 1).trim
       }
     }
+    givenCols.foreach(_.foreach { c =>
+      if (!fields.exists(_.name.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"""Binder Error: Column "$c" does not exist in table ${tr.name}!""")
+    })
     val isDefaultValues = rest.replaceAll("[;\\s]+$", "")
       .equalsIgnoreCase("default values")
-    val src =
+    // bare DEFAULT inside a VALUES list: substitute the target column's
+    // declared default (reference ExpandDefaultInValuesList,
+    // bind_insert.cpp:468) — it has no meaning to Spark's inline tables
+    if (!isDefaultValues && rest.toLowerCase.startsWith("values") &&
+        """(?i)\bDEFAULT\b""".r.findFirstIn(rest).isDefined) {
+      val targets = givenCols.getOrElse(fields.map(_.name))
+      val byPos = targets.map(c =>
+        fields.find(_.name.equalsIgnoreCase(c)).orNull)
+      val tuples = splitTop(rest.replaceFirst("(?is)^VALUES\\b", "")).map { tup =>
+        val inner = tup.trim.stripPrefix("(").stripSuffix(")")
+        val vals = splitTop(inner).zipWithIndex.map { case (v, i) =>
+          if (v.trim.equalsIgnoreCase("default") && i < byPos.length && byPos(i) != null)
+            castTo(defaultExpr(byPos(i)), byPos(i))
+          else v
+        }
+        "(" + vals.mkString(", ") + ")"
+      }
+      rest = "VALUES " + tuples.mkString(", ")
+    }
+    val src0 =
       if (isDefaultValues) {
         val cols = fields.map(f => s"${castTo(defaultExpr(f), f)} AS ${q(f.name)}")
         freeze(spark, gsql(spark, s"SELECT ${cols.mkString(", ")}"))
@@ -557,29 +731,174 @@ object Dml {
         val srcSql = cteify(cte, if (rest.startsWith("(")) s"SELECT * FROM $rest" else rest)
         freeze(spark, gsql(spark, srcSql))
       }
+    // positional rename: the source may repeat a column name (SELECT
+    // i, i FROM ...) which would make every downstream reference
+    // ambiguous — the mapping into the target is positional anyway
+    val src = src0.toDF(
+      src0.schema.fields.indices.map(i => s"${G}c$i"): _*)
     val vn = s"${G}ins_src"
     src.createOrReplaceTempView(vn)
-    val colsPart =
-      if (isDefaultValues || givenCols.isEmpty) ""
-      else s" (${givenCols.get.map(q).mkString(", ")})"
-    gsql(spark, s"INSERT INTO ${tr.name}$colsPart SELECT * FROM $vn").collect()
-    if (retText.isEmpty) countDf(spark, src.count())
-    else {
-      // RETURNING evaluates over the FULL inserted row (given columns
-      // from the source positionally, the rest from their defaults)
-      val srcNames = src.schema.fields.map(_.name)
-      val byTarget = givenCols.getOrElse(fields.map(_.name)).map(_.toLowerCase)
-        .zipWithIndex.toMap
-      val rowCols = fields.map { f =>
-        byTarget.get(f.name.toLowerCase) match {
-          case Some(i) if i < srcNames.length =>
-            s"CAST(${q(srcNames(i))} AS ${f.dataType.sql}) AS ${q(f.name)}"
-          case _ => s"${castTo(defaultExpr(f), f)} AS ${q(f.name)}"
-        }
+    val srcNames = src.schema.fields.map(_.name).toSeq
+    val tc = Constraints.of(spark, tr.name)
+
+    val needFullWidth = conflictOpt.nonEmpty || orMode.nonEmpty ||
+      tc.nonEmpty || retText.nonEmpty
+    if (!needFullWidth) {
+      // plain emulated insert (leading CTE / DEFAULT VALUES only)
+      val colsPart =
+        if (isDefaultValues || givenCols.isEmpty) ""
+        else s" (${givenCols.get.map(q).mkString(", ")})"
+      gsql(spark, s"INSERT INTO ${tr.name}$colsPart SELECT * FROM $vn").collect()
+      return countDf(spark, src.count())
+    }
+
+    // full-width batch (given columns from the source positionally, the
+    // rest from their defaults) with a stable per-row id
+    if (!isDefaultValues) {
+      val expect = givenCols.map(_.length).getOrElse(fields.length)
+      if (srcNames.length != expect)
+        throw new IllegalArgumentException(
+          s"Binder Error: table ${tr.name} has $expect columns but ${srcNames.length} values were supplied")
+    }
+    val byTarget = givenCols.getOrElse(fields.map(_.name)).map(_.toLowerCase)
+      .zipWithIndex.toMap
+    val rowCols = fields.map { f =>
+      byTarget.get(f.name.toLowerCase) match {
+        case Some(i) if i < srcNames.length =>
+          s"CAST(${q(srcNames(i))} AS ${f.dataType.sql}) AS ${q(f.name)}"
+        case _ => s"${castTo(defaultExpr(f), f)} AS ${q(f.name)}"
       }
+    }
+    val ins = freeze(spark, gsql(spark,
+      s"SELECT ${rowCols.mkString(", ")}, monotonically_increasing_id() AS ${G}rid FROM $vn"))
+    val insV = s"${G}ins"
+    ins.createOrReplaceTempView(insV)
+
+    def returning(rel: String): DataFrame =
       freeze(spark, gsql(spark,
-        s"""SELECT $retText FROM (
-           |  SELECT ${rowCols.mkString(", ")} FROM $vn) AS ${q(tr.alias)}""".stripMargin))
+        s"SELECT $retText FROM (SELECT $colList FROM $rel) AS ${q(tr.alias)}"))
+
+    if (conflictOpt.isEmpty && orMode.isEmpty) {
+      // constraint-verified / RETURNING append
+      tc.foreach(c => Constraints.verifyAppend(spark, c, insV, tr.name))
+      appendRows(spark, tr.name, fields, insV)
+      return if (retText.isEmpty) countDf(spark, ins.count()) else returning(insV)
+    }
+
+    // ---- ON CONFLICT upsert ----
+    if (tr.alias.equalsIgnoreCase("excluded"))
+      throw new IllegalArgumentException(
+        """Binder Error: Ambiguous reference to table "excluded"""")
+    val conflict = (orMode, conflictOpt) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "Parser Error: You can not provide both OR REPLACE|IGNORE and an ON CONFLICT clause, please remove one of the two")
+      case (Some("ignore"), None) => Conflict(None, None)
+      case (Some(_), None) => Conflict(None,
+        Some((fields.map(f => Assign(f.name, s"excluded.${q(f.name)}")), "")))
+      case (None, Some(c)) => c
+      case (None, None) => throw new IllegalStateException("unreachable")
+    }
+    val cons = tc.filter(_.uniques.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        "Binder Error: There are no UNIQUE/PRIMARY KEY constraints that refer to this table, specify ON CONFLICT columns manually"))
+    val targetSets: Seq[Constraints.UniqueSet] = conflict.target match {
+      case Some(cols) =>
+        val want = cols.map(_.toLowerCase).toSet
+        cons.uniques.find(_.cols.map(_.toLowerCase).toSet == want)
+          .map(Seq(_)).getOrElse(throw new IllegalArgumentException(
+            "Binder Error: The specified columns as conflict target are not referenced by a UNIQUE/PRIMARY KEY CONSTRAINT or INDEX"))
+      case None =>
+        if (conflict.update.nonEmpty && cons.uniques.length > 1)
+          throw new IllegalArgumentException(
+            "Binder Error: Conflict target has to be provided for a DO UPDATE operation when the table has multiple UNIQUE/PRIMARY KEY constraints")
+        cons.uniques
+    }
+
+    def keyParts(u: Constraints.UniqueSet): (String, String) = {
+      val nonNull = u.cols.map(c => s"${q(c)} IS NOT NULL").mkString(" AND ")
+      val keyStruct = "named_struct(" + u.cols.zipWithIndex.map {
+        case (c, i) => s"'${G}f$i', ${q(c)}"
+      }.mkString(", ") + ")"
+      (nonNull, keyStruct)
+    }
+
+    /** Deduplicate the batch on a unique set; rows with a NULL key are
+      * exempt (they never conflict). keepLast = DO UPDATE semantics. */
+    def dedupSql(rel: String, u: Constraints.UniqueSet, k: Int, keepLast: Boolean): String = {
+      val (nonNull, keyStruct) = keyParts(u)
+      val ord = if (keepLast) s"${G}rid DESC" else G + "rid"
+      s"""SELECT $colList, ${G}rid FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY CASE WHEN $nonNull THEN $keyStruct END,
+         |                 CASE WHEN $nonNull THEN NULL ELSE ${G}rid END
+         |    ORDER BY $ord) AS ${G}rn$k
+         |  FROM ($rel)) WHERE ${G}rn$k = 1""".stripMargin
+    }
+
+    conflict.update match {
+      case None =>
+        // DO NOTHING: drop batch-internal duplicates (keep first) and
+        // rows conflicting with the existing table, per target set
+        var rel = s"SELECT * FROM $insV"
+        for ((u, k) <- targetSets.zipWithIndex)
+          rel = dedupSql(rel, u, k, keepLast = false)
+        val anti = targetSets.map { u =>
+          val eq = u.cols.map(c =>
+            s"${G}x.${q(c)} = ${G}n.${q(c)}").mkString(" AND ")
+          s"EXISTS (SELECT 1 FROM ${tr.name} AS ${G}x WHERE $eq)"
+        }.mkString(" OR ")
+        val kept = freeze(spark, gsql(spark,
+          s"SELECT * FROM ($rel) AS ${G}n WHERE NOT ($anti)"))
+        val keptV = s"${G}ins_kept"
+        kept.createOrReplaceTempView(keptV)
+        Constraints.verifyAppend(spark, cons, keptV, tr.name,
+          skipSets = targetSets.map(_.cols.map(_.toLowerCase)).toSet)
+        appendRows(spark, tr.name, fields, keptV)
+        if (retText.isEmpty) countDf(spark, kept.count()) else returning(keptV)
+
+      case Some((assigns, whText)) =>
+        val u = targetSets.head
+        val insD = freeze(spark, gsql(spark,
+          dedupSql(s"SELECT * FROM $insV", u, 0, keepLast = true)))
+        val insDV = s"${G}ins_d"
+        insD.createOrReplaceTempView(insDV)
+        // bind SET/WHERE: excluded.* -> the batch row; alias-/table-
+        // qualified and unqualified target columns -> the existing row
+        val tNames = fields.map(_.name)
+        def bind(e: String): String = scopeExpr(
+          requalify(requalify(e, Seq("excluded"), s"${G}i"),
+            Seq(tr.alias, unq(tr.name.split('.').last)), s"${G}t"),
+          s"${G}t", tNames, None)
+        val wh = if (whText.trim.isEmpty) "true" else bind(whText)
+        val assignsByCol = assigns.map(a => a.col.toLowerCase -> a).toMap
+        val eq = u.cols.map(c => s"${G}t.${q(c)} = ${G}i.${q(c)}").mkString(" AND ")
+        def newValue(f: StructField): String = assignsByCol.get(f.name.toLowerCase) match {
+          case Some(a) =>
+            val rhs =
+              if (a.rhs.trim.equalsIgnoreCase("default")) defaultExpr(f)
+              else bind(a.rhs)
+            s"CAST(($rhs) AS ${f.dataType.sql})"
+          case None => s"${G}t.${q(f.name)}"
+        }
+        val updCols = fields.map { f =>
+          s"CASE WHEN ${G}i.${G}rid IS NOT NULL AND ($wh) THEN ${newValue(f)} " +
+            s"ELSE ${G}t.${q(f.name)} END AS ${q(f.name)}"
+        }
+        val matchedSql =
+          s"""SELECT ${updCols.mkString(", ")}
+             |FROM ${tr.name} AS ${G}t LEFT JOIN $insDV AS ${G}i ON $eq""".stripMargin
+        val freshSql =
+          s"""SELECT $colList FROM $insDV AS ${G}i
+             |WHERE NOT EXISTS (SELECT 1 FROM ${tr.name} AS ${G}t WHERE $eq)""".stripMargin
+        val newSql = s"($matchedSql) UNION ALL ($freshSql)"
+        val affected =
+          s"""(SELECT ${fields.map(f => s"${newValue(f)} AS ${q(f.name)}").mkString(", ")}
+             | FROM ${tr.name} AS ${G}t JOIN $insDV AS ${G}i ON $eq WHERE ($wh))
+             |UNION ALL ($freshSql)""".stripMargin
+        val cnt = gsql(spark, s"SELECT count(*) FROM ($affected)").head().getLong(0)
+        val ret = if (retText.isEmpty) null else returning(s"($affected)")
+        swapIn(spark, tr.name, newSql)
+        if (ret != null) ret else countDf(spark, cnt)
     }
   }
 
@@ -741,10 +1060,11 @@ object Dml {
     * binds target-first), and reject qualified references to the
     * out-of-scope side. Function calls (ident followed by '(') and
     * already-qualified names pass through. */
-  private def scopeExpr(text: String, bindAlias: String, bindCols: Seq[String],
+  private[functions] def scopeExpr(text: String, bindAlias: String, bindCols: Seq[String],
       rejectAlias: Option[String]): String = {
     val lower = text.toLowerCase
-    val (inQ, _) = scan(text)
+    val (qch, _) = scanFull(text)
+    val inQ = qch.map(_ != ' ')
     val colSet = bindCols.map(_.toLowerCase).toSet
     // positions inside a (SELECT ...) subquery keep their OWN scope —
     // binding an unqualified inner column to the merge alias would
@@ -770,7 +1090,7 @@ object Dml {
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (!inQ(i) && !inSub(i) && c == '`' && text.indexOf('`', i + 1) > 0) {
+      if (qch(i) == '`' && !inSub(i) && c == '`' && text.indexOf('`', i + 1) > 0) {
         // backtick-quoted identifier: one token (`id` = id)
         val end = text.indexOf('`', i + 1)
         val tok = text.substring(i + 1, end).toLowerCase
@@ -1162,7 +1482,7 @@ object Dml {
              |      UNION ALL
              |      SELECT *, 0 AS ${G}rn FROM ${G}j
              |      WHERE ${G}gid IS NULL AND ${G}cnt = 1)""".stripMargin
-        freeze(spark, spark.sql(
+        freeze(spark, gsql(spark,
           s"$pfx SELECT $retExprs FROM ($affected) AS ${q(tr.alias)}"))
       }
     swapIn(spark, tr.name, newSql)

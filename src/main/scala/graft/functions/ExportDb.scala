@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** EXPORT DATABASE / IMPORT DATABASE — the reference's dump/restore
+  * surface (`src/execution/operator/persistent/physical_export.cpp`,
+  * `test/sql/export/`): EXPORT writes one data file per table plus a
+  * `schema.sql` (DDL incl. declared constraints) and a `load.sql`
+  * (COPY statements); IMPORT replays them.
+  *
+  * Layout mirrors physical_export.cpp (`<table>.parquet|csv` per table,
+  * schema.sql, load.sql). The data write is the engine's parallel
+  * DataFrame writer — at 100 TB each table export is one distributed
+  * write job, no driver bottleneck; schema.sql/load.sql are O(#tables)
+  * driver-side metadata. IMPORT executes our own emitted scripts:
+  * CREATE TABLE through the constraint-registering DDL path
+  * (graft.functions.Constraints) and one read-back per data file.
+  *
+  * Scope: tables of the CURRENT database (the reference exports the
+  * attached catalog it is pointed at). Views/macros/sequences are
+  * session objects here, not storage objects — out of the dump, like
+  * the reference skips other catalogs' entries.
+  */
+object ExportDb {
+
+  private val ExportRe =
+    """(?is)^\s*EXPORT\s+DATABASE\s+'([^']*)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+  private val ImportRe =
+    """(?is)^\s*IMPORT\s+DATABASE\s+'([^']*)'\s*;?\s*$""".r
+
+  def matches(sql: String): Boolean =
+    ExportRe.findFirstMatchIn(sql).isDefined ||
+      ImportRe.findFirstMatchIn(sql).isDefined
+
+  /** FORMAT option binder diagnostics mirror physical_export.cpp /
+    * test/sql/export/export_database.test: a quoted literal or bare
+    * identifier names a copy function; other expressions are
+    * "Unsupported parameter type"; a bare FORMAT "requires a
+    * parameter"; an unknown name is a missing Copy Function. */
+  private def parseFormat(opts: String): String = {
+    if (opts == null || opts.trim.isEmpty) return "parquet"
+    val m = """(?is)\bFORMAT\b(.*)""".r.findFirstMatchIn(opts).getOrElse(
+      return "parquet")
+    val rest = m.group(1).trim.stripSuffix(",").trim
+    if (rest.isEmpty) throw new IllegalArgumentException(
+      "Parser Error: FORMAT requires a parameter, e.g. FORMAT 'csv' or FORMAT 'parquet'")
+    val fmt = ("""^'([^']*)'$""".r.findFirstMatchIn(rest) match {
+      case Some(mm) => mm.group(1)
+      case None => """^(\w+)$""".r.findFirstMatchIn(rest) match {
+        case Some(mm) => mm.group(1)
+        case None => throw new IllegalArgumentException(
+          "Binder Error: Unsupported parameter type for FORMAT: expected e.g. FORMAT 'csv', 'parquet'")
+      }
+    }).toLowerCase
+    fmt match {
+      case "csv" | "parquet" | "json" => fmt
+      case other => throw new IllegalArgumentException(
+        s"Catalog Error: Copy Function with name $other does not exist!")
+    }
+  }
+
+  def execute(spark: SparkSession, sql: String): DataFrame = sql match {
+    case ExportRe(path, opts) => exportDb(spark, path, parseFormat(opts))
+    case ImportRe(path) => importDb(spark, path)
+    case _ => throw new IllegalArgumentException(s"not an EXPORT/IMPORT statement: $sql")
+  }
+
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  private def exportDb(spark: SparkSession, path: String, fmt: String): DataFrame = {
+    if (path.isEmpty) throw new IllegalArgumentException(
+      "IO Error: cannot export database to an empty path")
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val db = spark.catalog.currentDatabase
+    val tables = spark.catalog.listTables(db).collect()
+      .filter(t => t.tableType != "VIEW" && t.tableType != "TEMPORARY")
+      .map(_.name).sorted
+    val schemaSql = new StringBuilder
+    val loadSql = new StringBuilder
+    for (t <- tables) {
+      val df = spark.table(s"$db.`$t`")
+      val tc = Constraints.of(spark, t)
+      // reference-style coldefs, re-attaching the registered constraints
+      val nn = tc.map(_.notNull.map(_.toLowerCase).toSet).getOrElse(Set.empty)
+      val singlePk = tc.toSeq.flatMap(_.uniques)
+        .filter(u => u.isPk && u.cols.length == 1).flatMap(_.cols)
+        .map(_.toLowerCase).toSet
+      val singleUq = tc.toSeq.flatMap(_.uniques)
+        .filter(u => !u.isPk && u.cols.length == 1).flatMap(_.cols)
+        .map(_.toLowerCase).toSet
+      val cols = df.schema.fields.map { f =>
+        val tail = new StringBuilder
+        if (singlePk.contains(f.name.toLowerCase)) tail.append(" PRIMARY KEY")
+        else if (nn.contains(f.name.toLowerCase)) tail.append(" NOT NULL")
+        if (singleUq.contains(f.name.toLowerCase)) tail.append(" UNIQUE")
+        s"${q(f.name)} ${f.dataType.sql}$tail"
+      }
+      val tableCons =
+        tc.toSeq.flatMap(_.uniques).filter(_.cols.length > 1).map(u =>
+          (if (u.isPk) "PRIMARY KEY" else "UNIQUE") +
+            s" (${u.cols.map(q).mkString(", ")})") ++
+          tc.toSeq.flatMap(_.checks).map(c => s"CHECK ($c)")
+      schemaSql.append(
+        s"CREATE TABLE ${q(t)} (${(cols ++ tableCons).mkString(", ")});\n")
+      val dataPath = dir.resolve(s"$t.$fmt").toString
+      val w = df.write.mode("overwrite")
+      fmt match {
+        case "csv" => w.option("header", "true").csv(dataPath)
+        case "json" => w.json(dataPath)
+        case _ => w.parquet(dataPath)
+      }
+      loadSql.append(s"COPY ${q(t)} FROM '$dataPath' (FORMAT '$fmt');\n")
+    }
+    Files.writeString(dir.resolve("schema.sql"), schemaSql.toString)
+    Files.writeString(dir.resolve("load.sql"), loadSql.toString)
+    spark.emptyDataFrame
+  }
+
+  private val CopyFromRe =
+    """(?is)^\s*COPY\s+(`[^`]+`|[\w$]+)\s+FROM\s+'([^']*)'\s*\(\s*FORMAT\s+'(\w+)'\s*\)\s*$""".r
+
+  private def importDb(spark: SparkSession, path: String): DataFrame = {
+    val dir = Paths.get(path)
+    val schemaFile = dir.resolve("schema.sql")
+    if (!Files.isRegularFile(schemaFile))
+      throw new IllegalArgumentException(
+        s"IO Error: cannot import database: $path/schema.sql not found")
+    for (stmt <- Files.readString(schemaFile).split(";\n").map(_.trim)
+         if stmt.nonEmpty) {
+      if (Constraints.matchesDdl(stmt)) Constraints.executeDdl(spark, stmt)
+      else spark.sql(stmt).collect()
+    }
+    val loadFile = dir.resolve("load.sql")
+    if (Files.isRegularFile(loadFile)) {
+      for (stmt <- Files.readString(loadFile).split(";\n").map(_.trim)
+           if stmt.nonEmpty) {
+        val m = CopyFromRe.findFirstMatchIn(stmt).getOrElse(
+          throw new IllegalArgumentException(
+            s"Parser Error: cannot parse load statement: $stmt"))
+        val (tbl, dataPath, fmt) = (Dml.unq(m.group(1)), m.group(2), m.group(3))
+        val target = spark.table(tbl)
+        val r = spark.read
+        val df = fmt match {
+          case "csv" => r.schema(target.schema).option("header", "true").csv(dataPath)
+          case "json" => r.schema(target.schema).json(dataPath)
+          case _ => r.parquet(dataPath)
+        }
+        df.createOrReplaceTempView(Dml.G + "import_src")
+        spark.sql(s"INSERT INTO ${q(tbl)} SELECT * FROM ${Dml.G}import_src").collect()
+      }
+    }
+    spark.emptyDataFrame
+  }
+}

@@ -541,15 +541,27 @@ object Macros {
     * namespace. The SQL-text entry point for runners that feed whole
     * statements (graft.SqlLogicSpec). */
   def expandAll(spark: SparkSession, sql: String, maxDepth: Int = 16): String =
+    // SampleRewrite runs AFTER macro expansion so sampling clauses
+    // produced by macro bodies are lowered too (r11 ADVICE)
     WindowRelocate(QualifyRewrite(WindowRefs(rewriteDistinctOn(stripBuiltinCatalog(
-      FnChain(spark, expandLoop(
-        Sequences.rewriteDuckdbSequences(spark, rewriteDuckdbFunctions(spark, SampleRewrite(sql))),
-        registry.get(spark), tableRegistry.get(spark), maxDepth)))))))
+      FnChain(spark, SampleRewrite(expandLoop(
+        Sequences.rewriteDuckdbSequences(spark,
+          rewriteDuckdbDatabases(spark, rewriteDuckdbFunctions(spark, sql))),
+        registry.get(spark), tableRegistry.get(spark), maxDepth))))))))
 
   /** `duckdb_functions()` — the reference's function-catalog TVF,
     * inlined as a VALUES relation over the LIVE macro registries (one
     * row per overload; builtin functions are out of scope — the corpus
     * queries filter on macro rows). */
+  /** `duckdb_databases()` — attached-catalog TVF, inlined as a VALUES
+    * relation over the live Spark catalog (graft.functions.Attach). */
+  private def rewriteDuckdbDatabases(spark: SparkSession, sql: String): String = {
+    val re = """(?i)\bduckdb_databases\s*\(\s*\)""".r
+    if (re.findFirstIn(sql).isEmpty) sql
+    else re.replaceAllIn(sql, java.util.regex.Matcher.quoteReplacement(
+      Attach.databasesRelation(spark)))
+  }
+
   private def rewriteDuckdbFunctions(spark: SparkSession, sql: String): String = {
     val re = """(?i)\bduckdb_functions\s*\(\s*\)""".r
     if (re.findFirstIn(sql).isEmpty) return sql

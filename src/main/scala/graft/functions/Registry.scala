@@ -987,7 +987,12 @@ object Registry {
       val builtin = reg.lookupFunctionBuilder(
         org.apache.spark.sql.catalyst.FunctionIdentifier("aggregate"))
       reg.createOrReplaceTempFunction("aggregate", es => {
-        val isName = es.length >= 2 && (es(1) match {
+        // fold form with a string INIT value — aggregate(arr, '', (acc,x)
+        // -> ...) — must stay the builtin: a lambda anywhere after the
+        // name/init argument disambiguates (r11 ADVICE)
+        val hasLambda = es.drop(2).exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.LambdaFunction])
+        val isName = !hasLambda && es.length >= 2 && (es(1) match {
           case Literal(v, org.apache.spark.sql.types.StringType) => v != null
           case _ => false
         })

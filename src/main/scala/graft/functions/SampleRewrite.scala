@@ -28,9 +28,11 @@ private[functions] object SampleRewrite {
 
   private val Max = 1000000000L
 
-  // USING SAMPLE [(] <n> [ROWS|%|PERCENT] [)] [(method[, seed])]
+  // USING SAMPLE [(] <n> [ROWS|%|PERCENT] [)] [(method[, seed])] —
+  // the closing size paren only matches WITH its opener (an optional
+  // lone `\)?` would swallow a surrounding subquery/macro paren)
   private val UsingRe =
-    ("""(?is)\bUSING\s+SAMPLE\s+\(?\s*(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS?\b)?\s*\)?""" +
+    ("""(?is)\bUSING\s+SAMPLE\s+(?:\(\s*(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS?\b)?\s*\)|(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS?\b)?)""" +
       """(\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\))?""").r
 
   // USING SAMPLE method(<n> [ROWS|%|PERCENT])
@@ -46,22 +48,42 @@ private[functions] object SampleRewrite {
   private val TsPctRe =
     """(?is)\bTABLESAMPLE\s*\(\s*(\d+(?:\.\d+)?)\s*%\s*\)""".r
 
+  /** True when position `i` of `s` sits inside a '/"/` quoted region —
+    * sampling text inside string literals must not be rewritten
+    * (r11 ADVICE). */
+  private def quoteMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
+    var q = false; var qc = ' '; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q) { mask(i) = true; if (c == qc) q = false }
+      else if (c == '\'' || c == '"' || c == '`') { mask(i) = true; q = true; qc = c }
+      i += 1
+    }
+    mask
+  }
+
+  private def sub(s: String, re: scala.util.matching.Regex,
+      f: scala.util.matching.Regex.Match => String): String = {
+    val mask = quoteMask(s)
+    re.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      if (mask(m.start)) m.matched else f(m)))
+  }
+
   def apply(sql: String): String = {
     if (!sql.toLowerCase.contains("sample")) return sql
     var out = sql
-    out = UsingMethodRe.replaceAllIn(out, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        render(m.group(1), m.group(2), m.group(3), None)))
-    out = TsMethodRe.replaceAllIn(out, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        render(m.group(1), m.group(2), m.group(3), Option(m.group(5)))))
-    out = UsingRe.replaceAllIn(out, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        render(Option(m.group(4)).getOrElse("reservoir"),
-          m.group(1), m.group(2), Option(m.group(5)))))
-    out = TsPctRe.replaceAllIn(out, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"TABLESAMPLE (${m.group(1)} PERCENT)"))
+    out = sub(out, UsingMethodRe, m =>
+      render(m.group(1), m.group(2), m.group(3), None))
+    out = sub(out, TsMethodRe, m =>
+      render(m.group(1), m.group(2), m.group(3), Option(m.group(5))))
+    out = sub(out, UsingRe, m =>
+      render(Option(m.group(6)).getOrElse("reservoir"),
+        Option(m.group(1)).getOrElse(m.group(3)),
+        Option(m.group(2)).getOrElse(m.group(4)),
+        Option(m.group(7))))
+    out = sub(out, TsPctRe, m =>
+      s"TABLESAMPLE (${m.group(1)} PERCENT)")
     out
   }
 

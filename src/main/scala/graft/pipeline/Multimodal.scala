@@ -153,9 +153,31 @@ object Multimodal {
     (mean, math.sqrt(s2.toDouble / n - mean * mean))
   }
 
+  // ImageIO's default read path creates a FRESH reader instance and a
+  // disk-backed cache file per call — most of the per-image decode cost
+  // at bench scale. Decode through one reusable per-partition
+  // ImageReader over a memory-backed stream instead.
+  ImageIO.setUseCache(false)
+
+  private[pipeline] def newPngReader(): javax.imageio.ImageReader =
+    ImageIO.getImageReadersByFormatName("png").next()
+
+  private[pipeline] def readPng(reader: javax.imageio.ImageReader,
+      payload: Array[Byte]): BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(payload))
+    try { reader.setInput(iis, true, true); reader.read(0) }
+    finally iis.close()
+  }
+
   /** REAL image decode: PNG → dimensions + gray-intensity stats. */
-  def decodeImage(payload: Array[Byte]): MediaFeatures = {
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
+  def decodeImage(payload: Array[Byte]): MediaFeatures =
+    decodeImage(newPngReader(), payload)
+
+  /** Partition-reused-reader variant (the hot path). */
+  def decodeImage(reader: javax.imageio.ImageReader,
+      payload: Array[Byte]): MediaFeatures = {
+    val img = readPng(reader, payload)
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
     var s1 = 0L; var s2 = 0L
@@ -201,9 +223,10 @@ object Multimodal {
     media.select(col("media_id"), col("modality"), col("payload"))
       .as[MediaIn]
       .mapPartitions { rows =>
+        lazy val reader = newPngReader() // one reader per partition
         rows.map { m =>
           val f = m.modality match {
-            case "image" => decodeImage(m.payload)
+            case "image" => decodeImage(reader, m.payload)
             case "audio" => decodeWav(m.payload)
             case other =>
               // opaque modality: byte stats (no codec claimed)
@@ -230,8 +253,9 @@ object Multimodal {
     media.select(col("media_id"), col("modality"), col("payload"))
       .as[MediaIn]
       .mapPartitions { rows =>
+        lazy val reader = newPngReader() // one reader per partition
         rows.map { m =>
-          val src = ImageIO.read(new ByteArrayInputStream(m.payload))
+          val src = readPng(reader, m.payload)
           val scale = math.min(1.0,
             math.min(maxW.toDouble / src.getWidth, maxH.toDouble / src.getHeight))
           val tw = math.ceil(src.getWidth * scale).toInt
@@ -247,7 +271,7 @@ object Multimodal {
           ImageIO.write(dst, "png", bos)
           val out = bos.toByteArray
           // decode the re-encoded payload: dims come from the roundtrip
-          val back = ImageIO.read(new ByteArrayInputStream(out))
+          val back = readPng(reader, out)
           ResizedDims(m.media_id, back.getWidth, back.getHeight, out.length.toLong)
         }
       }

@@ -24,7 +24,7 @@ object DmlQueries extends Pack {
 
   private def run(s: SparkSession, stmts: String*): Unit =
     stmts.foreach { st =>
-      if (graft.functions.Dml.matches(st)) graft.functions.Dml.execute(s, st)
+      if (graft.functions.Dml.matches(s, st)) graft.functions.Dml.execute(s, st)
       else s.sql(st).collect()
     }
 
@@ -82,6 +82,41 @@ object DmlQueries extends Pack {
         |WHEN NOT MATCHED THEN INSERT VALUES (src.k, 'ingested', src.total)""".stripMargin)
     s.sql("""SELECT k, name, CAST(total AS BIGINT) AS total
             |FROM dml_drv_m ORDER BY k""".stripMargin)
+  }
+
+  // INSERT ... ON CONFLICT upsert (r12): conflicted keys take the
+  // excluded row's value, fresh keys append — verified against the
+  // declarative LEFT JOIN + anti-join spelling. The PK on the scratch
+  // view is registered through graft.functions.Constraints, the same
+  // registry the SQL DDL path fills.
+  q("q_dml_upsert",
+    """WITH src AS (SELECT c_nationkey AS k, count(*) AS total
+      |             FROM customer GROUP BY c_nationkey),
+      |     t AS (SELECT n_nationkey AS k, n_name AS name,
+      |                  CAST(0 AS BIGINT) AS total
+      |           FROM nation WHERE n_nationkey < 15)
+      |SELECT k, name, total FROM (
+      |  SELECT t.k, t.name,
+      |         CASE WHEN src.k IS NOT NULL THEN src.total ELSE t.total END AS total
+      |  FROM t LEFT JOIN src ON t.k = src.k
+      |  UNION ALL
+      |  SELECT src.k, 'ingested', src.total FROM src
+      |  WHERE src.k NOT IN (SELECT k FROM t)
+      |) f ORDER BY k, name""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW dml_drv_ups AS
+            |SELECT n_nationkey AS k, n_name AS name, CAST(0 AS BIGINT) AS total
+            |FROM nation WHERE n_nationkey < 15""".stripMargin).collect()
+    graft.functions.Constraints.register(s,
+      graft.functions.Constraints.TableConstraints("dml_drv_ups",
+        notNull = Seq("k"), checks = Nil,
+        uniques = Seq(graft.functions.Constraints.UniqueSet(Seq("k"), isPk = true))))
+    run(s,
+      """INSERT INTO dml_drv_ups
+        |SELECT c_nationkey, 'ingested', count(*) FROM customer
+        |GROUP BY c_nationkey
+        |ON CONFLICT (k) DO UPDATE SET total = excluded.total""".stripMargin)
+    s.sql("SELECT k, name, total FROM dml_drv_ups ORDER BY k, name")
   }
 
   // reservoir sampling's portable contract: the kept set is RNG-specific,

@@ -355,6 +355,12 @@ object Ldbc extends Pack {
           .select(col("pl_placeid").as("co_id"))),
         col("pl_containerplaceid") === col("co_id"))
       .select(col("pl_placeid"))
+    // the CTE is reused twice with different projections — Spark's
+    // exchange reuse does not fire across them, so without an explicit
+    // materialization the membership aggregate executes twice (at scale,
+    // two full scans of the fact table). localCheckpoint pins the
+    // 100-row result once, the way the reference materializes CTEs
+    // (physical_cte.cpp).
     val top100 = forumPerson(s, dir)
       .join(broadcast(person(s, dir).select("p_personid", "p_placeid")),
         col("fp_personid") === col("p_personid"))
@@ -364,6 +370,7 @@ object Ldbc extends Pack {
       .orderBy(col("members").desc, col("forumid"))
       .limit(100)
       .select("forumid")
+      .localCheckpoint(true)
     val posts = message(s, dir)
       .where(col("m_c_replyof").isNull)
       .join(broadcast(top100.select(col("forumid").as("pf_"))),

@@ -48,4 +48,27 @@ class SampleRewriteSpec extends AnyFunSuite {
     assert(sql("SELECT COUNT(*) FROM (SELECT * FROM smp3 TABLESAMPLE RESERVOIR(1000000000))")
       .head.getLong(0) == 5)
   }
+
+  test("sampling text inside string literals is never rewritten (r11 ADVICE)") {
+    val lit = sql("SELECT 'USING SAMPLE 10 ROWS' AS s").head.getString(0)
+    assert(lit == "USING SAMPLE 10 ROWS")
+    val lit2 = sql("SELECT 'x TABLESAMPLE reservoir(5) y' AS s").head.getString(0)
+    assert(lit2 == "x TABLESAMPLE reservoir(5) y")
+    // macro bodies producing a sampling clause lower AFTER expansion
+    spark.sql("CREATE OR REPLACE TEMP VIEW smp_mv AS SELECT id FROM range(1000)")
+    graft.functions.Macros.defineAny(spark,
+      "CREATE MACRO smp_m() AS TABLE SELECT * FROM smp_mv USING SAMPLE 10 ROWS")
+    try {
+      assert(sql("SELECT count(*) AS n FROM smp_m()").head.getLong(0) == 10)
+    } finally graft.functions.Macros.clear(spark)
+  }
+
+  test("aggregate() fold form with a string init stays the builtin (r11 ADVICE)") {
+    val r = sql("SELECT aggregate(array('a','b','c'), '', (acc, x) -> concat(acc, x)) AS s")
+      .head.getString(0)
+    assert(r == "abc")
+    // the reference list_aggregate alias form still routes
+    val m = sql("SELECT aggregate(array(1, 5, 3), 'max') AS m").head
+    assert(m.get(0).toString == "5")
+  }
 }

@@ -296,9 +296,27 @@ class SqlLogicSpec extends AnyFunSuite {
       graft.functions.Macros.drop(spark, sql); spark.emptyDataFrame
     case s if graft.functions.Sequences.isSequenceDdl(s) =>
       graft.functions.Sequences.execute(spark, s); spark.emptyDataFrame
-    case s if graft.functions.Dml.matches(s) =>
-      // copy-on-write UPDATE/DELETE/TRUNCATE/MERGE (graft.functions.Dml)
+    case s if graft.functions.Constraints.matchesDdl(s) =>
+      // constraint-bearing CREATE TABLE: register + run stripped DDL
+      graft.functions.Constraints.executeDdl(spark, s)
+    case s if graft.functions.Constraints.matchesIndexDdl(s) =>
+      // CREATE UNIQUE INDEX = a uniqueness constraint (art_index.cpp)
+      graft.functions.Constraints.executeIndexDdl(spark, s)
+    case s if graft.functions.Attach.matches(s) =>
+      // ATTACH/DETACH → Spark databases (graft.functions.Attach)
+      graft.functions.Attach.execute(spark, s)
+    case s if graft.functions.ExportDb.matches(s) =>
+      // EXPORT/IMPORT DATABASE (graft.functions.ExportDb)
+      graft.functions.ExportDb.execute(spark, s)
+    case s if graft.functions.Dml.matches(spark, s) =>
+      // copy-on-write UPDATE/DELETE/TRUNCATE/MERGE/upsert + verified
+      // inserts (graft.functions.Dml / Constraints)
       graft.functions.Dml.execute(spark, s)
+    case s if """(?is)^\s*(DROP\s+TABLE|CREATE\s+(OR\s+REPLACE\s+)?TABLE)\b""".r
+        .findFirstIn(s).isDefined =>
+      // unregister stale constraint entries on DROP / plain re-CREATE
+      graft.functions.Constraints.intercept(spark, s)
+        .getOrElse(spark.sql(graft.functions.Macros.expandAll(spark, s)))
     case s if graft.functions.Prepared.matches(s) =>
       // TRUE parameter binding (spark.sql(text, args)), re-bound per
       // EXECUTE — reference client_context.cpp:535-627 protocol
@@ -309,6 +327,7 @@ class SqlLogicSpec extends AnyFunSuite {
   private def runFile(name: String, text: String, imported: Boolean,
       sqliteMode: Boolean): Unit = {
     graft.functions.Macros.clear(spark) // hermetic: no cross-file macros
+    graft.functions.Constraints.clear(spark) // nor cross-file constraints
     graft.functions.Sequences.clear(spark) // …and no cross-file sequences
     graft.functions.Prepared.clear(spark) // …and no cross-file templates
     // hermetic session confs: a corpus file's surviving SET/RESET
@@ -484,6 +503,10 @@ class SqlLogicSpec extends AnyFunSuite {
           else spark.sql(s"DROP TABLE IF EXISTS `${ti.table}`")
         }
       }
+      // attached databases leak across files the same way tables do
+      cat.setCurrentDatabase("default")
+      cat.listDatabases("*").filterNot(_ == "default").foreach(db =>
+        spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE"))
       runFile(fname, resource(s"/sql/ref/$fname"), imported = true, sqliteMode = mode)
     }
   }

@@ -74,6 +74,17 @@ import os
 # corpus spells LAMBDAS with `->`.
 JSON_ARROWS = False
 
+# --keep-constraints: preserve PRIMARY KEY / UNIQUE / CHECK / NOT NULL
+# in CREATE TABLE (the Scala runner registers + enforces them via
+# graft.functions.Constraints) and keep constrained tables unfolded so
+# every INSERT runs through the verifying DML path
+KEEP_CONSTRAINTS = False
+
+# --allow-attach: ATTACH/DETACH and EXPORT/IMPORT DATABASE are handled
+# by the Scala runner (graft.functions.Attach / ExportDb) — keep their
+# statements instead of rejecting the file
+ALLOW_ATTACH = False
+
 # --raw-prepare: pass PREPARE/EXECUTE/DEALLOCATE through verbatim for the
 # runner's true parameter binding (spark.sql(text, args)) instead of the
 # textual inliner below.
@@ -108,7 +119,10 @@ REJECT = ["mode ", "skipif",
           # the engine's planar geo surface is Column-API structs
           # (SURVEY §1.2) — no SQL GEOMETRY type for WKT casts;
           # BIGNUM is arbitrary-precision (exceeds DECIMAL(38))
-          "GEOMETRY", "BIGNUM", "bignum"]
+          "GEOMETRY", "BIGNUM", "bignum",
+          # generated columns ride the reference's storage layer
+          # (documented non-goal, SURVEY §2.9)
+          "GENERATED ALWAYS"]
 
 
 DIRECTIVE_REJECT = ["loop", "endloop", "foreach", "require ", "mode ",
@@ -172,6 +186,14 @@ def reject_reason(text: str, sql_only: str):
     for tok in REJECT:
         if RAW_PREPARE and tok in ("PREPARE", "EXECUTE"):
             continue  # runner binds these natively under --raw-prepare
+        if ALLOW_ATTACH and tok in ("ATTACH", "EXPORT"):
+            continue  # runner handles these natively under --allow-attach
+        if tok == "EXCLUDE":
+            # star-EXCLUDE syntax only — the upsert dialect's excluded.*
+            # pseudo-relation must not trip this (KEEP_CONSTRAINTS areas)
+            if re.search(r"(?i)\bEXCLUDE\b(?!D)", sql_only):
+                return tok
+            continue
         if tok in sql_only or (tok.upper() == tok and tok.lower() in lower):
             return tok
     # ORDER BY inside an aggregate call (duckdb ordered aggregates).
@@ -988,9 +1010,16 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     def _estr(m):
         body = m.group(1)
         try:
+            # unicode_escape reads bytes as Latin-1, mojibaking UTF-8
+            # multibyte chars — re-encode latin-1 / decode utf-8 to
+            # restore them (r11 ADVICE)
             dec = body.encode("utf-8").decode("unicode_escape")
+            dec = dec.encode("latin-1", errors="strict").decode("utf-8")
         except Exception:
-            dec = body
+            try:
+                dec = body.encode("utf-8").decode("unicode_escape")
+            except Exception:
+                dec = body
         return "'" + dec + "'"
     sql = re.sub(r"(?<![\w'])E'((?:[^'\\]|\\.|'')*)'", _estr, sql)
     # ORDER BY ALL: the reference defaults to NULLS LAST
@@ -1171,17 +1200,19 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # emits DROP TABLE IF EXISTS before every kept CREATE
     out = re.sub(r"(?i)\bCREATE\s+OR\s+REPLACE\s+TABLE\b", "CREATE TABLE", out)
     # PRIMARY KEY / UNIQUE column constraints: pure integrity metadata in
-    # these tests (Spark tables carry neither); files that rely on a
-    # violation ERROR diverge and stay evicted
-    out = re.sub(r"(?i),\s*PRIMARY\s+KEY\s*\([^)]*\)", "", out)
-    out = re.sub(r"(?i),\s*UNIQUE\s*\([^)]*\)", "", out)
-    out = re.sub(r"(?i)\s+PRIMARY\s+KEY\b", "", out)
-    # CHECK column constraints (Spark DDL has none; files whose inserts
-    # VIOLATE a check expecting an error stay evicted)
-    out = re.sub(r"(?i)\s+CHECK\s*\(([^()]|\([^()]*\))*\)", "", out)
-    out = re.sub(r"(?i)(\b(?:INT|INTEGER|BIGINT|SMALLINT|TINYINT|STRING|"
-                 r"DOUBLE|FLOAT|DATE|TIMESTAMP|BOOLEAN|DECIMAL\([0-9, ]*\))"
-                 r")\s+UNIQUE\b", r"\1", out)
+    # most tests (Spark tables carry neither) — stripped, UNLESS
+    # --keep-constraints routes them to the runner's enforcing
+    # Constraints module (upsert / constraints areas)
+    if not KEEP_CONSTRAINTS:
+        out = re.sub(r"(?i),\s*PRIMARY\s+KEY\s*\([^)]*\)", "", out)
+        out = re.sub(r"(?i),\s*UNIQUE\s*\([^)]*\)", "", out)
+        out = re.sub(r"(?i)\s+PRIMARY\s+KEY\b", "", out)
+        # CHECK column constraints (Spark DDL has none; files whose inserts
+        # VIOLATE a check expecting an error stay evicted)
+        out = re.sub(r"(?i)\s+CHECK\s*\(([^()]|\([^()]*\))*\)", "", out)
+        out = re.sub(r"(?i)(\b(?:INT|INTEGER|BIGINT|SMALLINT|TINYINT|STRING|"
+                     r"DOUBLE|FLOAT|DATE|TIMESTAMP|BOOLEAN|DECIMAL\([0-9, ]*\))"
+                     r")\s+UNIQUE\b", r"\1", out)
     # duckdb FROM-first subqueries: (FROM t WHERE ...) is (SELECT * FROM ...).
     # Guarded: `(` directly after a function name is standard-SQL keyword
     # syntax (TRIM(FROM x), SUBSTRING(FROM n)), not a subquery — only
@@ -1452,9 +1483,20 @@ def merge_tables(records):
         for t in re.findall(r"(?:UPDATE|DELETE\s+FROM|ALTER\s+TABLE|"
                             r"INSERT\s+INTO)\s+(\w+)", sql, re.I):
             other_dml.add(t.lower())
+    constrained = set()
+    if KEEP_CONSTRAINTS:
+        for idx, (kind, header, body, exp) in enumerate(records):
+            if kind != "statement":
+                continue
+            sql = "\n".join(body)
+            m = create_re.match(sql)
+            if m and re.search(r"(?i)\b(PRIMARY\s+KEY|UNIQUE|CHECK\s*\(|"
+                               r"NOT\s+NULL)\b", m.group(2)):
+                constrained.add(m.group(1).lower())
     foldable = {t for t in creates
                 if creates[t] < first_query and t not in touched_late
-                and t not in other_dml and inserts.get(t)}
+                and t not in other_dml and t not in constrained
+                and inserts.get(t)}
 
     any_create_re = re.compile(r"\s*CREATE\s+TABLE\s+(\w+)", re.I)
     schemas, rows, out = {}, {}, []
@@ -1513,6 +1555,8 @@ def merge_tables(records):
                 # a bare DEFAULT only works in direct INSERT VALUES —
                 # through SELECT-from-VALUES it becomes a column ref
                 if (all(c in types for c in cols) and
+                        mi.group(1).lower() not in constrained and
+                        not re.search(r"(?i)\bON\s+CONFLICT\b", mi.group(3)) and
                         not re.search(r"(?i)\bDEFAULT\b", mi.group(3))):
                     tuples = ", ".join(
                         "(" + tup + ")" for tup in split_tuples(mi.group(3)))
@@ -1569,6 +1613,14 @@ def main():
     if "--raw-prepare" in args:
         RAW_PREPARE = True
         args.remove("--raw-prepare")
+    global KEEP_CONSTRAINTS
+    if "--keep-constraints" in args:
+        KEEP_CONSTRAINTS = True
+        args.remove("--keep-constraints")
+    global ALLOW_ATTACH
+    if "--allow-attach" in args:
+        ALLOW_ATTACH = True
+        args.remove("--allow-attach")
     drop_matching = None
     if "--drop-matching" in args:
         k = args.index("--drop-matching")
@@ -1615,6 +1667,14 @@ def main():
         if body:
             body = body[:-1] + [body[-1].rstrip().rstrip(";")]
             sql = "\n".join(body)
+            # normalize early so merge_tables' CREATE patterns match and
+            # the idempotence DROP is emitted (transform_sql would only
+            # rewrite it after folding decisions are made)
+            if re.search(r"(?i)\bCREATE\s+(OR\s+REPLACE\s+|TEMP(ORARY)?\s+)+TABLE\b",
+                         sql):
+                sql = re.sub(r"(?i)\bCREATE\s+(OR\s+REPLACE\s+|TEMP(ORARY)?\s+)+TABLE\b",
+                             "CREATE TABLE", sql)
+                body = sql.splitlines()
             m = re.match(r"(?is)^\s*(insert\s+into\s+[\w.`]+)\s*"
                          r"\(\s*(values\b.*)\)\s*$", sql)
             if m:
@@ -1633,10 +1693,19 @@ def main():
     # index DDL only exercises the reference's physical planning; query
     # results are identical without it — drop the statements (a file
     # whose QUERIES mention indexes still rejects via sql_only below)
-    records = [r for r in records
-               if not (r[0] == "statement" and re.match(
-                   r"(?is)^\s*(CREATE\s+(UNIQUE\s+)?INDEX|DROP\s+INDEX|REINDEX)\b",
-                   "\n".join(r[2])))]
+    # under --keep-constraints, UNIQUE index DDL is a uniqueness
+    # constraint (the runner's Constraints module registers + enforces
+    # it); plain CREATE INDEX / REINDEX stay physical-only and drop
+    if KEEP_CONSTRAINTS:
+        records = [r for r in records
+                   if not (r[0] == "statement" and re.match(
+                       r"(?is)^\s*(CREATE\s+INDEX|REINDEX)\b",
+                       "\n".join(r[2])))]
+    else:
+        records = [r for r in records
+                   if not (r[0] == "statement" and re.match(
+                       r"(?is)^\s*(CREATE\s+(UNIQUE\s+)?INDEX|DROP\s+INDEX|REINDEX)\b",
+                       "\n".join(r[2])))]
     # PREPARE name AS <sql> / EXECUTE name(args) / DEALLOCATE: inline the
     # prepared statement at each EXECUTE site, substituting $n / $name /
     # '?' parameters positionally (duckdb prepared_statements.test
@@ -1738,7 +1807,9 @@ def main():
         # `query I` over INSERT/DELETE expects the affected-row count,
         # which Spark's INSERT doesn't return — keep the side effect,
         # drop the count check
-        if kind == "query" and re.match(r"(?is)^\s*(INSERT|UPDATE|DELETE|CREATE)\b", sql):
+        if (kind == "query"
+                and re.match(r"(?is)^\s*(INSERT|UPDATE|DELETE|CREATE)\b", sql)
+                and not re.search(r"(?i)\bRETURNING\b", sql)):
             out.append("statement ok")
             out.append(sql)
             out.append("")

