@@ -51,7 +51,60 @@ object Microbench {
         df.explain("formatted")
       } else {
         val mk: () => org.apache.spark.sql.DataFrame =
-          if (arg.startsWith("q:")) () => SparkEntry.queries(arg.stripPrefix("q:"))(spark, sfDir)
+          if (arg == "rjprobe") { () =>
+            import org.apache.spark.sql.functions._
+            val sup = graft.engine.Tables.supplier(spark, sfDir)
+              .select("s_suppkey", "s_acctbal", "s_nationkey")
+            val c = graft.engine.Tables.customer(spark, sfDir)
+              .select("c_custkey", "c_acctbal", "c_nationkey")
+            def t(label: String)(f: => Unit): Unit = {
+              val t0 = System.nanoTime(); f
+              println(f"[rjprobe] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+            }
+            t("cuts (approxQuantile)") {
+              graft.operators.Banding.cuts(sup, "s_acctbal", 32, 0.01): Unit
+            }
+            val joined = graft.operators.RangeJoin.bandedLess(
+              c, "c_acctbal", sup, "s_acctbal",
+              residual = Some(col("c_nationkey") =!= col("s_nationkey")))
+            t("join+count(*) only") {
+              println("[rjprobe] pairs=" + joined.count())
+            }
+            val q = joined.groupBy("s_suppkey")
+              .agg(count(lit(1)).as("n_cheaper")).orderBy("s_suppkey")
+            t("full query") { q.collect(): Unit }
+            val ex = q.queryExecution.executedPlan.toString
+            println("[rjprobe] codegen spans: " +
+              "WholeStageCodegen".r.findAllIn(ex).length)
+            println(ex.linesIterator.take(40).mkString("\n"))
+            spark.emptyDataFrame
+          }
+          else if (arg == "mmprobe") { () =>
+            val docs = graft.engine.Tables.documents(spark, sfDir)
+            def t(label: String)(f: => Unit): Unit = {
+              val t0 = System.nanoTime(); f
+              println(f"[mmprobe] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+            }
+            val media = graft.pipeline.Multimodal.fromDocuments(docs)
+            println(s"[mmprobe] media partitions=${media.rdd.getNumPartitions}")
+            t("encode-only (fromDocuments)") {
+              media.write.mode("overwrite").format("noop").save()
+            }
+            val feats = graft.pipeline.Multimodal.extractFeatures(media)
+            t("encode+decode (no sort)") {
+              feats.write.mode("overwrite").format("noop").save()
+            }
+            t("encode+decode+sort") {
+              feats.orderBy("media_id").write.mode("overwrite").format("noop").save()
+            }
+            spark.emptyDataFrame
+          }
+          else if (arg.startsWith("parts:")) { () =>
+            val df = SparkEntry.queries(arg.stripPrefix("parts:"))(spark, sfDir)
+            println(s"[micro] partitions=${df.rdd.getNumPartitions}  $arg")
+            df
+          }
+          else if (arg.startsWith("q:")) () => SparkEntry.queries(arg.stripPrefix("q:"))(spark, sfDir)
           else () => spark.sql(arg)
         val times = (1 to 4).map { _ =>
           val t0 = System.nanoTime()

@@ -18,10 +18,14 @@ import org.apache.spark.sql.types.StructType
   *     approxQuantile) over the right side derives B equi-depth value
   *     bands of the first inequality column — equi-depth keeps bands
   *     balanced under value skew;
-  *  2. each right row hashes to its band; each left row replicates to the
-  *     bands it can possibly match. Band assignment is monotone in the
-  *     value, so `l < r` implies `band(l) <= band(r)` and replicating the
-  *     left row to bands `band(l)..B-1` covers every match;
+  *  2. each left row hashes to its own band; each right row replicates
+  *     DOWN to the bands it can possibly match. Band assignment is
+  *     monotone in the value, so `l < r` implies `band(l) <= band(r)` and
+  *     replicating the right row to bands `0..band(r)` covers every
+  *     match exactly once (the pair meets in band(l)). Replicating the
+  *     build side keeps the probe pipeline free of a Generate node, so
+  *     filter→band-project→join→partial-agg fuse into ONE whole-stage
+  *     codegen span (verified in the executed plan);
   *  3. both sides shuffle ONCE on the band id and join within bands,
   *     B-way parallel with no broadcast and no single-task funnel. Two
   *     in-band strategies, auto-dispatched:
@@ -46,9 +50,12 @@ import org.apache.spark.sql.types.StructType
   *       is known for free from the quantile pass, so auto mode picks the
   *       sweep exactly then.
   *
-  * Cost: the left side shuffles ~B/2 replicas per row (bounded, chosen by
+  * Cost: the right side carries ~B/2 replicas per row (bounded, chosen by
   * `bands`); join work is O(output) like the reference's IEJoin result
-  * enumeration. The boundary array (≤ B doubles) ships as plan literals.
+  * enumeration — measured at sf0.1 the banded NLJ evaluates ~7.7M in-band
+  * candidates for 7.25M output pairs (6% waste), so an in-band IEJoin
+  * sweep has no remaining headroom; the residual gap to the reference is
+  * Spark's multi-stage scheduling floor. The boundary array (≤ B doubles) ships as plan literals.
   * The sweep orders by the DOUBLE cast of the value — a monotone
   * non-strict map — with ties enumerated conservatively (left before
   * right) and the exact typed inequality re-checked on every emitted
@@ -88,28 +95,38 @@ object RangeJoin {
     val cuts = Banding.cuts(r, rightCol, bands, 0.01)
     val nBands = cuts.length + 1
 
-    // band(v) = number of cuts <= v; a codegen'd fold over the literal
-    // boundary array (no UDF).
+    // band(v) = number of cuts <= v, as a flat when-sum over the literal
+    // boundaries. NOT the `aggregate` higher-order fold: HOFs are
+    // CodegenFallback expressions, and one in the band key disabled
+    // whole-stage codegen for the ENTIRE join+aggregate pipeline above
+    // it (measured: the interpreted path dominated q_join_range).
     def bandOf(c: Column): Column =
       if (cuts.isEmpty) lit(0)
-      else aggregate(
-        array(cuts.map(lit(_)).toSeq: _*),
-        lit(0),
-        (acc, cut) => acc + when(c.cast("double") >= cut, 1).otherwise(0))
+      else cuts.map(cut =>
+        when(c.cast("double") >= cut, 1).otherwise(0)).reduce(_ + _)
 
+    // Replication direction: the RIGHT side replicates DOWN to bands
+    // 0..band(r) (a right row matches left rows in every band ≤ its
+    // own); the LEFT side keeps exactly its own band. Each qualifying
+    // pair meets in band(l) exactly once. Replicating the build side
+    // keeps the streamed/probe side free of a Generate node — GenerateExec
+    // does not participate in whole-stage codegen, and a Generate in the
+    // probe pipeline forced the whole join+aggregate chain onto the
+    // interpreted path (the dominant cost of q_join_range before r12).
+    // The left band key is wrapped in OpaqueBarrier (a codegen'd
+    // identity flagged nondeterministic): with constraint propagation
+    // on, Catalyst substitutes a Project-aliased join key with its
+    // defining expression and infers a filter referencing the other
+    // side's attributes — an unresolvable plan that fails at runtime
+    // with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. Nondeterministic outputs
+    // are not alias-substitutable, which blocks the bad inference
+    // without the codegen-breaking one-element explode used before.
     val lb = l.withColumn(
       "__graft_band",
-      explode(sequence(bandOf(col(leftCol)), lit(nBands - 1))))
-    // The right band intentionally goes through a one-element explode too
-    // (not a plain Project alias): with constraint propagation on, Catalyst
-    // substitutes a Project-aliased join key with its defining expression
-    // and infers a left-side filter referencing right-side attributes — an
-    // unresolvable plan that fails at runtime with
-    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. Generator outputs are not
-    // alias-substitutable, which blocks the bad inference.
+      org.apache.spark.sql.graft.OpaqueBarrier(bandOf(col(leftCol))))
     val rb = r.withColumn(
       "__graft_band",
-      explode(sequence(bandOf(col(rightCol)), bandOf(col(rightCol)))))
+      explode(sequence(lit(0), bandOf(col(rightCol)))))
 
     val ineq =
       if (strict) col(leftCol) < col(rightCol)

@@ -45,8 +45,24 @@ object Multimodal {
   /** raw video byte j of video docId */
   def vByte(docId: Long, j: Int): Int = ((docId * 31 + j) % 256).toInt
 
+  private[pipeline] def newPngWriter(): javax.imageio.ImageWriter =
+    ImageIO.getImageWritersByFormatName("png").next()
+
+  /** Encode through a reusable writer over a memory-backed stream (the
+    * ImageIO.write convenience path builds a fresh writer per call). */
+  private[pipeline] def writePng(writer: javax.imageio.ImageWriter,
+      img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { writer.setOutput(ios); writer.write(img); ios.flush() }
+    finally ios.close()
+    bos.toByteArray
+  }
+
   /** Encode a real grayscale PNG with the deterministic pixel pattern. */
-  def synthPng(docId: Long): Array[Byte] = {
+  def synthPng(docId: Long): Array[Byte] = synthPng(newPngWriter(), docId)
+
+  def synthPng(writer: javax.imageio.ImageWriter, docId: Long): Array[Byte] = {
     val (w, h) = (imgW(docId), imgH(docId))
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -56,9 +72,7 @@ object Multimodal {
       while (x < w) { raster.setSample(x, y, 0, pix(docId, x, y)); x += 1 }
       y += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePng(writer, img)
   }
 
   /** Encode a real WAV (PCM16LE mono 8 kHz) with the deterministic tone. */
@@ -121,9 +135,10 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
+        lazy val writer = newPngWriter() // one encoder per partition
         ids.map { id =>
           if (id % 2 == 0)
-            MediaRow(id, "image", synthPng(id), Some(imgW(id)), Some(imgH(id)), "png")
+            MediaRow(id, "image", synthPng(writer, id), Some(imgW(id)), Some(imgH(id)), "png")
           else
             MediaRow(id, "audio", synthWav(id), None, None, "wav/pcm16")
         }
@@ -253,7 +268,8 @@ object Multimodal {
     media.select(col("media_id"), col("modality"), col("payload"))
       .as[MediaIn]
       .mapPartitions { rows =>
-        lazy val reader = newPngReader() // one reader per partition
+        lazy val reader = newPngReader()   // one reader per partition
+        lazy val writer2 = newPngWriter()  // one encoder per partition
         rows.map { m =>
           val src = readPng(reader, m.payload)
           val scale = math.min(1.0,
@@ -267,9 +283,7 @@ object Multimodal {
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
             g.drawImage(src, 0, 0, tw, th, null)
           } finally g.dispose()
-          val bos = new ByteArrayOutputStream()
-          ImageIO.write(dst, "png", bos)
-          val out = bos.toByteArray
+          val out = writePng(writer2, dst)
           // decode the re-encoded payload: dims come from the roundtrip
           val back = readPng(reader, out)
           ResizedDims(m.media_id, back.getWidth, back.getHeight, out.length.toLong)

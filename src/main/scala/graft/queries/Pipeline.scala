@@ -517,6 +517,10 @@ object Pipeline extends Pack {
         col("sample_rate"), col("n_units"),
         round(col("mean_val"), 6).as("mean_val"),
         round(col("std_val"), 6).as("std_val"))
+      // materialize the (tiny) feature rows before the sort: orderBy's
+      // range partitioner SAMPLES its child, which would execute the
+      // whole codec pipeline a second time (measured +1.1 s at sf0.1)
+      .localCheckpoint(true)
       .orderBy("media_id")
   }
 
@@ -534,6 +538,7 @@ object Pipeline extends Pack {
       .where(col("modality") === "image")
     Multimodal.resizeImages(media, maxW = 8, maxH = 8)
       .select(col("media_id"), col("width"), col("height"))
+      .localCheckpoint(true) // avoid the sort-sampling double codec run
       .orderBy("media_id")
   }
 
@@ -560,6 +565,7 @@ object Pipeline extends Pack {
       .select(col("media_id"), col("frame_no"), col("frame_bytes"),
         round(col("mean_byte"), 6).as("mean_byte"),
         round(col("std_byte"), 6).as("std_byte"))
+      .localCheckpoint(true) // avoid the sort-sampling double slicing run
       .orderBy("media_id", "frame_no")
   }
 

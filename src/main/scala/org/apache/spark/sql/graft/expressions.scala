@@ -794,3 +794,32 @@ object JsonShape {
       }
     } catch { case _: Exception => null }
 }
+
+// ---------------------------------------------------------------------------
+// OpaqueBarrier: identity wrapper flagged nondeterministic.
+//
+// Purpose: block Catalyst alias substitution / constraint inference through
+// a computed join key while staying INSIDE whole-stage codegen (the previous
+// workaround — routing the key through a one-element explode — blocked the
+// substitution too, but GenerateExec does not participate in codegen and
+// forced the downstream join+aggregate pipeline onto the interpreted path).
+// Evaluation is a pure passthrough; "nondeterministic" is only the optimizer
+// contract that keeps rules from substituting or duplicating it.
+// ---------------------------------------------------------------------------
+
+case class OpaqueBarrier(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): OpaqueBarrier =
+    copy(child = newChild)
+}
+
+object OpaqueBarrier {
+  def apply(c: Column): Column = Bridge.column(OpaqueBarrier(Bridge.expression(c)))
+}
