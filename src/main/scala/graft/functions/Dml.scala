@@ -321,6 +321,41 @@ object Dml {
     }
   }
 
+  private val AggFnNames = Set("sum", "count", "avg", "mean", "min", "max",
+    "median", "mode", "stddev", "stddev_pop", "stddev_samp", "variance",
+    "var_pop", "var_samp", "string_agg", "group_concat", "list", "array_agg",
+    "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor", "product",
+    "first", "last", "arg_min", "arg_max", "any_value")
+
+  /** RETURNING projects per-affected-row values; aggregate calls are a
+    * binder error (reference bind_function_expression.cpp:555 via the
+    * returning binder, test/sql/returning/returning_update.test). */
+  private[functions] def rejectAggregates(retText: String): Unit = {
+    if (retText.isEmpty) return
+    // subqueries in RETURNING are a binder error too
+    // (returning_update.test: RETURNING a IN (SELECT ...))
+    if (hasSubquery(retText))
+      throw new IllegalArgumentException(
+        "Binder Error: SUBQUERY is not supported in returning statements")
+    val lower = retText.toLowerCase
+    val (inQ, _) = scan(retText)
+    var i = 0
+    while (i < retText.length) {
+      val c = retText.charAt(i)
+      if (!inQ(i) && (c.isLetter || c == '_')) {
+        var j = i
+        while (j < retText.length && isIdent(retText.charAt(j))) j += 1
+        val tok = lower.substring(i, j)
+        var k = j
+        while (k < retText.length && retText.charAt(k).isWhitespace) k += 1
+        if (k < retText.length && retText.charAt(k) == '(' && AggFnNames.contains(tok))
+          throw new IllegalArgumentException(
+            "Binder Error: Aggregate functions are not supported here")
+        i = j
+      } else i += 1
+    }
+  }
+
   private[functions] def countDf(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     Seq(n).toDF("Count")
@@ -408,6 +443,7 @@ object Dml {
     val fromText = if (fromIdx < 0) "" else seg(fromIdx + 4, Seq(whereIdx, retIdx)).trim
     val whereText = if (whereIdx < 0) "" else seg(whereIdx + 5, Seq(retIdx)).trim
     val retText = if (retIdx < 0) "" else tr.rest.substring(retIdx + 9).trim
+    rejectAggregates(retText)
     val assigns = parseAssigns(setText, tr.name, fields)
     val assigned = assigns.map(a => a.col.toLowerCase -> a).toMap
     val fieldByName = fields.map(f => f.name.toLowerCase -> f).toMap
@@ -510,6 +546,7 @@ object Dml {
     val usingText = if (usingIdx < 0) "" else seg(usingIdx + 5, Seq(whereIdx, retIdx)).trim
     val whereText = if (whereIdx < 0) "" else seg(whereIdx + 5, Seq(retIdx)).trim
     val retText = if (retIdx < 0) "" else tr.rest.substring(retIdx + 9).trim
+    rejectAggregates(retText)
     val colList = fields.map(f => q(f.name)).mkString(", ")
 
     if (usingText.isEmpty && (whereText.isEmpty || !hasSubquery(whereText))) {
@@ -648,7 +685,7 @@ object Dml {
 
   /** Append full-width rows from `view` to `table` (native INSERT for
     * real tables; union + view swap for importer-fused temp views). */
-  private def appendRows(spark: SparkSession, table: String,
+  private[functions] def appendRows(spark: SparkSession, table: String,
       fields: Seq[StructField], view: String): Unit = {
     val colList = fields.map(f => q(f.name)).mkString(", ")
     if (isTempView(spark, table)) {
@@ -673,6 +710,7 @@ object Dml {
     val (inQ0, depth0) = scan(rest)
     val (retIdx, _) = findKw(rest.toLowerCase, inQ0, depth0, 0, Seq("returning"))
     val retText = if (retIdx < 0) "" else rest.substring(retIdx + 9).trim.stripSuffix(";")
+    rejectAggregates(retText)
     if (retIdx >= 0) rest = rest.substring(0, retIdx).trim
     // ON CONFLICT clause
     val ocIdx = findOnConflictIdx(rest)
@@ -704,6 +742,9 @@ object Dml {
     })
     val isDefaultValues = rest.replaceAll("[;\\s]+$", "")
       .equalsIgnoreCase("default values")
+    if (isDefaultValues && givenCols.nonEmpty)
+      throw new IllegalArgumentException(
+        "Parser Error: You can not provide both a column list and DEFAULT VALUES, please remove one of the two")
     // bare DEFAULT inside a VALUES list: substitute the target column's
     // declared default (reference ExpandDefaultInValuesList,
     // bind_insert.cpp:468) — it has no meaning to Spark's inline tables
@@ -1160,6 +1201,7 @@ object Dml {
 
     val (retIdx, _) = findKw(lower, inQ, depth, whenStart, Seq("returning"))
     val retText = if (retIdx < 0) "" else rest.substring(retIdx + 9).trim.stripSuffix(";")
+    rejectAggregates(retText)
     val whenText = rest.substring(whenStart,
       if (retIdx < 0) rest.length else retIdx)
 

@@ -74,9 +74,15 @@ object ExportDb {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     val db = spark.catalog.currentDatabase
+    // engine-internal memoized tables (bucketed fixture copies,
+    // suite-derived projections — graft.engine.Tables / query packs) are
+    // derived artifacts, not user data: a dump that included them would
+    // re-import clones the engine then collides with
+    val internal = Seq("g_", "cb_", "job_", "fx_", Dml.G)
     val tables = spark.catalog.listTables(db).collect()
       .filter(t => t.tableType != "VIEW" && t.tableType != "TEMPORARY")
       .map(_.name).sorted
+      .filterNot(n => internal.exists(n.startsWith))
     val schemaSql = new StringBuilder
     val loadSql = new StringBuilder
     for (t <- tables) {

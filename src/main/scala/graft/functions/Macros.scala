@@ -546,7 +546,8 @@ object Macros {
     WindowRelocate(QualifyRewrite(WindowRefs(rewriteDistinctOn(stripBuiltinCatalog(
       FnChain(spark, SampleRewrite(expandLoop(
         Sequences.rewriteDuckdbSequences(spark,
-          rewriteDuckdbDatabases(spark, rewriteDuckdbFunctions(spark, sql))),
+          rewriteDuckdbDatabases(spark, rewriteDuckdbFunctions(spark,
+            FileTables.rewrite(spark, sql)))),
         registry.get(spark), tableRegistry.get(spark), maxDepth))))))))
 
   /** `duckdb_functions()` — the reference's function-catalog TVF,

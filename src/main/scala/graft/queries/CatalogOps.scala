@@ -25,10 +25,29 @@ object CatalogOps extends Pack {
   private def exec(s: SparkSession, sql: String): Unit = {
     if (Attach.matches(sql)) Attach.execute(s, sql)
     else if (ExportDb.matches(sql)) ExportDb.execute(s, sql)
+    else if (graft.functions.Copy.matches(sql)) graft.functions.Copy.execute(s, sql)
     else if (graft.functions.Constraints.matchesDdl(sql))
       graft.functions.Constraints.executeDdl(s, sql)
     else s.sql(sql).collect()
     (): Unit
+  }
+
+  // COPY (query) TO parquet → read the files back through the SQL
+  // file-relation surface (FileTables) — the statement-level spelling of
+  // the §2.1 COPY roundtrips; oracle = the same query over the base table
+  q("q_copy_roundtrip",
+    """SELECT o_orderpriority AS pri, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sp
+      |FROM orders WHERE o_custkey % 7 = 0
+      |GROUP BY o_orderpriority ORDER BY pri""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_copy_drv").toString
+    exec(s,
+      s"""COPY (SELECT o_orderpriority, o_orderkey FROM orders
+         |      WHERE o_custkey % 7 = 0) TO '$out/o.parquet'""".stripMargin)
+    s.sql(graft.functions.Macros.expandAll(s,
+      s"""SELECT o_orderpriority AS pri, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sp
+         |FROM '$out/o.parquet'
+         |GROUP BY o_orderpriority ORDER BY pri""".stripMargin))
   }
 
   q("q_attach_query",
@@ -51,6 +70,18 @@ object CatalogOps extends Pack {
     val out = java.nio.file.Files.createTempDirectory("graft_export_drv").toString
     val prev = s.catalog.currentDatabase
     exec(s, "DETACH DATABASE IF EXISTS graft_expdb")
+    // a crashed prior run can leave an orphan warehouse dir that blocks
+    // the managed-table create — purge the database location first
+    locally {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:").stripPrefix("//")
+      val dbDir = new java.io.File(wh, "graft_expdb.db")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      if (dbDir.exists()) rm(dbDir)
+    }
     exec(s, "ATTACH ':memory:' AS graft_expdb")
     s.catalog.setCurrentDatabase("graft_expdb")
     try {

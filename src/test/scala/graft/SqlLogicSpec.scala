@@ -308,6 +308,9 @@ class SqlLogicSpec extends AnyFunSuite {
     case s if graft.functions.ExportDb.matches(s) =>
       // EXPORT/IMPORT DATABASE (graft.functions.ExportDb)
       graft.functions.ExportDb.execute(spark, s)
+    case s if graft.functions.Copy.matches(s) =>
+      // COPY ... TO / FROM (graft.functions.Copy)
+      graft.functions.Copy.execute(spark, s)
     case s if graft.functions.Dml.matches(spark, s) =>
       // copy-on-write UPDATE/DELETE/TRUNCATE/MERGE/upsert + verified
       // inserts (graft.functions.Dml / Constraints)
@@ -324,8 +327,16 @@ class SqlLogicSpec extends AnyFunSuite {
     case _ => spark.sql(graft.functions.Macros.expandAll(spark, sql))
   }
 
-  private def runFile(name: String, text: String, imported: Boolean,
+  private def runFile(name: String, text0: String, imported: Boolean,
       sqliteMode: Boolean): Unit = {
+    // {TEST_DIR}: the reference runner's per-test scratch directory
+    // placeholder (sqllogic_test_runner.cpp) — substitute a fresh temp
+    // dir per file so COPY TO/FROM roundtrips have somewhere to live
+    val text =
+      if (text0.contains("{TEST_DIR}"))
+        text0.replace("{TEST_DIR}",
+          java.nio.file.Files.createTempDirectory("graft_slt").toString)
+      else text0
     graft.functions.Macros.clear(spark) // hermetic: no cross-file macros
     graft.functions.Constraints.clear(spark) // nor cross-file constraints
     graft.functions.Sequences.clear(spark) // …and no cross-file sequences

@@ -85,6 +85,15 @@ KEEP_CONSTRAINTS = False
 # statements instead of rejecting the file
 ALLOW_ATTACH = False
 
+# --allow-copy: COPY ... TO/FROM handled by the Scala runner
+# (graft.functions.Copy)
+ALLOW_COPY = False
+
+# --keep-views: leave CREATE VIEW persistent and disable table folding
+# entirely, so view-semantics tests (duplicate-create errors, late
+# binding, DROP VIEW) run against real catalog objects
+KEEP_VIEWS = False
+
 # --raw-prepare: pass PREPARE/EXECUTE/DEALLOCATE through verbatim for the
 # runner's true parameter binding (spark.sql(text, args)) instead of the
 # textual inliner below.
@@ -188,6 +197,8 @@ def reject_reason(text: str, sql_only: str):
             continue  # runner binds these natively under --raw-prepare
         if ALLOW_ATTACH and tok in ("ATTACH", "EXPORT"):
             continue  # runner handles these natively under --allow-attach
+        if ALLOW_COPY and tok == "COPY ":
+            continue  # runner handles COPY TO/FROM under --allow-copy
         if tok == "EXCLUDE":
             # star-EXCLUDE syntax only — the upsert dialect's excluded.*
             # pseudo-relation must not trip this (KEEP_CONSTRAINTS areas)
@@ -1163,7 +1174,9 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     out = re.sub(r"(?i)\bsubstring\s*\(", "substr(", out)
     # persistent CREATE VIEW would reference our merged TEMP views —
     # make every view temporary (DROP VIEW handles both)
-    out = re.sub(r"(?i)\bCREATE\s+VIEW\b", "CREATE OR REPLACE TEMPORARY VIEW", out)
+    if not KEEP_VIEWS:
+        out = re.sub(r"(?i)\bCREATE\s+VIEW\b",
+                     "CREATE OR REPLACE TEMPORARY VIEW", out)
     # MATERIALIZED/NOT MATERIALIZED CTE hints: a pure execution hint in
     # the reference (same rows either way); Spark's parser has no slot
     # for it, so strip the hint and keep the CTE
@@ -1193,6 +1206,12 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # more reference aliases: SIGNED is INTEGER, BYTEA is BLOB
     out = re.sub(r"(?i)\bSIGNED\b", "INTEGER", out)
     out = re.sub(r"(?i)\bBYTEA\b", "BINARY", out)
+    # DEFAULT nextval('seq') on a narrow int column: nextval returns
+    # BIGINT and Spark's DEFAULT coercion is exact-typed — wrap the cast
+    out = re.sub(r"(?i)\b(INTEGER|INT|SMALLINT|TINYINT)(\s+DEFAULT\s+)"
+                 r"(nextval\([^()]*\))",
+                 lambda m: f"{m.group(1)}{m.group(2)}CAST({m.group(3)} AS {m.group(1)})",
+                 out)
     # bare DECIMAL defaults to (18,3) in the reference, (10,0) in Spark
     out = re.sub(r"(?i)\b(DEC|DECIMAL|NUMERIC)\s*\(\s*\)", "DECIMAL(18,3)", out)
     out = re.sub(r"(?i)\b(DEC|DECIMAL|NUMERIC)\b(?!\s*\()", "DECIMAL(18,3)", out)
@@ -1493,10 +1512,11 @@ def merge_tables(records):
             if m and re.search(r"(?i)\b(PRIMARY\s+KEY|UNIQUE|CHECK\s*\(|"
                                r"NOT\s+NULL)\b", m.group(2)):
                 constrained.add(m.group(1).lower())
-    foldable = {t for t in creates
-                if creates[t] < first_query and t not in touched_late
-                and t not in other_dml and t not in constrained
-                and inserts.get(t)}
+    foldable = set() if KEEP_VIEWS else {
+        t for t in creates
+        if creates[t] < first_query and t not in touched_late
+        and t not in other_dml and t not in constrained
+        and inserts.get(t)}
 
     any_create_re = re.compile(r"\s*CREATE\s+TABLE\s+(\w+)", re.I)
     schemas, rows, out = {}, {}, []
@@ -1621,6 +1641,14 @@ def main():
     if "--allow-attach" in args:
         ALLOW_ATTACH = True
         args.remove("--allow-attach")
+    global ALLOW_COPY
+    if "--allow-copy" in args:
+        ALLOW_COPY = True
+        args.remove("--allow-copy")
+    global KEEP_VIEWS
+    if "--keep-views" in args:
+        KEEP_VIEWS = True
+        args.remove("--keep-views")
     drop_matching = None
     if "--drop-matching" in args:
         k = args.index("--drop-matching")

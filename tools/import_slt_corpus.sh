@@ -1409,6 +1409,83 @@ import_att att $REF/sql/attach/attach_catalog_error_early_out.test \
 import_att exp $REF/sql/export/empty_export.test \
   $REF/sql/export/export_hive_path.test
 
+# r12c breadth: COPY ... TO/FROM (graft.functions.Copy) + file-path
+# relations / read_csv-family table functions (graft.functions
+# .FileTables, lowered in the Macros rewrite pipeline; {TEST_DIR}
+# substituted per-file by the runner). Only the engine-mappable subset
+# imports: the rest of test/sql/copy inspects the reference's own
+# physical artifacts (sniff_csv dialect rows, RETURN_FILES/RETURN_STATS
+# output shape, parquet kv/footer metadata functions, prefetch metrics,
+# per-thread file naming, encryption) or needs {DATA_DIR} fixture files.
+import_copy() {
+  for f in "$@"; do
+    [ -f "$f" ] || continue
+    python3 tools/import_slt.py --allow-copy --keep-constraints "$f" \
+      "copy_$(basename $f)" >/dev/null 2>&1 || true
+  done
+}
+import_copy \
+  $REF/sql/copy/tmp_file.test \
+  $REF/sql/copy/csv/auto_glob_directory.test \
+  $REF/sql/copy/csv/copy_to_overwrite.test \
+  $REF/sql/copy/csv/csv_limit_copy.test \
+  $REF/sql/copy/csv/issue_22153.test \
+  $REF/sql/copy/csv/read_csv_subquery.test \
+  $REF/sql/copy/csv/test_infinite_loop_escape.test \
+  $REF/sql/copy/csv/tsv_copy.test \
+  $REF/sql/copy/parquet/copy_option_non_foldable.test \
+  $REF/sql/copy/parquet/copy_option_suggestion.test \
+  $REF/sql/copy/parquet/infer_copy_format.test \
+  $REF/sql/copy/parquet/multi_file_conversion_error.test \
+  $REF/sql/copy/parquet/parquet_3989.test \
+  $REF/sql/copy/parquet/parquet_all_null_column.test \
+  $REF/sql/copy/parquet/parquet_copy_failure_cleans_up.test \
+  $REF/sql/copy/parquet/parquet_debug_use_openssl.test \
+  $REF/sql/copy/parquet/parquet_dictionary_zero_sum_aggregate.test \
+  $REF/sql/copy/parquet/parquet_encoding_skip.test \
+  $REF/sql/copy/parquet/parquet_expression_filter.test \
+  $REF/sql/copy/parquet/parquet_filter_dictionary_materialize.test \
+  $REF/sql/copy/parquet/parquet_write_repeated_lists.test \
+  $REF/sql/copy/parquet/partition_by_bind_issues.test \
+  $REF/sql/copy/parquet/replacement_scan_custom_extension.test
+
+# r12d breadth: RETURNING batteries (kept as query records now that
+# DML RETURNING returns rows) and the catalog view/table areas
+# (long_identifier / test_many_columns crash the importer's regex
+# machinery on pathological identifiers — skipped)
+import_kc ret $REF/sql/returning/*.test
+#   returning_update: one record creates a column DEFAULT nextval('seq')
+#     (BIGINT) on an INT column — Spark's DEFAULT coercion is exact-typed
+python3 tools/import_slt.py --keep-constraints --drop-matching "(?i)table3|nextval" \
+  $REF/sql/returning/returning_update.test ret_returning_update.test >/dev/null 2>&1 || true
+#   returning_large: md5-hash expectations bake the reference's insertion
+#     ordering of 9000 RETURNING rows (scan order is engine-defined)
+rm -f src/test/resources/sql/ref/ret_returning_large.test
+python3 - <<'PYEOF'
+m='src/test/resources/sql/ref/MANIFEST'
+ls_=[l for l in open(m).read().splitlines() if l.strip() and 'ret_returning_large' not in l]
+open(m,'w').write(chr(10).join(ls_)+chr(10))
+PYEOF
+# catalog/view imports under --keep-views (real persistent views: no
+# folding, no temp-view rewrite) — only the engine-mappable subset; the
+# rest lean on reference-only behaviors (partial view column lists,
+# late-bound schema-change output, view-SQL unparser text)
+for f in recursive_view_with_dependencies test_view test_view_delete_update view_if_not_exists; do
+  python3 tools/import_slt.py --keep-views --keep-constraints \
+    $REF/sql/catalog/view/$f.test "cat_view_$f.test" >/dev/null 2>&1 || true
+done
+# catalog/table: long_identifier / test_many_columns crash the importer's
+# regex machinery; test_default's sequence-DEFAULT sections reuse the
+# table name across divergent sections; create_table_parameters needs
+# SQL variables
+for f in create_table_as_abort test_create_table_parallelism test_default_values; do
+  python3 tools/import_slt.py --keep-constraints \
+    $REF/sql/catalog/table/$f.test "cat_table_$f.test" >/dev/null 2>&1 || true
+done
+#   default_not_null: UUID-typed records drop (no Spark UUID type)
+python3 tools/import_slt.py --keep-constraints --drop-matching "(?i)uuid" \
+  $REF/sql/catalog/table/test_default_not_null.test cat_table_test_default_not_null.test >/dev/null 2>&1 || true
+
 # r12 eviction reasons:
 #   cons_primarykey_test_pk_rollback: INSERT + ROLLBACK + re-INSERT —
 #     the stateless runner drops ROLLBACK, turning the re-INSERT into a
