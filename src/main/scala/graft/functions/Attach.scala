@@ -45,9 +45,26 @@ object Attach {
     if (stem.isEmpty) "memory" else stem.replaceAll("[^\\w]", "_")
   }
 
+  /** session:db names attached READ_ONLY (physical_attach.cpp option;
+    * enforced on the bulk-write surfaces). */
+  private val readOnly =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private def roKey(spark: SparkSession, db: String): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString) + ":" + db.toLowerCase
+
+  def isReadOnly(spark: SparkSession, db: String): Boolean =
+    readOnly.contains(roKey(spark, db))
+
   def execute(spark: SparkSession, sql: String): DataFrame = sql match {
-    case AttachRe(ine, path, alias0, _) =>
+    case AttachRe(ine, path, alias0, opts) =>
       val name = Option(alias0).map(unq).getOrElse(defaultAlias(path))
+      if (opts != null &&
+          """(?i)\bREAD_ONLY\b""".r.findFirstIn(opts).isDefined)
+        readOnly.add(roKey(spark, name)): Unit
       val exists = spark.catalog.databaseExists(name)
       if (exists && ine == null)
         throw new IllegalArgumentException(
@@ -80,6 +97,7 @@ object Attach {
       spark.emptyDataFrame
     case DetachRe(ife, alias0) =>
       val name = unq(alias0)
+      readOnly.remove(roKey(spark, name)): Unit
       if (!spark.catalog.databaseExists(name)) {
         if (ife == null) throw new IllegalArgumentException(
           s"Binder Error: Failed to detach database with name \"$name\": database not found")

@@ -34,7 +34,13 @@ object Copy {
   private val CopyRe =
     """(?is)^\s*COPY\s+(.*?)\s+(TO|FROM)\s+'([^']*)'\s*(?:WITH\s*)?(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
 
-  def matches(sql: String): Boolean = CopyRe.findFirstMatchIn(sql).isDefined
+  // COPY FROM DATABASE a TO b [(SCHEMA|DATA)] — physical_copy_database.cpp
+  private val CopyDbRe =
+    """(?is)^\s*COPY\s+FROM\s+DATABASE\s+("[^"]+"|`[^`]+`|[\w$]+)\s+TO\s+("[^"]+"|`[^`]+`|[\w$]+)\s*(?:\(\s*(\w+)\s*\))?\s*;?\s*$""".r
+
+  def matches(sql: String): Boolean =
+    CopyDbRe.findFirstMatchIn(sql).isDefined ||
+      CopyRe.findFirstMatchIn(sql).isDefined
 
   private case class Opts(
       format: Option[String], header: Option[Boolean], delim: Option[String],
@@ -105,6 +111,10 @@ object Copy {
     }
 
   def execute(spark: SparkSession, sql: String): DataFrame = {
+    CopyDbRe.findFirstMatchIn(sql).foreach { m =>
+      return copyDatabase(spark, Dml.unq(m.group(1)), Dml.unq(m.group(2)),
+        Option(m.group(3)).map(_.toLowerCase))
+    }
     val m = CopyRe.findFirstMatchIn(sql).getOrElse(
       throw new IllegalArgumentException(s"not a COPY statement: $sql"))
     val (relText, dir, path, optText) =
@@ -116,6 +126,53 @@ object Copy {
         s"Catalog Error: Copy Function with name $fmt does not exist!")
     if (dir == "TO") copyTo(spark, relText, path, fmt, o)
     else copyFrom(spark, relText, path, fmt, o)
+  }
+
+  /** COPY FROM DATABASE src TO dst: replicate every table (schema, data,
+    * and registered constraints) into the target database — the
+    * reference's cross-database bulk copy
+    * (physical_copy_database.cpp; mode SCHEMA copies structure only). */
+  private def copyDatabase(spark: SparkSession, src0: String, dst0: String,
+      mode: Option[String]): DataFrame = {
+    // the reference's primary in-memory catalog is named "memory"; the
+    // engine's is Spark's "default"
+    def norm(db: String): String =
+      if (db.equalsIgnoreCase("memory")) "default" else db
+    val (src, dst) = (norm(src0), norm(dst0))
+    for (db <- Seq(src, dst) if !spark.catalog.databaseExists(db))
+      throw new IllegalArgumentException(
+        s"Catalog Error: database with name \"$db\" does not exist (looked for $db)")
+    if (Attach.isReadOnly(spark, dst))
+      throw new IllegalArgumentException(
+        s"""Invalid Input Error: Cannot write to database "$dst" - it is attached in read-only mode""")
+    if (src.equalsIgnoreCase(dst))
+      throw new IllegalArgumentException(
+        s"""Binder Error: Cannot copy from database "$src" to itself""")
+    val tables = spark.catalog.listTables(src).collect()
+      .filter(t => t.tableType != "VIEW" && t.tableType != "TEMPORARY")
+      .map(_.name).sorted
+    var rows = 0L
+    for (t <- tables) {
+      val from = s"`$src`.`${t.replace("`","``")}`"
+      val to = s"`$dst`.`${t.replace("`","``")}`"
+      mode match {
+        case Some("schema") =>
+          spark.sql(s"CREATE TABLE $to LIKE $from").collect()
+        case Some("data") =>
+          // structure was copied by a prior (SCHEMA) pass
+          spark.sql(s"INSERT INTO $to SELECT * FROM $from").collect()
+          rows += spark.table(to).count()
+        case _ =>
+          // default = schema+data in one pass; an existing target table
+          // is an error, like the reference's catalog copy
+          spark.sql(s"CREATE TABLE $to AS SELECT * FROM $from").collect()
+          rows += spark.table(to).count()
+      }
+      // declared constraints ride along (registry keys are bare names,
+      // shared across databases like the reference's per-entry copy)
+      Constraints.of(spark, t).foreach(tc => Constraints.register(spark, tc))
+    }
+    Dml.countDf(spark, rows)
   }
 
   private def copyTo(spark: SparkSession, relText: String, path: String,

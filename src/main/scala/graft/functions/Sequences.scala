@@ -190,7 +190,7 @@ object Sequences {
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?(""" +
       SeqName + """)\s*(.*?);?\s*""").r
   private val DropRe =
-    ("""(?is)\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?(""" + SeqName + """)\s*;?\s*""").r
+    ("""(?is)\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?(""" + SeqName + """)(?:\s+CASCADE|\s+RESTRICT)?\s*;?\s*""").r
 
   def isSequenceDdl(sql: String): Boolean =
     CreateRe.matches(sql) || DropRe.matches(sql)

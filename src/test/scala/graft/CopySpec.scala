@@ -88,6 +88,35 @@ class CopySpec extends AnyFunSuite {
     assert(rn.length == 4)
   }
 
+  test("COPY FROM DATABASE replicates tables + constraints; READ_ONLY enforced") {
+    import graft.functions.Attach
+    spark.catalog.setCurrentDatabase("default")
+    Seq("cpdb_a", "cpdb_b", "cpdb_ro").foreach(db =>
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE"))
+    Attach.execute(spark, "ATTACH ':memory:' AS cpdb_a")
+    Attach.execute(spark, "ATTACH ':memory:' AS cpdb_b")
+    Attach.execute(spark, "ATTACH ':memory:' AS cpdb_ro (READ_ONLY)")
+    graft.functions.Constraints.unregister(spark, "cp_items")
+    graft.functions.Constraints.executeDdl(spark,
+      "CREATE TABLE cpdb_a.cp_items(id INT UNIQUE, v STRING)")
+    sql("INSERT INTO cpdb_a.cp_items VALUES (1, 'x'), (2, 'y')")
+    Copy.execute(spark, "COPY FROM DATABASE cpdb_a TO cpdb_b")
+    assert(sql("SELECT count(*) FROM cpdb_b.cp_items").head.getLong(0) == 2)
+    // the UNIQUE constraint rides along
+    val e = intercept[Exception](graft.functions.Dml.execute(spark,
+      "INSERT INTO cpdb_b.cp_items VALUES (1, 'dup')"))
+    assert(e.getMessage.contains("duplicate key"))
+    // self-copy and read-only targets reject
+    assert(intercept[Exception](
+      Copy.execute(spark, "COPY FROM DATABASE cpdb_a TO cpdb_a"))
+      .getMessage.contains("to itself"))
+    assert(intercept[Exception](
+      Copy.execute(spark, "COPY FROM DATABASE cpdb_a TO cpdb_ro"))
+      .getMessage.contains("read-only"))
+    Seq("cpdb_a", "cpdb_b", "cpdb_ro").foreach(db =>
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE"))
+  }
+
   test("FileTables leaves non-file string literals alone") {
     assert(FileTables.rewrite(spark, "SELECT 'a.csv.notafile' AS s") ==
       "SELECT 'a.csv.notafile' AS s")
