@@ -56,14 +56,48 @@ object Constraints {
   private def bare(table: String): String =
     Dml.unq(table.split('.').last.trim).toLowerCase
 
+  private def currentDb(spark: SparkSession): String =
+    try spark.catalog.currentDatabase.toLowerCase
+    catch { case _: Throwable => "default" }
+
+  /** Registry names are db-qualified: a CREATE/DROP of `otherdb.t` must
+    * not touch the constraints of `default.t` (the multi-database
+    * surface — ATTACH, COPY FROM DATABASE — makes bare-name keying
+    * wrong). Unqualified names resolve against the session's current
+    * database, matching the reference's schema search path. */
+  private def resolvedName(spark: SparkSession, table: String): String = {
+    // the reference's builtin schema prefix (main.t / system.main.t)
+    // means "current database", same stripping as Dml.parseTableRef
+    val stripped = table.replaceAll("(?i)^(system\\s*\\.\\s*)?main\\s*\\.\\s*", "")
+    val parts = stripped.split('.').iterator
+      .map(p => Dml.unq(p.trim).toLowerCase).filter(_.nonEmpty).toSeq
+    val t = parts.last
+    val db =
+      if (parts.length < 2) currentDb(spark)
+      else parts(parts.length - 2) match {
+        // catalog.main.table — interior "main" is the builtin schema
+        case "main" if parts.length >= 3 => parts(parts.length - 3)
+        case "main" => currentDb(spark)
+        case d => d
+      }
+    db + "." + t
+  }
+
   private def key(spark: SparkSession, table: String): String =
-    sessionKey(spark) + ":" + bare(table)
+    sessionKey(spark) + ":" + resolvedName(spark, table)
 
   def of(spark: SparkSession, table: String): Option[TableConstraints] =
     Option(registry.get(key(spark, table)))
 
+  /** Register under tc.table resolved in the CURRENT database. */
   def register(spark: SparkSession, tc: TableConstraints): Unit =
     registry.put(key(spark, tc.table), tc): Unit
+
+  /** Register under an explicitly (possibly db-qualified) name — used
+    * when the registration site's current database is not the target's
+    * (COPY FROM DATABASE, qualified CREATE TABLE). */
+  def registerAt(spark: SparkSession, table: String, tc: TableConstraints): Unit =
+    registry.put(key(spark, table), tc): Unit
 
   def unregister(spark: SparkSession, table: String): Unit =
     registry.remove(key(spark, table)): Unit
@@ -143,9 +177,10 @@ object Constraints {
             "Constraint Error: Data contains duplicates on indexed column(s)")
         val tc = of(spark, table).getOrElse(
           TableConstraints(bare(table), Nil, Nil, Nil))
-        register(spark, tc.copy(
+        registerAt(spark, table, tc.copy(
           uniques = tc.uniques :+ UniqueSet(cols, isPk = false)))
-        indexes.put(sessionKey(spark) + ":" + idx, (bare(table), cols))
+        indexes.put(sessionKey(spark) + ":" + idx,
+          (resolvedName(spark, table), cols))
         spark.emptyDataFrame
       case None =>
         val m = DropIndexRe.findFirstMatchIn(sql).getOrElse(
@@ -154,7 +189,7 @@ object Constraints {
         Option(indexes.remove(sessionKey(spark) + ":" + idx)).foreach {
           case (table, cols) =>
             of(spark, table).foreach { tc =>
-              register(spark, tc.copy(uniques = tc.uniques.filterNot(u =>
+              registerAt(spark, table, tc.copy(uniques = tc.uniques.filterNot(u =>
                 !u.isPk && u.cols.map(_.toLowerCase) == cols.map(_.toLowerCase))))
             }
         }
@@ -224,7 +259,7 @@ object Constraints {
     if (orReplace) spark.sql(s"DROP TABLE IF EXISTS $table").collect()
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
     spark.sql(s"CREATE TABLE $ine$table (${coldefs.mkString(", ")})").collect()
-    register(spark, TableConstraints(bare(table), notNull.toSeq,
+    registerAt(spark, table, TableConstraints(bare(table), notNull.toSeq,
       checks.map(c => stripSelfQualifier(c, table)).toSeq, uniques.toSeq))
     spark.emptyDataFrame
   }
@@ -236,7 +271,13 @@ object Constraints {
     Dml.splitTop(innerParen(item)).map(Dml.unq)
 
   /** Text inside the item's first top-level parenthesis group. */
-  private def innerParen(item: String): String = {
+  private def innerParen(item: String): String = innerParenSpan(item)._1
+
+  /** Same, plus the index of the matching close paren — callers that
+    * keep parsing past the group must advance with this index, NOT a
+    * length reconstructed from the trimmed inner text (`CHECK ( i > 0 )`
+    * trims two chars and would mis-offset the tail). */
+  private def innerParenSpan(item: String): (String, Int) = {
     val (_, depth) = Dml.scanFull(item)
     val open = item.indexOf('(')
     if (open < 0) throw new IllegalArgumentException(
@@ -244,7 +285,7 @@ object Constraints {
     var close = open + 1
     while (close < item.length && !(item.charAt(close) == ')' && depth(close) == depth(open)))
       close += 1
-    item.substring(open + 1, close).trim
+    (item.substring(open + 1, close).trim, close)
   }
 
   private val TailKws = Seq("not null", "null", "primary key", "unique",
@@ -293,9 +334,9 @@ object Constraints {
         uniques += UniqueSet(Seq(name), isPk = false); tail = t.substring(6)
       }
       else if (tl.startsWith("check")) {
-        val inner = innerParen(t)
+        val (inner, close) = innerParenSpan(t)
         checks += inner
-        tail = t.substring(t.indexOf('(') + inner.length + 2)
+        tail = t.substring(close + 1)
       }
       else if (tl.startsWith("default")) {
         // DEFAULT expr runs to the next top-level constraint keyword

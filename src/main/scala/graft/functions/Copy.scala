@@ -159,18 +159,20 @@ object Copy {
         case Some("schema") =>
           spark.sql(s"CREATE TABLE $to LIKE $from").collect()
         case Some("data") =>
-          // structure was copied by a prior (SCHEMA) pass
+          // structure was copied by a prior (SCHEMA) pass; report the
+          // rows COPIED (source count), not the target's running total
           spark.sql(s"INSERT INTO $to SELECT * FROM $from").collect()
-          rows += spark.table(to).count()
+          rows += spark.table(from).count()
         case _ =>
           // default = schema+data in one pass; an existing target table
           // is an error, like the reference's catalog copy
           spark.sql(s"CREATE TABLE $to AS SELECT * FROM $from").collect()
           rows += spark.table(to).count()
       }
-      // declared constraints ride along (registry keys are bare names,
-      // shared across databases like the reference's per-entry copy)
-      Constraints.of(spark, t).foreach(tc => Constraints.register(spark, tc))
+      // declared constraints ride along, re-registered under the TARGET
+      // database (registry keys are db-qualified)
+      Constraints.of(spark, from).foreach(tc =>
+        Constraints.registerAt(spark, to, tc))
     }
     Dml.countDf(spark, rows)
   }

@@ -98,6 +98,11 @@ object ExportDb {
         .map(_.toLowerCase).toSet
       val cols = df.schema.fields.map { f =>
         val tail = new StringBuilder
+        // declared DEFAULTs survive the roundtrip (the reference's
+        // physical_export.cpp emits them; dropping them turns
+        // post-import DEFAULT inserts into NULLs)
+        if (f.metadata.contains("CURRENT_DEFAULT"))
+          tail.append(s" DEFAULT ${Dml.defaultExpr(f)}")
         if (singlePk.contains(f.name.toLowerCase)) tail.append(" PRIMARY KEY")
         else if (nn.contains(f.name.toLowerCase)) tail.append(" NOT NULL")
         if (singleUq.contains(f.name.toLowerCase)) tail.append(" UNIQUE")

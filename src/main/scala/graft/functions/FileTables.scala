@@ -38,6 +38,8 @@ object FileTables {
       new java.util.WeakHashMap[SparkSession,
         java.util.concurrent.ConcurrentHashMap[String, String]]())
 
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Contents fingerprint: a COPY TO between two reads of the same path
     * replaces the part files, and a memoized reader would hold the stale
     * file listing — the memo key carries names+mtimes so rewritten paths
@@ -58,7 +60,9 @@ object FileTables {
         _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
     }
     m.computeIfAbsent(key, { _ =>
-      val name = Dml.G + "file_" + math.abs(key.hashCode).toString
+      // collision-free name: Int hashCode collides across distinct
+      // (path, options, fingerprint) keys — use a counter instead
+      val name = Dml.G + "file_" + viewSeq.incrementAndGet().toString
       mk.createOrReplaceTempView(name)
       name
     })

@@ -81,16 +81,21 @@ object Dedup {
     // posexplode turns all band codes into (id, band, bucket) rows, so ONE
     // groupBy + ONE self-join serve every band (the per-band formulation
     // ran bands× the stage count — band b is just a column of the same
-    // scan). The cap list is tiny by construction (≤ distinct buckets
-    // under maxBucket), so it broadcasts instead of shuffling the
-    // candidate stream.
+    // scan). The bucket cap is a window count over (band, bucket): fully
+    // distributed, zero driver state (minhash band codes are md5 values,
+    // so ANY collected bucket list — even the small-bucket side — grows
+    // linearly with the corpus and would OOM the driver at 100 TB), and
+    // the window's hash partitioning on (band, bucket) is exactly the
+    // distribution the self-join below needs, so the filter costs no
+    // extra exchange.
     val coded = sig.select(col(idCol).as("id"),
       posexplode(array((1 to bands).map(b => col(s"band_$b")): _*))
         .as(Seq("band", "bucket")))
-    val small = coded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket)
-      .select("band", "bucket")
-    val inb = coded.join(broadcast(small), Seq("band", "bucket"))
+    val inb = coded
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
     inb.as("a").join(inb.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
