@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[Pack] =
-    Seq(Relational, Aggregates, Windows, Functions, Pipeline, Sources, Conformance, DmlQueries, Tpch, Tpcds, Tpcds2, Tpcds3, Tpcds4, Tpcds5, Tpcds6, Tpcds7, Tpcds8, Tpcds9, Tpcds10, Tpcds11, Tpcds12, Tpcds13, Tpcds14, Tpcds15, Tpcds16, Tpcds17, Tpcds18, Tpcds19, Suites, ClickBench, Job, Job2, H2o, Ldbc, NestedBench, Corpus, Types, Geospatial, CatalogOps)
+    Seq(Relational, Aggregates, Windows, Functions, Pipeline, Sources, Conformance, DmlQueries, Ddl, Tpch, Tpcds, Tpcds2, Tpcds3, Tpcds4, Tpcds5, Tpcds6, Tpcds7, Tpcds8, Tpcds9, Tpcds10, Tpcds11, Tpcds12, Tpcds13, Tpcds14, Tpcds15, Tpcds16, Tpcds17, Tpcds18, Tpcds19, Suites, ClickBench, Job, Job2, H2o, Ldbc, NestedBench, Corpus, Types, Geospatial, CatalogOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

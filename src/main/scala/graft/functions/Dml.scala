@@ -253,10 +253,45 @@ object Dml {
   private[functions] def schemaOf(spark: SparkSession, table: String): Seq[StructField] =
     spark.table(table).schema.fields.toSeq
 
-  /** Column DEFAULT as a SQL expression ("NULL" when none declared). */
+  /** Column DEFAULT as a SQL expression ("NULL" when none declared).
+    * GRAFT_DEFAULT is the engine's side-channel for defaults Spark's
+    * DDL analyzer rejects as non-foldable (nextval()) — set by
+    * graft.functions.Alter, honored here on the insert path. */
   private[functions] def defaultExpr(f: StructField): String =
     if (f.metadata.contains("CURRENT_DEFAULT")) f.metadata.getString("CURRENT_DEFAULT")
+    else if (f.metadata.contains("GRAFT_DEFAULT")) f.metadata.getString("GRAFT_DEFAULT")
     else "NULL"
+
+  /** duckdb type spellings Spark's DDL parser rejects (bare VARCHAR
+    * needs a length in Spark; TEXT/BPCHAR don't exist; STRUCT(a T) uses
+    * parens where Spark's DDL wants STRUCT<a T>). */
+  private[functions] def normType(t0: String): String = {
+    var t = t0.replaceAll("(?i)\\b(VARCHAR|TEXT|BPCHAR)\\b(?!\\s*\\()", "STRING")
+    // STRUCT( ... ) -> STRUCT< ... >, innermost-first
+    val StructOpen = """(?i)\bSTRUCT\s*\(""".r
+    var m = StructOpen.findFirstMatchIn(t)
+    var guard = 0
+    while (m.isDefined && guard < 32) {
+      guard += 1
+      val open = m.get.end - 1
+      var depth = 0
+      var close = open
+      var found = -1
+      while (close < t.length && found < 0) {
+        t.charAt(close) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) found = close
+          case _ =>
+        }
+        close += 1
+      }
+      if (found < 0) return t // unbalanced — let Spark report it
+      t = t.substring(0, open) + "<" + t.substring(open + 1, found) + ">" +
+        t.substring(found + 1)
+      m = StructOpen.findFirstMatchIn(t)
+    }
+    t
+  }
 
   private[functions] def castTo(expr: String, f: StructField): String =
     s"CAST((${expr.trim}) AS ${f.dataType.sql})"
@@ -303,12 +338,19 @@ object Dml {
   /** Materialize the table's new contents and swap them in (tmp managed
     * table + INSERT OVERWRITE: metadata-preserving two-phase COW). */
   private[functions] def swapIn(spark: SparkSession, table: String, newSql: String): Unit = {
-    val df = gsql(spark, newSql)
+    val df0 = gsql(spark, newSql)
+    val tcOpt = Constraints.of(spark, table)
+    // generated columns recompute from the rewritten row values before
+    // any verification or write (they are never directly assignable)
+    val df = tcOpt.filter(_.generated.nonEmpty)
+      .map(tc => Constraints.applyGenerated(spark, tc, df0)).getOrElse(df0)
     // declared constraints verify on the FULL new contents before any
     // write (reference data_table.cpp:914 VerifyAppendConstraints /
     // art.cpp:839 duplicate-key diagnostics)
-    Constraints.of(spark, table).foreach(tc =>
-      Constraints.verifyContents(spark, tc, df))
+    tcOpt.foreach(tc => Constraints.verifyContents(spark, tc, df))
+    // parent-side FOREIGN KEY enforcement: removing a referenced key is
+    // rejected (RESTRICT default, test_fk_chain.test)
+    Constraints.verifyParentRewrite(spark, table, df)
     if (isTempView(spark, table)) {
       // importer-fused "table": materialize the new contents (they read
       // the old view) and replace the view definition
@@ -445,6 +487,14 @@ object Dml {
     val retText = if (retIdx < 0) "" else tr.rest.substring(retIdx + 9).trim
     rejectAggregates(retText)
     val assigns = parseAssigns(setText, tr.name, fields)
+    // generated columns are not assignable (generated_columns/virtual/
+    // update.test); they recompute from the new row in swapIn
+    Constraints.of(spark, tr.name).foreach { tc =>
+      val gen = tc.generated.map(_.name.toLowerCase).toSet
+      assigns.find(a => gen(a.col.toLowerCase)).foreach(a =>
+        throw new IllegalArgumentException(
+          s"""Binder Error: Cannot update column "${a.col}" because it is a generated column!"""))
+    }
     val assigned = assigns.map(a => a.col.toLowerCase -> a).toMap
     val fieldByName = fields.map(f => f.name.toLowerCase -> f).toMap
 
@@ -745,12 +795,19 @@ object Dml {
     if (isDefaultValues && givenCols.nonEmpty)
       throw new IllegalArgumentException(
         "Parser Error: You can not provide both a column list and DEFAULT VALUES, please remove one of the two")
+    // generated columns are not insertable: positional mappings (bare
+    // VALUES, DEFAULT VALUES, width checks) run over the insertable
+    // subset; their values recompute from the mapped row below
+    val genColsEarly = Constraints.of(spark, tr.name)
+      .map(_.generated.map(_.name.toLowerCase).toSet)
+      .getOrElse(Set.empty[String])
+    val insertableEarly = fields.filterNot(f => genColsEarly(f.name.toLowerCase))
     // bare DEFAULT inside a VALUES list: substitute the target column's
     // declared default (reference ExpandDefaultInValuesList,
     // bind_insert.cpp:468) — it has no meaning to Spark's inline tables
     if (!isDefaultValues && rest.toLowerCase.startsWith("values") &&
         """(?i)\bDEFAULT\b""".r.findFirstIn(rest).isDefined) {
-      val targets = givenCols.getOrElse(fields.map(_.name))
+      val targets = givenCols.getOrElse(insertableEarly.map(_.name))
       val byPos = targets.map(c =>
         fields.find(_.name.equalsIgnoreCase(c)).orNull)
       val tuples = splitTop(rest.replaceFirst("(?is)^VALUES\\b", "")).map { tup =>
@@ -766,7 +823,8 @@ object Dml {
     }
     val src0 =
       if (isDefaultValues) {
-        val cols = fields.map(f => s"${castTo(defaultExpr(f), f)} AS ${q(f.name)}")
+        val cols = insertableEarly.map(f =>
+          s"${castTo(defaultExpr(f), f)} AS ${q(f.name)}")
         freeze(spark, gsql(spark, s"SELECT ${cols.mkString(", ")}"))
       } else {
         val srcSql = cteify(cte, if (rest.startsWith("(")) s"SELECT * FROM $rest" else rest)
@@ -794,14 +852,22 @@ object Dml {
     }
 
     // full-width batch (given columns from the source positionally, the
-    // rest from their defaults) with a stable per-row id
+    // rest from their defaults) with a stable per-row id. Generated
+    // columns are not insertable: positional width excludes them, an
+    // explicit mention is a binder error, and their values recompute
+    // from the mapped row (generated_columns/virtual/insert.test).
+    val genCols = genColsEarly
+    val insertable = insertableEarly
+    givenCols.toSeq.flatten.find(c => genCols(unq(c).toLowerCase)).foreach(c =>
+      throw new IllegalArgumentException(
+        s"Binder Error: Cannot insert into column \"${unq(c)}\" - it is a generated column!"))
     if (!isDefaultValues) {
-      val expect = givenCols.map(_.length).getOrElse(fields.length)
+      val expect = givenCols.map(_.length).getOrElse(insertable.length)
       if (srcNames.length != expect)
         throw new IllegalArgumentException(
           s"Binder Error: table ${tr.name} has $expect columns but ${srcNames.length} values were supplied")
     }
-    val byTarget = givenCols.getOrElse(fields.map(_.name)).map(_.toLowerCase)
+    val byTarget = givenCols.getOrElse(insertable.map(_.name)).map(_.toLowerCase)
       .zipWithIndex.toMap
     val rowCols = fields.map { f =>
       byTarget.get(f.name.toLowerCase) match {
@@ -810,8 +876,10 @@ object Dml {
         case _ => s"${castTo(defaultExpr(f), f)} AS ${q(f.name)}"
       }
     }
-    val ins = freeze(spark, gsql(spark,
-      s"SELECT ${rowCols.mkString(", ")}, monotonically_increasing_id() AS ${G}rid FROM $vn"))
+    val ins0 = gsql(spark,
+      s"SELECT ${rowCols.mkString(", ")}, monotonically_increasing_id() AS ${G}rid FROM $vn")
+    val ins = freeze(spark, tc.filter(_.generated.nonEmpty)
+      .map(c => Constraints.applyGenerated(spark, c, ins0)).getOrElse(ins0))
     val insV = s"${G}ins"
     ins.createOrReplaceTempView(insV)
 
@@ -950,6 +1018,15 @@ object Dml {
   private def runTruncate(spark: SparkSession, body: String): DataFrame = {
     val after = body.replaceFirst("(?is)^\\s*TRUNCATE\\b(\\s+TABLE\\b)?", "")
     val tr = parseTableRef(after)
+    // FOREIGN KEY enforcement: truncating away referenced keys rejects —
+    // children of this table (and a self-referencing FK's own rows)
+    // verify against the empty result (test_foreignkey.test TRUNCATE)
+    locally {
+      val empty = spark.table(tr.name).limit(0)
+      Constraints.of(spark, tr.name).filter(_.foreignKeys.nonEmpty)
+        .foreach(tc => Constraints.verifyContents(spark, tc, empty))
+      Constraints.verifyParentRewrite(spark, tr.name, empty)
+    }
     val cnt = spark.table(tr.name).count() // reference returns removed-row count
     if (isTempView(spark, tr.name))
       spark.table(tr.name).limit(0).localCheckpoint(true)

@@ -101,7 +101,8 @@ object ExportDb {
         // declared DEFAULTs survive the roundtrip (the reference's
         // physical_export.cpp emits them; dropping them turns
         // post-import DEFAULT inserts into NULLs)
-        if (f.metadata.contains("CURRENT_DEFAULT"))
+        if (f.metadata.contains("CURRENT_DEFAULT") ||
+            f.metadata.contains("GRAFT_DEFAULT"))
           tail.append(s" DEFAULT ${Dml.defaultExpr(f)}")
         if (singlePk.contains(f.name.toLowerCase)) tail.append(" PRIMARY KEY")
         else if (nn.contains(f.name.toLowerCase)) tail.append(" NOT NULL")

@@ -544,11 +544,13 @@ object Macros {
     // SampleRewrite runs AFTER macro expansion so sampling clauses
     // produced by macro bodies are lowered too (r11 ADVICE)
     WindowRelocate(QualifyRewrite(WindowRefs(rewriteDistinctOn(stripBuiltinCatalog(
-      FnChain(spark, SampleRewrite(expandLoop(
+      FnChain(spark, SampleRewrite(Variables.rewrite(spark, expandLoop(
         Sequences.rewriteDuckdbSequences(spark,
-          rewriteDuckdbDatabases(spark, rewriteDuckdbFunctions(spark,
-            FileTables.rewrite(spark, sql)))),
-        registry.get(spark), tableRegistry.get(spark), maxDepth))))))))
+          rewriteDuckdbCatalog(spark,
+            rewriteDuckdbDatabases(spark, rewriteDuckdbFunctions(spark,
+              rewriteDescribeSubqueries(spark,
+                FileTables.rewrite(spark, rewriteOrdinality(sql))))))),
+        registry.get(spark), tableRegistry.get(spark), maxDepth)))))))))
 
   /** `duckdb_functions()` — the reference's function-catalog TVF,
     * inlined as a VALUES relation over the LIVE macro registries (one
@@ -561,6 +563,134 @@ object Macros {
     if (re.findFirstIn(sql).isEmpty) sql
     else re.replaceAllIn(sql, java.util.regex.Matcher.quoteReplacement(
       Attach.databasesRelation(spark)))
+  }
+
+  /** `tvf(args) WITH ORDINALITY [AS t(c, o)]` (reference
+    * test/sql/ordinality/): lowered onto posexplode/row_number — the
+    * ordinality column is BIGINT and 1-based like the reference. Alias
+    * columns fill left-to-right; unnamed columns keep the reference's
+    * defaults (the function name, then "ordinality"). */
+  private def rewriteOrdinality(sql: String): String = {
+    if (!"""(?i)\bWITH\s+ORDINALITY\b""".r.findFirstIn(sql).isDefined) return sql
+    val Re = ("""(?i)\b(range|generate_series|repeat|unnest|explode)\s*\(((?:[^()]|\([^()]*\))*)\)\s+WITH\s+ORDINALITY""" +
+      """(?:\s+(?:AS\s+)?(\w+)\s*(?:\(([^)]*)\))?)?""").r
+    Re.replaceAllIn(sql, m => {
+      val fname = m.group(1).toLowerCase
+      val args = m.group(2)
+      val tbl = Option(m.group(3)).getOrElse("_ord")
+      val names = Option(m.group(4)).map(_.split(',').map(_.trim).toSeq)
+        .getOrElse(Nil)
+      val defaultC1 = if (fname == "explode") "unnest" else fname
+      val c1 = names.headOption.filter(_.nonEmpty).getOrElse(defaultC1)
+      val c2 = names.drop(1).headOption.filter(_.nonEmpty).getOrElse("ordinality")
+      val g = Dml.G
+      val parts = Dml.splitTop(args)
+      def big(e: String) = s"CAST(($e) AS BIGINT)"
+      val empty = "CAST(array() AS ARRAY<BIGINT>)"
+      // sequence-based array (not the range() TVF) so LATERAL-correlated
+      // arguments work (ordinality_inout.test); duckdb range() is
+      // end-EXCLUSIVE, generate_series end-INCLUSIVE
+      val arr = fname match {
+        case "range" => parts match {
+          case Seq(n) =>
+            s"CASE WHEN ${big(n)} > 0 THEN sequence(0, ${big(n)} - 1) ELSE $empty END"
+          case Seq(a, b) =>
+            s"CASE WHEN ${big(b)} > ${big(a)} THEN sequence(${big(a)}, ${big(b)} - 1) ELSE $empty END"
+          case Seq(a, b, st) =>
+            s"CASE WHEN (${big(st)} > 0 AND ${big(b)} > ${big(a)}) OR (${big(st)} < 0 AND ${big(b)} < ${big(a)}) " +
+              s"THEN sequence(${big(a)}, ${big(b)} - (CASE WHEN ${big(st)} < 0 THEN -1 ELSE 1 END), ${big(st)}) " +
+              s"ELSE $empty END"
+          case _ => s"sequence($args)"
+        }
+        case "generate_series" => parts match {
+          case Seq(n) => s"sequence(0, ${big(n)})"
+          case _ => s"sequence($args)"
+        }
+        case "unnest" | "explode" => args // already an array expression
+        case _ => // repeat(value, count)
+          s"array_repeat(${parts.head}, CAST((${parts(1)}) AS INT))"
+      }
+      val inner =
+        s"SELECT ${g}c AS `$c1`, CAST(${g}p + 1 AS BIGINT) AS `$c2` " +
+          s"FROM (SELECT posexplode($arr) AS (${g}p, ${g}c))"
+      java.util.regex.Matcher.quoteReplacement(s"($inner) $tbl")
+    })
+  }
+
+  /** `(DESCRIBE ...)`, `(SUMMARIZE ...)`, `(SHOW ...)` in FROM position
+    * (describe_subquery.test): execute the statement eagerly into a temp
+    * view and substitute its name — the reference binds these as
+    * relations the same way. */
+  private val descSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def rewriteDescribeSubqueries(spark: SparkSession, sql: String): String = {
+    val HeadRe = """(?i)\(\s*(DESCRIBE|SUMMARIZE|SHOW)\b""".r
+    var out = sql
+    var m = HeadRe.findFirstMatchIn(out)
+    var guard = 0
+    while (m.isDefined && guard < 16) {
+      guard += 1
+      val open = m.get.start
+      // matching close paren (quote-aware scan)
+      var depth = 0
+      var inQ = ' '
+      var close = -1
+      var i = open
+      while (i < out.length && close < 0) {
+        val ch = out.charAt(i)
+        if (inQ != ' ') { if (ch == inQ) inQ = ' ' }
+        else ch match {
+          case '\'' | '"' => inQ = ch
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0) return out
+      val inner = out.substring(open + 1, close).trim
+      val name = Dml.G + "desc_" + descSeq.incrementAndGet()
+      Describe.execute(spark, inner).createOrReplaceTempView(name)
+      out = out.substring(0, open) + s"(SELECT * FROM $name)" +
+        out.substring(close + 1)
+      m = HeadRe.findFirstMatchIn(out)
+    }
+    out
+  }
+
+  /** `duckdb_tables()` / `duckdb_views()` / `duckdb_columns()` —
+    * catalog TVFs inlined as VALUES relations over the live Spark
+    * catalog (graft.functions.Attach). */
+  private def rewriteDuckdbCatalog(spark: SparkSession, sql: String): String = {
+    var out = sql
+    // both spellings resolve: duckdb_tables() and the bare table-name
+    // form `FROM duckdb_tables` (the reference accepts both)
+    val tablesRe = """(?i)\bduckdb_tables\b(\s*\(\s*\))?""".r
+    if (tablesRe.findFirstIn(out).isDefined)
+      out = tablesRe.replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(
+        Attach.tablesRelation(spark)))
+    val viewsRe = """(?i)\bduckdb_views\b(\s*\(\s*\))?""".r
+    if (viewsRe.findFirstIn(out).isDefined)
+      out = viewsRe.replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(
+        Attach.viewsRelation(spark)))
+    val colsRe = """(?i)\bduckdb_columns\b(\s*\(\s*\))?""".r
+    if (colsRe.findFirstIn(out).isDefined)
+      out = colsRe.replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(
+        Attach.columnsRelation(spark)))
+    val varsRe = """(?i)\bduckdb_variables\b(\s*\(\s*\))?""".r
+    if (varsRe.findFirstIn(out).isDefined)
+      out = varsRe.replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(
+        Variables.relation(spark)))
+    val consRe = """(?i)\bduckdb_constraints\b(\s*\(\s*\))?""".r
+    if (consRe.findFirstIn(out).isDefined)
+      out = consRe.replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(
+        Attach.constraintsRelation(spark)))
+    // information_schema.columns as a RELATION (FROM position); leave
+    // other information_schema entries to Spark
+    val isColsRe = """(?i)\binformation_schema\s*\.\s*columns\b""".r
+    if (isColsRe.findFirstIn(out).isDefined)
+      out = isColsRe.replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(
+        Attach.infoSchemaColumnsRelation(spark)))
+    out
   }
 
   private def rewriteDuckdbFunctions(spark: SparkSession, sql: String): String = {

@@ -315,6 +315,18 @@ class SqlLogicSpec extends AnyFunSuite {
       // copy-on-write UPDATE/DELETE/TRUNCATE/MERGE/upsert + verified
       // inserts (graft.functions.Dml / Constraints)
       graft.functions.Dml.execute(spark, s)
+    case s if graft.functions.Alter.matches(s) =>
+      // ALTER TABLE column surface (graft.functions.Alter)
+      graft.functions.Alter.execute(spark, s)
+    case s if graft.functions.Attach.matchesSetSchema(s) =>
+      // SET schema = x -> current database switch
+      graft.functions.Attach.executeSetSchema(spark, s)
+    case s if graft.functions.Variables.matches(s) =>
+      // SET/RESET VARIABLE (graft.functions.Variables)
+      graft.functions.Variables.execute(spark, s)
+    case s if graft.functions.Describe.matches(s) =>
+      // DESCRIBE / SHOW / SUMMARIZE statements (graft.functions.Describe)
+      graft.functions.Describe.execute(spark, s)
     case s if """(?is)^\s*(DROP\s+TABLE|CREATE\s+(OR\s+REPLACE\s+)?TABLE)\b""".r
         .findFirstIn(s).isDefined =>
       // unregister stale constraint entries on DROP / plain re-CREATE
@@ -341,6 +353,7 @@ class SqlLogicSpec extends AnyFunSuite {
     graft.functions.Constraints.clear(spark) // nor cross-file constraints
     graft.functions.Sequences.clear(spark) // …and no cross-file sequences
     graft.functions.Prepared.clear(spark) // …and no cross-file templates
+    graft.functions.Variables.clear(spark) // …and no cross-file variables
     // hermetic session confs: a corpus file's surviving SET/RESET
     // statements (settings/pragma areas) run on the SHARED test session,
     // and sbt executes suites concurrently in this JVM — restore every

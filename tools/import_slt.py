@@ -103,7 +103,9 @@ REJECT = ["mode ", "skipif",
           "onlyif", "hash-threshold", "restart", "load ", "sleep ",
           "<FILE>",
           "ATTACH", "EXCLUDE", "COLUMNS(", "ASOF", "POSITIONAL",
-          "SUMMARIZE", "DESCRIBE", "SHOW ", "CREATE INDEX",
+          "CREATE INDEX",
+          # SUMMARIZE/DESCRIBE/SHOW import since r13
+          # (graft.functions.Describe)
           "INSTALL", "EXPORT", "reorder", "UNION BY NAME", "ALL BY NAME",
           # CREATE/DROP MACRO and macro calls are handled by the Scala
           # runner (graft.functions.Macros bind-time expansion)
@@ -128,10 +130,9 @@ REJECT = ["mode ", "skipif",
           # the engine's planar geo surface is Column-API structs
           # (SURVEY §1.2) — no SQL GEOMETRY type for WKT casts;
           # BIGNUM is arbitrary-precision (exceeds DECIMAL(38))
-          "GEOMETRY", "BIGNUM", "bignum",
-          # generated columns ride the reference's storage layer
-          # (documented non-goal, SURVEY §2.9)
-          "GENERATED ALWAYS"]
+          "GEOMETRY", "BIGNUM", "bignum"]
+          # GENERATED ALWAYS columns import since r13 (VIRTUAL generated
+          # columns: graft.functions.Constraints.GeneratedCol)
 
 
 DIRECTIVE_REJECT = ["loop", "endloop", "foreach", "require ", "mode ",
@@ -850,7 +851,8 @@ def range_subquery(sql: str) -> str:
     return re.sub(
         r"(?i)(\bFROM\s+|\bJOIN\s+|,\s*)(range|generate_series)\s*"
         r"\(([^()]+)\)"
-        r"((\s+(?:AS\s+)?(\w+))\s*\((\w+)\)|(?:\s+(?:AS\s+)?(?!WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|EXCEPT|INTERSECT|JOIN|ON|AS\b)(\w+))?)",
+        r"(?!\s+WITH\s+ORDINALITY)"
+        r"((\s+(?:AS\s+)?(\w+))\s*\((\w+)\)|(?:\s+(?:AS\s+)?(?!WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|EXCEPT|INTERSECT|JOIN|ON|AS\b|WITH\b)(\w+))?)",
         repl, sql)
 
 
@@ -1182,7 +1184,11 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # for it, so strip the hint and keep the CTE
     out = re.sub(r"(?i)\b(AS)\s+(?:NOT\s+)?MATERIALIZED\s*\(", r"\1 (", out)
     # Spark type spellings
-    out = re.sub(r"(?i)\bVARCHAR\b(?!\s*\()", "STRING", out)
+    out = re.sub(r"(?i)\b(VARCHAR|BPCHAR)\b(?!\s*\()", "STRING", out)
+    # bare CHAR needs a length in Spark; duckdb's is an alias of VARCHAR.
+    # Only the TYPE position rewrites (ARRAY<char>, CAST(x AS char)) —
+    # the char() function keeps its parens and is excluded by (?!\s*\()
+    out = re.sub(r"(?i)\bCHAR\b(?!\s*\()", "STRING", out)
     # TEXT only in type position (cast target / column def) — `text` is
     # also a legitimate column name in this repo's fixtures
     out = re.sub(r"(?i)(\bAS\s+)TEXT\b", r"\1STRING", out)
@@ -1485,22 +1491,26 @@ def merge_tables(records):
     # which tables are safe to fold?
     creates, inserts, touched_late, other_dml = {}, {}, set(), set()
     for idx, (kind, header, body, exp) in enumerate(records):
-        if kind != "statement" or "error" in header:
+        if kind != "statement":
             continue
         sql = "\n".join(body)
-        m = create_re.match(sql)
-        if m:
-            creates.setdefault(m.group(1).lower(), idx)
-            continue
-        mi = insert_re.match(sql)
-        if mi:
-            t = mi.group(1).lower()
-            inserts.setdefault(t, []).append(idx)
-            if idx > first_query:
-                touched_late.add(t)
-            continue
+        if "error" not in header:
+            m = create_re.match(sql)
+            if m:
+                creates.setdefault(m.group(1).lower(), idx)
+                continue
+            mi = insert_re.match(sql)
+            if mi:
+                t = mi.group(1).lower()
+                inserts.setdefault(t, []).append(idx)
+                if idx > first_query:
+                    touched_late.add(t)
+                continue
+        # expected-ERROR statements count too: an `ALTER VIEW tbl` that
+        # must fail because tbl is a TABLE needs tbl to stay a real
+        # table, not a folded temp view
         for t in re.findall(r"(?:UPDATE|DELETE\s+FROM|ALTER\s+TABLE|"
-                            r"INSERT\s+INTO)\s+(\w+)", sql, re.I):
+                            r"ALTER\s+VIEW|INSERT\s+INTO)\s+(\w+)", sql, re.I):
             other_dml.add(t.lower())
     constrained = set()
     if KEEP_CONSTRAINTS:
@@ -1509,8 +1519,15 @@ def merge_tables(records):
                 continue
             sql = "\n".join(body)
             m = create_re.match(sql)
-            if m and re.search(r"(?i)\b(PRIMARY\s+KEY|UNIQUE|CHECK\s*\(|"
-                               r"NOT\s+NULL)\b", m.group(2)):
+            # generated columns count as constrained: their INSERTs must
+            # reach the Scala runner untransformed (positional VALUES
+            # exclude generated columns there, and the VALUES-cast
+            # rewrite would mis-parse `AS (expr)` as a type)
+            if m and re.search(r"(?i)(\bPRIMARY\s+KEY\b|\bUNIQUE\b|"
+                               r"\bCHECK\s*\(|\bNOT\s+NULL\b|"
+                               r"\bFOREIGN\s+KEY\b|\bREFERENCES\b|"
+                               r"\bGENERATED\s+ALWAYS\b|\bAS\s*\()",
+                               m.group(2)):
                 constrained.add(m.group(1).lower())
     foldable = set() if KEEP_VIEWS else {
         t for t in creates
@@ -1578,12 +1595,20 @@ def merge_tables(records):
                         mi.group(1).lower() not in constrained and
                         not re.search(r"(?i)\bON\s+CONFLICT\b", mi.group(3)) and
                         not re.search(r"(?i)\bDEFAULT\b", mi.group(3))):
+                    # a single STRUCT-typed column needs a pad column:
+                    # Spark flattens a 1-expression inline-table row of
+                    # struct type into its fields
+                    pad = (len(cols) == 1 and
+                           re.match(r"(?i)\s*STRUCT", types[cols[0]] or ""))
                     tuples = ", ".join(
-                        "(" + tup + ")" for tup in split_tuples(mi.group(3)))
+                        "(" + tup + (", 0" if pad else "") + ")"
+                        for tup in split_tuples(mi.group(3)))
                     casted = ", ".join(
                         f"CAST(_c{i} AS {types[c]}) AS {c}"
                         for i, c in enumerate(cols))
                     vcols = ", ".join(f"_c{i}" for i in range(len(cols)))
+                    if pad:
+                        vcols += ", _pad"
                     collist = f" ({', '.join(cols)})" if mi.group(2) else ""
                     out.append(("statement", header,
                                 [f"INSERT INTO {mi.group(1)}{collist} "

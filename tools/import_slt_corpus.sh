@@ -184,6 +184,63 @@ import_pref pegp    $REF/sql/peg_parser/*.test
 import_pref parll   $REF/sql/parallelism/*.test
 import_pref sett    $REF/sql/settings/*.test
 import_pref alt     $REF/sql/alter/*.test
+# r13: ALTER TABLE column surface (graft.functions.Alter) + generated
+# columns + FOREIGN KEY enforcement — per-subdir prefixes, constraints
+# kept (the runner's registry enforces them)
+import_kc altrename_col  $REF/sql/alter/rename_col/*.test
+import_kc altadd_col     $REF/sql/alter/add_col/*.test
+import_kc altdrop_col    $REF/sql/alter/drop_col/*.test
+import_kc altalter_type  $REF/sql/alter/alter_type/*.test
+import_kc altdefault     $REF/sql/alter/default/*.test
+import_kc altalter_col   $REF/sql/alter/alter_col/*.test
+import_kc altadd_pk      $REF/sql/alter/add_pk/*.test
+import_kc altrename_table $REF/sql/alter/rename_table/*.test
+import_kc altrename_view $REF/sql/alter/rename_view/*.test
+import_kc altlist        $REF/sql/alter/list/*.test
+import_kc altmap         $REF/sql/alter/map/*.test
+import_kc altstruct      $REF/sql/alter/struct/*.test
+import_kc gcolv          $REF/sql/generated_columns/virtual/*.test
+import_kc shsel          $REF/sql/show_select/*.test
+import_kc vars           $REF/sql/variables/*.test
+# WITH ORDINALITY (r13 rewriteOrdinality); the WITH-RECURSIVE+LATERAL
+# record stays out (known-divergent recursion family)
+python3 tools/import_slt.py --keep-constraints --drop-matching RECURSIVE \
+  $REF/sql/ordinality/ordinality_inout.test ordi_ordinality_inout.test >/dev/null || true
+# list(a) aggregation order is scan order here (documented
+# order-undefined) — the 'animals' list-variable records drop
+python3 tools/import_slt.py --keep-constraints --drop-matching animals \
+  $REF/sql/variables/test_variables.test vars_test_variables.test >/dev/null || true
+# show_select: sum(int) types as HUGEINT in the reference, BIGINT here
+python3 tools/import_slt.py --keep-constraints --drop-matching 'SUM\(i\)' \
+  $REF/sql/show_select/test_show_select.test shsel_test_show_select.test >/dev/null || true
+import_kc fkey           $REF/sql/constraints/foreignkey/*.test
+# per-file transforms for the alter/gencol areas:
+#   alter_type base: stats() TVF + the struct_insert(:=) records (and the
+#     tbl section they feed) have no Spark lowering
+python3 tools/import_slt.py --keep-constraints --drop-matching 'stats\(|struct_insert|\btbl\b' \
+  $REF/sql/alter/alter_type/test_alter_type.test altalter_type_test_alter_type.test >/dev/null || true
+#   duckdb_tables() temporary-flag records: CREATE TEMPORARY TABLE lowers
+#     to a plain table here, so the temp flag cannot be observed
+python3 tools/import_slt.py --keep-constraints --drop-matching duckdb_tables \
+  $REF/sql/alter/default/test_set_default.test altdefault_test_set_default.test >/dev/null || true
+python3 tools/import_slt.py --keep-constraints --drop-matching duckdb_tables \
+  $REF/sql/alter/add_pk/test_add_pk.test altadd_pk_test_add_pk.test >/dev/null || true
+python3 tools/import_slt.py --keep-constraints --drop-matching duckdb_tables \
+  $REF/sql/alter/alter_col/test_set_not_null.test altalter_col_test_set_not_null.test >/dev/null || true
+python3 tools/import_slt.py --keep-constraints --drop-matching duckdb_tables \
+  $REF/sql/alter/alter_col/test_drop_not_null.test altalter_col_test_drop_not_null.test >/dev/null || true
+#   struct add/rename: the tail after BEGIN is transaction-visibility
+#     (an erroring statement aborts the txn and reverts the ALTER) —
+#     truncate at the last pre-transaction query
+python3 tools/import_slt.py --keep-constraints --max-queries 3 \
+  $REF/sql/alter/struct/add_col_struct.test altstruct_add_col_struct.test >/dev/null || true
+python3 tools/import_slt.py --keep-constraints --max-queries 1 \
+  $REF/sql/alter/struct/rename_col_struct.test altstruct_rename_col_struct.test >/dev/null || true
+#   remap_struct() is a reference-internal rewrite helper
+python3 tools/import_slt.py --keep-constraints --drop-matching remap_struct \
+  $REF/sql/alter/list/add_column_in_struct.test altlist_add_column_in_struct.test >/dev/null || true
+python3 tools/import_slt.py --keep-constraints --drop-matching remap_struct \
+  $REF/sql/alter/map/add_column_in_struct.test altmap_add_column_in_struct.test >/dev/null || true
 import_pref xpragma $REF/sql/pragma/*.test
 for f in $REF/sql/json/issues/*.test; do
   [ -f "$f" ] || continue
@@ -595,6 +652,19 @@ python3 tools/import_slt.py --drop-matching "(?i)'-?[0-9. ]+' *AS *interval|'-?[
 #     order_limit_full_outer_join, exists_test_issue_23979 — each green
 #     in the r11b SKIP_EVICT run and re-verified in the follow-up full
 #     suite before re-admission.
+#   r13 evictions (ALTER/generated/FK admission wave):
+#     alt*_rollback/_index/_in_tx/_simultaneously/_local_storage/_stats/
+#     _chain/rename_table(+bug4455)/rename_view: transaction-visibility
+#     or physical-index/storage records the stateless runner cannot
+#     model (importer drops BEGIN; an in-txn ALTER then leaks past the
+#     abort the file expects);
+#     altadd_col_test_add_col_default_seq: per-row nextval assignment
+#     order is task-scheduling order here (documented order-undefined);
+#     gcolv_casting: Spark rejects INT->DATE at bind, the reference at
+#     execution; gcolv_circular_dependency_stresstest: deep generated
+#     dependency chains beyond the binder emulation;
+#     shsel quoted files: table names containing quoted dots/backticks —
+#     Spark's catalog restricts names to [A-Za-z0-9_]
 #   r11b evictions (the DML/sampling/chaining admission wave):
 #     smpl_same_seed_* / numeric_set_seed_for_sample: expectations are
 #       the reference RNG's exact picks (COUNT 20480/min 12288, seed 42)
@@ -635,6 +705,26 @@ while read -r t; do
   sed -i "\\|^$t\$|d; \\|^sqlite:$t\$|d" src/test/resources/sql/ref/MANIFEST
 done <<'EOF'
 smpl_same_seed_same_sample.test
+altrename_col_test_rename_col_rollback.test
+altadd_col_test_add_col_chain.test
+altadd_col_test_add_col_index.test
+altadd_col_test_add_col_index_rollback.test
+altadd_col_test_add_col_local_storage.test
+altadd_col_test_add_col_stats.test
+altadd_col_test_add_col_default_seq.test
+altdrop_col_test_drop_col_index.test
+altdrop_col_test_drop_col_rollback.test
+altalter_type_test_alter_type_index.test
+altadd_pk_test_add_pk_rollback.test
+altadd_pk_test_add_same_pk_simultaneously.test
+altrename_table_test_rename_table.test
+altrename_table_test_rename_bug4455_schema.test
+altrename_view_test_rename_view.test
+gcolv_casting.test
+gcolv_circular_dependency_stresstest.test
+shsel_show_quote_identifier.test
+shsel_test_describe_quoted.test
+shsel_test_summarize_quoted.test
 smpl_same_seed_same_sample_vec_size_2.test
 numeric_set_seed_for_sample.test
 upd_force_update_to_del_and_insert.test
@@ -717,7 +807,6 @@ sett_test_lock_configuration.test
 alt_alter_table_set_table_options.test
 xpragma_test_query_log.test
 cmacro_test_sequence_macro.test
-ordi_ordinality_inout.test
 cte_recursive_cte_invariant_build.test
 cte_recursive_cte_key_final_drain.test
 cte_test_recursive_cte_union_all.test
