@@ -219,7 +219,7 @@ object Alter {
     * constant — for stateful expressions (nextval) that would burn a
     * sequence value even when the DDL is then rejected. Route those
     * straight to the rebuild path. */
-  private def nonFoldableDefault(d: String): Boolean =
+  private[functions] def nonFoldableDefault(d: String): Boolean =
     """(?i)\b(nextval|currval|random|uuid|gen_random_uuid|now|current_timestamp)\s*\("""
       .r.findFirstIn(d).isDefined
 

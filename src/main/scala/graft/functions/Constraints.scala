@@ -159,7 +159,10 @@ object Constraints {
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:"[^"]+"|`[^`]+`|[\w$]+)(?:\s*\.\s*(?:"[^"]+"|`[^`]+`|[\w$]+))*)""".r
   private val ConstraintKw =
     ("""(?i)(\bPRIMARY\s+KEY\b|\bUNIQUE\b|\bCHECK\s*\(|\bNOT\s+NULL\b|""" +
-      """\bFOREIGN\s+KEY\b|\bREFERENCES\b|\bGENERATED\s+ALWAYS\b|\bAS\s*\()""").r
+      """\bFOREIGN\s+KEY\b|\bREFERENCES\b|\bGENERATED\s+ALWAYS\b|\bAS\s*\(|""" +
+      // stateful DEFAULTs need the engine's metadata side channel —
+      // Spark's DDL analyzer would reject (or worse, pre-evaluate) them
+      """\bDEFAULT\b[^,)]*\b(nextval|currval)\s*\()""").r
 
   /** True when the statement is a CREATE TABLE whose body declares
     * constraints this module must capture and enforce. */
@@ -472,13 +475,22 @@ object Constraints {
 
     // physical DDL in DECLARED column order; generated columns are
     // physical columns here (computed by every engine write path)
+    // stateful defaults (nextval) cannot ride Spark's native DEFAULT —
+    // create the column bare, then attach the engine's GRAFT_DEFAULT
+    // metadata through the ALTER machinery (empty-table rebuild = free)
+    val statefulDefaults = cols.filter(c =>
+      c.default.exists(Alter.nonFoldableDefault)).map(c => c.name -> c.default.get)
     val byName = (cols.map(c => c.name.toLowerCase ->
-        (s"${Dml.q(c.name)} ${c.tpe}" + c.default.map(d => s" DEFAULT $d").getOrElse(""))) ++
+        (s"${Dml.q(c.name)} ${c.tpe}" + c.default
+          .filterNot(Alter.nonFoldableDefault)
+          .map(d => s" DEFAULT $d").getOrElse(""))) ++
       gens.map(g => g.name.toLowerCase -> s"${Dml.q(g.name)} ${g.tpe}")).toMap
     val coldefs = order.map(n => byName(n.toLowerCase))
     if (orReplace) spark.sql(s"DROP TABLE IF EXISTS $table").collect()
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
     spark.sql(s"CREATE TABLE $ine$table (${coldefs.mkString(", ")})").collect()
+    for ((c, d) <- statefulDefaults)
+      Alter.execute(spark, s"ALTER TABLE $table ALTER COLUMN ${Dml.q(c)} SET DEFAULT $d"): Unit
     registerAt(spark, table, TableConstraints(bare(table), notNull.toSeq,
       checks.map(c => stripSelfQualifier(c, table)).toSeq, uniques.toSeq,
       gens.toSeq, resolvedFks))

@@ -625,7 +625,13 @@ object Macros {
   private def rewriteDescribeSubqueries(spark: SparkSession, sql: String): String = {
     val HeadRe = """(?i)\(\s*(DESCRIBE|SUMMARIZE|SHOW)\b""".r
     var out = sql
-    var m = HeadRe.findFirstMatchIn(out)
+    def liveMatch(txt: String): Option[scala.util.matching.Regex.Match] = {
+      // skip matches inside string literals (a data string may contain
+      // "(describe" — quote-state from Dml.scanFull decides)
+      val (inQ, _) = Dml.scanFull(txt)
+      HeadRe.findAllMatchIn(txt).find(mm => inQ(mm.start) == ' ')
+    }
+    var m = liveMatch(out)
     var guard = 0
     while (m.isDefined && guard < 16) {
       guard += 1
@@ -652,7 +658,7 @@ object Macros {
       Describe.execute(spark, inner).createOrReplaceTempView(name)
       out = out.substring(0, open) + s"(SELECT * FROM $name)" +
         out.substring(close + 1)
-      m = HeadRe.findFirstMatchIn(out)
+      m = liveMatch(out)
     }
     out
   }

@@ -199,10 +199,31 @@ object Sequences {
     case CreateRe(orReplace, ifNotExists, rawName, opts) =>
       create(spark, rawName, opts, orReplace != null, ifNotExists != null)
     case DropRe(ifExists, rawName) =>
-      val k = sessionKey(spark) + ":" + normalize(rawName)
+      val name = normalize(rawName)
+      // dependency tracking (test_sequence_dependency.test): a table
+      // whose column DEFAULT calls nextval('name') blocks the drop —
+      // same scan scope as the constraint registry (current db + temps)
+      locally {
+        val needle = ("(?i)\\bnextval\\s*\\(\\s*'(\"?)" +
+          java.util.regex.Pattern.quote(name.split('.').last) + "\\1'").r
+        val cat = spark.sessionState.catalog
+        val tables =
+          cat.listLocalTempViews("*").map(_.table) ++
+            (try cat.listTables(spark.catalog.currentDatabase).map(_.table)
+             catch { case _: Throwable => Seq.empty })
+        val dependent = tables.distinct.find { t =>
+          try spark.table(s"`$t`").schema.fields.exists(f =>
+            (f.metadata.contains("CURRENT_DEFAULT") || f.metadata.contains("GRAFT_DEFAULT")) &&
+              needle.findFirstIn(Dml.defaultExpr(f)).isDefined)
+          catch { case _: Throwable => false }
+        }
+        dependent.foreach(t => throw new IllegalArgumentException(
+          s"""Dependency Error: Cannot drop entry "$name" because there are entries that depend on it (table "$t")."""))
+      }
+      val k = sessionKey(spark) + ":" + name
       if (states.remove(k) == null && ifExists == null)
         throw new IllegalArgumentException(
-          s"Catalog Error: Sequence with name ${normalize(rawName)} does not exist!")
+          s"Catalog Error: Sequence with name $name does not exist!")
     case _ =>
       throw new IllegalArgumentException(s"not a sequence statement: $sql")
   }

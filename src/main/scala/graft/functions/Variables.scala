@@ -76,8 +76,11 @@ object Variables {
         Option(registry.get(key(spark, m.group(1))))
           .map(v => s"(${v._1})").getOrElse("NULL")))
     // $name references an existing variable (test_variable_syntax.test);
-    // numeric $1 stays for the PREPARE layer, unknown names stay too
+    // numeric $1 stays for the PREPARE layer, unknown names stay too.
+    // DDL keeps its parameters verbatim — the reference REJECTS
+    // variables in DEFAULT/CHECK clauses (create_table_parameters.test)
     val DollarRe = """\$([A-Za-z_][\w$]*)""".r
+    if ("""(?is)^\s*CREATE\b""".r.findFirstIn(out).isDefined) return out
     if (DollarRe.findFirstIn(out).isDefined)
       out = DollarRe.replaceAllIn(out, m =>
         Option(registry.get(key(spark, m.group(1))))
