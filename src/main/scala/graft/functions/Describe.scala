@@ -28,6 +28,12 @@ object Describe {
     """(?is)^\s*(DESCRIBE|SHOW)\s*(.*?)\s*;?\s*$""".r
   private val SummRe =
     """(?is)^\s*SUMMARIZE\s+(.+?)\s*;?\s*$""".r
+  // PRAGMA spellings (test_show_tables.test): PRAGMA show_tables,
+  // PRAGMA SHOW('t') — SHOW may come back-quoted from the importer
+  private val PragmaTablesRe =
+    """(?is)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
+  private val PragmaShowRe =
+    """(?is)^\s*PRAGMA\s+`?SHOW`?\s*\(\s*'([^']*)'\s*\)\s*;?\s*$""".r
 
   /** A statement may arrive fully parenthesized — `(DESCRIBE ...)` is
     * valid at top level (describe_subquery.test). */
@@ -46,36 +52,55 @@ object Describe {
   def matches(sql0: String): Boolean = {
     val sql = deparen(sql0)
     DescRe.findFirstMatchIn(sql).isDefined ||
-      SummRe.findFirstMatchIn(sql).isDefined
+      SummRe.findFirstMatchIn(sql).isDefined ||
+      PragmaTablesRe.findFirstMatchIn(sql).isDefined ||
+      PragmaShowRe.findFirstMatchIn(sql).isDefined
   }
 
-  def execute(spark: SparkSession, sql0: String): DataFrame = deparen(sql0) match {
-    case SummRe(rest) => summarize(spark, rest.trim)
+  def execute(spark: SparkSession, sql0: String): DataFrame =
+    execute(spark, sql0, "")
+
+  /** `cte` carries an enclosing WITH prefix for `(DESCRIBE TABLE cte)`
+    * subqueries (cte_describe.test) — the described relation resolves
+    * inside it. */
+  def execute(spark: SparkSession, sql0: String, cte: String): DataFrame = deparen(sql0) match {
+    case PragmaTablesRe() => showTables(spark)
+    case PragmaShowRe(t) => describeRelation(spark, t, cte)
+    case SummRe(rest) => summarize(spark, stripTableKw(rest.trim), cte)
     case DescRe(verb, rest0) =>
-      val rest = rest0.trim
+      val rest = stripTableKw(rest0.trim)
       val lower = rest.toLowerCase
       if (rest.isEmpty || lower == "all tables") describeAll(spark)
-      else if (verb.equalsIgnoreCase("show") && lower == "tables") showTables(spark)
+      else if (lower == "tables") showTables(spark) // SHOW/DESCRIBE TABLES
       else if (lower == "databases") spark.sql(
         Macros.expandAll(spark, "SELECT database_name FROM duckdb_databases()"))
       else if (lower == "variables") spark.sql(
         Macros.expandAll(spark,
           "SELECT name, value, type FROM duckdb_variables() ORDER BY name"))
-      else describeRelation(spark, rest)
+      else describeRelation(spark, rest, cte)
     case _ => throw new IllegalArgumentException(
       s"Parser Error: not a DESCRIBE/SHOW/SUMMARIZE statement: $sql0")
   }
+
+  private def stripTableKw(rest: String): String =
+    rest.replaceFirst("""(?is)^TABLE\s+""", "")
 
   /** Re-quote a possibly "-quoted qualified identifier for Spark. */
   private def normIdent(raw: String): String =
     raw.split('.').map(p => "`" + Dml.unq(p.trim).replace("`", "``") + "`")
       .mkString(".")
 
-  private def relationOf(spark: SparkSession, rest: String): DataFrame = {
+  private def relationOf(spark: SparkSession, rest: String,
+      cte: String = ""): DataFrame = {
     val l = rest.toLowerCase
     if (l.startsWith("select") || l.startsWith("with") ||
         l.startsWith("from") || l.startsWith("values") || rest.startsWith("("))
-      Dml.gsql(spark, if (rest.startsWith("(")) s"SELECT * FROM $rest" else rest)
+      Dml.gsql(spark, Dml.cteify(cte,
+        if (rest.startsWith("(")) s"SELECT * FROM $rest" else rest))
+    else if (cte.nonEmpty)
+      // the name may be a CTE of the enclosing statement
+      try Dml.gsql(spark, Dml.cteify(cte, s"SELECT * FROM ${normIdent(rest)}"))
+      catch { case _: Throwable => spark.table(normIdent(rest)) }
     else spark.table(normIdent(rest))
   }
 
@@ -88,8 +113,9 @@ object Describe {
 
   /** column_name | column_type | null | key | default | extra —
     * test_show_select.test's six-column shape. */
-  private def describeRelation(spark: SparkSession, rest: String): DataFrame = {
-    val df = relationOf(spark, rest)
+  private def describeRelation(spark: SparkSession, rest: String,
+      cte: String = ""): DataFrame = {
+    val df = relationOf(spark, rest, cte)
     val tc = tableNameOf(rest).flatMap(Constraints.of(spark, _))
     val nn = tc.map(_.notNull.map(_.toLowerCase).toSet).getOrElse(Set.empty)
     val pk = tc.toSeq.flatMap(_.uniques).filter(_.isPk)
@@ -129,10 +155,21 @@ object Describe {
         |  ON t.table_name = c.table_name AND t.database_name = c.database_name
         |ORDER BY name""".stripMargin))
 
-  private def showTables(spark: SparkSession): DataFrame =
+  private def showTables(spark: SparkSession): DataFrame = {
+    // SHOW TABLES lists the CURRENT schema plus session temp entries
+    // (test_show_tables.test: s1.tbl hidden while main is current)
+    val cur =
+      try spark.catalog.currentDatabase.toLowerCase
+      catch { case _: Throwable => "default" }
+    val db = if (cur == "default") "memory" else cur
+    // DISTINCT: a session temp view satisfies both the table and the
+    // view listing (the importer materializes base tables as temp views)
     spark.sql(Macros.expandAll(spark,
-      "SELECT table_name AS name FROM duckdb_tables() " +
-        "WHERE NOT temporary OR true ORDER BY name"))
+      s"SELECT DISTINCT name FROM (" +
+        s"  SELECT table_name AS name, database_name FROM duckdb_tables()" +
+        s"  UNION ALL SELECT view_name, database_name FROM duckdb_views()) " +
+        s"WHERE database_name IN ('$db', 'temp') ORDER BY name"))
+  }
 
   // ------------------------------------------------------------------
   // SUMMARIZE — one aggregate pass, pivoted to per-column rows
@@ -147,9 +184,10 @@ object Describe {
     case _ => false
   }
 
-  private def summarize(spark: SparkSession, rest: String): DataFrame = {
+  private def summarize(spark: SparkSession, rest: String,
+      cte: String = ""): DataFrame = {
     import org.apache.spark.sql.functions._
-    val df = relationOf(spark, rest)
+    val df = relationOf(spark, rest, cte)
     val fs = df.schema.fields.toSeq
     // one flat aggregate: per column — min, max, distinct, avg, std,
     // q25/50/75, null count; plus the total row count

@@ -655,7 +655,12 @@ object Macros {
       if (close < 0) return out
       val inner = out.substring(open + 1, close).trim
       val name = Dml.G + "desc_" + descSeq.incrementAndGet()
-      Describe.execute(spark, inner).createOrReplaceTempView(name)
+      // (DESCRIBE TABLE cte) inside a WITH statement: the enclosing CTE
+      // definitions scope the described relation (cte_describe.test)
+      val ctePrefix = """(?is)^\s*(WITH\b.*?)\s+(FROM|SELECT)\s*$""".r
+        .findFirstMatchIn(out.substring(0, open))
+        .map(_.group(1)).getOrElse("")
+      Describe.execute(spark, inner, ctePrefix).createOrReplaceTempView(name)
       out = out.substring(0, open) + s"(SELECT * FROM $name)" +
         out.substring(close + 1)
       m = liveMatch(out)

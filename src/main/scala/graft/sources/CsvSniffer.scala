@@ -87,10 +87,21 @@ object CsvSniffer {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
+    // a PARTITION_BY write produces nested grp=X/ directories — descend
+    // to the first DATA file (spark.read.csv then discovers the hive
+    // partition columns from the directory names)
+    def firstFile(dir: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(dir)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+      entries.find(_.isFile).map(_.getPath).orElse(
+        entries.filter(_.isDirectory).iterator
+          .flatMap(d => firstFile(d.getPath)).nextOption())
+    }
     val file =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-          .map(_.getPath).minBy(_.getName)
+        firstFile(p).getOrElse(throw new IllegalArgumentException(
+          s"IO Error: No files found that match the pattern \"$path\""))
       else p
     val in = fs.open(file)
     try {

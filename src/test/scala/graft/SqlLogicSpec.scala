@@ -379,6 +379,9 @@ class SqlLogicSpec extends AnyFunSuite {
     val lines = text.linesIterator.toVector
     var i = 0
     var caseNo = 0
+    // slt result labels (`query I nosort mylabel` with no ---- block):
+    // all queries sharing a label must produce identical results
+    val labelResults = scala.collection.mutable.Map[String, Vector[Vector[String]]]()
     while (i < lines.length) {
       val line = lines(i).trim
       if (line.isEmpty || line.startsWith("#")) i += 1
@@ -399,7 +402,9 @@ class SqlLogicSpec extends AnyFunSuite {
         } else exec(sql).collect()
       } else if (line.startsWith("query")) {
         val header = line.split("\\s+")
-        val sortMode = if (header.length > 2) header(2) else "nosort"
+        val sortTokens = Set("rowsort", "valuesort", "nosort")
+        val labelOpt = header.drop(2).filterNot(sortTokens).headOption
+        val sortMode = header.drop(2).find(sortTokens).getOrElse("nosort")
         val sqlLines = lines.drop(i + 1).takeWhile(l => l.trim != "----")
         val sql = sqlLines.mkString("\n")
         val expLines = lines.drop(i + 1 + sqlLines.length + 1)
@@ -430,7 +435,18 @@ class SqlLogicSpec extends AnyFunSuite {
           case "valuesort" => rendered.flatten.sorted.map(Vector(_))
           case _ => rendered
         }
-        expLines match {
+        if (expLines.isEmpty && labelOpt.isDefined) {
+          // label-matching mode: compare against the label's first result
+          labelResults.get(labelOpt.get) match {
+            case Some(prev) =>
+              assert(prev == sorted,
+                s"$name #$caseNo: label '${labelOpt.get}' results diverge\n$sql\n" +
+                  s"first:\n${prev.map(_.mkString(" ")).mkString("\n")}\n" +
+                  s"this:\n${sorted.map(_.mkString(" ")).mkString("\n")}")
+            case None =>
+              labelResults(labelOpt.get) = sorted
+          }
+        } else expLines match {
           case Vector(HashRe(n, hash)) =>
             val values = sorted.flatten
             assert(values.length == n.toInt,
