@@ -187,12 +187,25 @@ object Alter {
         .createOrReplaceTempView(Dml.unq(table.split('.').last))
     } else {
       val parts = table.split('.').map(_.trim)
-      val tmpBare = Dml.G + "alter_" + Dml.unq(parts.last).replaceAll("[^\\w]", "_")
-      val tmp = (parts.dropRight(1) :+ s"`$tmpBare`").mkString(".")
-      spark.sql(s"DROP TABLE IF EXISTS $tmp").collect()
+      // unique suffix: two sessions sharing a catalog must not collide
+      val uniq = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val base = Dml.G + "alter_" + Dml.unq(parts.last).replaceAll("[^\\w]", "_")
+      val tmpBare = base + "_" + uniq
+      val bakBare = base + "_bak_" + uniq
+      def qual(bare: String) = (parts.dropRight(1) :+ s"`$bare`").mkString(".")
+      val tmp = qual(tmpBare); val bak = qual(bakBare)
       newDf.write.saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $table").collect()
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table").collect()
+      // swap via rename-aside so a failure never leaves the user table
+      // missing: old -> bak, tmp -> table, drop bak (and restore old on
+      // a mid-swap failure)
+      spark.sql(s"ALTER TABLE $table RENAME TO $bak").collect()
+      try spark.sql(s"ALTER TABLE $tmp RENAME TO $table").collect()
+      catch { case e: Throwable =>
+        try spark.sql(s"ALTER TABLE $bak RENAME TO $table").collect()
+        catch { case _: Throwable => () }
+        throw e
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $bak").collect()
     }
   }
 
@@ -352,8 +365,11 @@ object Alter {
       if (defTxt.isDefined) ensureRegistered(spark, table)
     } else {
       // metadata-only on the catalog; existing rows read the column's
-      // EXISTS_DEFAULT (NULL without one) — no data rewrite at any scale
-      val ddl = s"ALTER TABLE $table ADD COLUMNS (`$name` $tpe" +
+      // EXISTS_DEFAULT (NULL without one) — no data rewrite at any scale.
+      // Duck type spellings (VARCHAR, STRUCT(a INT), …) must be
+      // normalized to Spark DDL here, same as CREATE TABLE / ALTER TYPE
+      val sparkTpe = Dml.normType(tpe)
+      val ddl = s"ALTER TABLE $table ADD COLUMNS (`$name` $sparkTpe" +
         defTxt.map(d => s" DEFAULT $d").getOrElse("") + ")"
       try {
         if (defTxt.exists(nonFoldableDefault))
@@ -367,7 +383,7 @@ object Alter {
           // the reference's semantics for non-constant defaults
           val fs = fieldsOf(spark, table)
           val md = graftDefaultMd(Metadata.empty, defTxt.get)
-          val newCol = expr(s"CAST((${defTxt.get}) AS $tpe)").as(name, md)
+          val newCol = expr(s"CAST((${defTxt.get}) AS $sparkTpe)").as(name, md)
           rebuild(spark, table,
             spark.table(table).select((cols(fs) :+ newCol).toIndexedSeq: _*))
           ensureRegistered(spark, table)

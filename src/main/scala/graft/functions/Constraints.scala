@@ -840,15 +840,20 @@ object Constraints {
   /** Verify the FULL new contents of a rewritten table (UPDATE / MERGE /
     * upsert DO UPDATE) before the swap. */
   def verifyContents(spark: SparkSession, tc: TableConstraints,
-      df: DataFrame): Unit = {
+      df: DataFrame, selfTable: String = ""): Unit = {
     val vn = Dml.G + "verify_" + tc.table
     df.createOrReplaceTempView(vn)
     verifyRowChecks(spark, tc, vn)
     // a rewritten child re-verifies its keys; a self-referencing FK
-    // checks against the NEW contents (vn is the full table)
+    // checks against the NEW contents (vn is the full table).
+    // Self-reference compares db-QUALIFIED names: a child whose FK
+    // points at a same-named table in a different database is NOT
+    // self-referencing (r13 ADVICE)
+    val selfResolved =
+      resolvedName(spark, if (selfTable.nonEmpty) selfTable else tc.table)
     if (tc.foreignKeys.nonEmpty) {
       for (fk <- tc.foreignKeys) {
-        val selfRef = fk.parentTable.endsWith("." + tc.table)
+        val selfRef = fk.parentTable == selfResolved
         val nonNull = fk.cols.map(c => s"${Dml.G}b.${Dml.q(c)} IS NOT NULL").mkString(" AND ")
         val eq = fk.cols.zip(fk.parentCols).map { case (c, pc) =>
           s"${Dml.G}p.${Dml.q(pc)} = ${Dml.G}b.${Dml.q(c)}"

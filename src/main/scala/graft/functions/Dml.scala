@@ -347,7 +347,7 @@ object Dml {
     // declared constraints verify on the FULL new contents before any
     // write (reference data_table.cpp:914 VerifyAppendConstraints /
     // art.cpp:839 duplicate-key diagnostics)
-    tcOpt.foreach(tc => Constraints.verifyContents(spark, tc, df))
+    tcOpt.foreach(tc => Constraints.verifyContents(spark, tc, df, table))
     // parent-side FOREIGN KEY enforcement: removing a referenced key is
     // rejected (RESTRICT default, test_fk_chain.test)
     Constraints.verifyParentRewrite(spark, table, df)
@@ -1024,7 +1024,7 @@ object Dml {
     locally {
       val empty = spark.table(tr.name).limit(0)
       Constraints.of(spark, tr.name).filter(_.foreignKeys.nonEmpty)
-        .foreach(tc => Constraints.verifyContents(spark, tc, empty))
+        .foreach(tc => Constraints.verifyContents(spark, tc, empty, tr.name))
       Constraints.verifyParentRewrite(spark, tr.name, empty)
     }
     val cnt = spark.table(tr.name).count() // reference returns removed-row count

@@ -549,7 +549,8 @@ object Macros {
           rewriteDuckdbCatalog(spark,
             rewriteDuckdbDatabases(spark, rewriteDuckdbFunctions(spark,
               rewriteDescribeSubqueries(spark,
-                FileTables.rewrite(spark, rewriteOrdinality(sql))))))),
+                FileTables.rewrite(spark, Timezone.rewriteSettings(spark,
+                  Timezone.rewriteAtTimeZone(rewriteOrdinality(sql))))))))),
         registry.get(spark), tableRegistry.get(spark), maxDepth)))))))))
 
   /** `duckdb_functions()` — the reference's function-catalog TVF,
@@ -572,8 +573,11 @@ object Macros {
     * defaults (the function name, then "ordinality"). */
   private def rewriteOrdinality(sql: String): String = {
     if (!"""(?i)\bWITH\s+ORDINALITY\b""".r.findFirstIn(sql).isDefined) return sql
+    // the optional alias must not swallow a trailing clause keyword
+    // (`… WITH ORDINALITY WHERE …` — r13 ADVICE)
+    val kwStop = """(?!(?:WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|JOIN|ON|USING|CROSS|LEFT|RIGHT|INNER|FULL|OUTER|SEMI|ANTI|NATURAL|LATERAL|QUALIFY|WINDOW|OFFSET|FETCH|WITH)\b)"""
     val Re = ("""(?i)\b(range|generate_series|repeat|unnest|explode)\s*\(((?:[^()]|\([^()]*\))*)\)\s+WITH\s+ORDINALITY""" +
-      """(?:\s+(?:AS\s+)?(\w+)\s*(?:\(([^)]*)\))?)?""").r
+      s"""(?:\\s+(?:AS\\s+)?$kwStop(\\w+)\\s*(?:\\(([^)]*)\\))?)?""").r
     Re.replaceAllIn(sql, m => {
       val fname = m.group(1).toLowerCase
       val args = m.group(2)
@@ -607,7 +611,11 @@ object Macros {
           case _ => s"sequence($args)"
         }
         case "unnest" | "explode" => args // already an array expression
-        case _ => // repeat(value, count)
+        case _ => // repeat(value, count) — malformed arity surfaces as a
+          // binder error downstream, not an exception during rewrite
+          if (parts.length < 2)
+            throw new IllegalArgumentException(
+              "Binder Error: repeat(value, count) with ORDINALITY requires two arguments")
           s"array_repeat(${parts.head}, CAST((${parts(1)}) AS INT))"
       }
       val inner =

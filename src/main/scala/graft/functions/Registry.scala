@@ -55,6 +55,9 @@ object Registry {
         case n => throw new IllegalArgumentException(
           s"jaro_winkler_similarity expects 2-3 args, got $n")
       }, "scala_udf")
+    // timezone(tz, ts) — the ICU AT TIME ZONE function pair
+    // (icu-timezone.cpp); directionality dispatches on operand type
+    f2("timezone", AtTimeZone(_, _))
     f2("damerau_levenshtein", DamerauLevenshtein(_, _))
     f2("hamming_distance", HammingDistance(_, _))
     f2("jaccard_sim", JaccardChars(_, _))

@@ -64,6 +64,29 @@ object Variables {
       s"not a SET/RESET VARIABLE statement: $sql")
   }
 
+  /** Replace only matches that start OUTSIDE string/identifier quotes
+    * (Dml.scanFull state) — a data string like 'price: $total' must
+    * survive substitution untouched. */
+  private def replaceUnquoted(sql: String, re: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => Option[String]): String = {
+    val (qch, _) = Dml.scanFull(sql)
+    // the getvariable('name') pattern itself CONTAINS a quoted literal,
+    // so only the match START position must be unquoted
+    val ms = re.findAllMatchIn(sql).filter(m => qch(m.start) == ' ').toList
+    if (ms.isEmpty) return sql
+    val sb = new StringBuilder
+    var pos = 0
+    ms.foreach { m =>
+      if (m.start >= pos) {
+        sb.append(sql.substring(pos, m.start))
+        sb.append(f(m).getOrElse(m.matched))
+        pos = m.end
+      }
+    }
+    sb.append(sql.substring(pos))
+    sb.toString
+  }
+
   /** getvariable('x') → the stored literal (NULL when unset). Runs after
     * macro expansion in Macros.expandAll. */
   def rewrite(spark: SparkSession, sql: String): String = {
@@ -72,7 +95,7 @@ object Variables {
     var out = sql
     val Re2 = """(?i)\bgetvariable\s*\(\s*\(?\s*'([^']*)'\s*\)?\s*\)""".r
     if (Re2.findFirstIn(out).isDefined)
-      out = Re2.replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+      out = replaceUnquoted(out, Re2)(m => Some(
         Option(registry.get(key(spark, m.group(1))))
           .map(v => s"(${v._1})").getOrElse("NULL")))
     // $name references an existing variable (test_variable_syntax.test);
@@ -82,10 +105,8 @@ object Variables {
     val DollarRe = """\$([A-Za-z_][\w$]*)""".r
     if ("""(?is)^\s*CREATE\b""".r.findFirstIn(out).isDefined) return out
     if (DollarRe.findFirstIn(out).isDefined)
-      out = DollarRe.replaceAllIn(out, m =>
-        Option(registry.get(key(spark, m.group(1))))
-          .map(v => java.util.regex.Matcher.quoteReplacement(s"(${v._1})"))
-          .getOrElse(java.util.regex.Matcher.quoteReplacement(m.group(0))))
+      out = replaceUnquoted(out, DollarRe)(m =>
+        Option(registry.get(key(spark, m.group(1)))).map(v => s"(${v._1})"))
     out
   }
 

@@ -594,4 +594,47 @@ object Functions extends Pack {
         when(col("c_acctbal") > 0, 1).otherwise(0).as("pos"))
       .orderBy("c_custkey")
   }
+
+  // ---- timezone surface (reference extension/icu/icu-timezone.cpp;
+  // test/sql/timezone/test_icu_timezone.test) — `AT TIME ZONE` /
+  // timezone(tz, ts) in both directions, per-row zone columns, and the
+  // UTC±HH:MM offset spellings. Naive wall clocks are spelled
+  // TIMESTAMP_NTZ on the Spark side (duck TIMESTAMP); instants are
+  // Spark TIMESTAMP (duck TIMESTAMPTZ). Instant results compare as
+  // epoch_us/unix_micros BIGINTs so neither engine's tz rendering is in
+  // the hash; wall-clock results compare as naive timestamps directly.
+  // The o_orderkey%24-hour sweep crosses multiple US DST transitions
+  // (1992-1998), pinning the gap/overlap semantics row-by-row.
+  q("q_fn_timezone",
+    """SELECT o_orderkey AS k,
+      |  epoch_us((CAST(o_orderdate AS TIMESTAMP) + INTERVAL (o_orderkey % 24) HOUR)
+      |           AT TIME ZONE 'America/Denver') AS denver_us,
+      |  ((CAST(o_orderdate AS TIMESTAMP) + INTERVAL (o_orderkey % 24) HOUR)
+      |   AT TIME ZONE 'America/New_York') AT TIME ZONE 'Asia/Tokyo' AS tokyo_wall,
+      |  epoch_us((CAST(o_orderdate AS TIMESTAMP) + INTERVAL (o_orderkey % 24) HOUR)
+      |           AT TIME ZONE (CASE CAST(o_orderkey % 3 AS INT)
+      |                         WHEN 0 THEN 'America/Phoenix'
+      |                         WHEN 1 THEN 'Asia/Kolkata'
+      |                         ELSE 'Asia/Tokyo' END)) AS rowtz_us,
+      |  CAST(o_orderdate AS TIMESTAMPTZ) AT TIME ZONE 'America/Denver' AS inst_wall
+      |FROM orders WHERE o_orderkey < 2000 ORDER BY k""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    graft.engine.EngineSession.configure(s)
+    s.sql(graft.functions.Macros.expandAll(s,
+      """SELECT o_orderkey AS k,
+        |  unix_micros((CAST(o_orderdate AS TIMESTAMP_NTZ)
+        |               + make_interval(0,0,0,0, CAST(o_orderkey % 24 AS INT)))
+        |              AT TIME ZONE 'America/Denver') AS denver_us,
+        |  ((CAST(o_orderdate AS TIMESTAMP_NTZ)
+        |    + make_interval(0,0,0,0, CAST(o_orderkey % 24 AS INT)))
+        |   AT TIME ZONE 'America/New_York') AT TIME ZONE 'Asia/Tokyo' AS tokyo_wall,
+        |  unix_micros((CAST(o_orderdate AS TIMESTAMP_NTZ)
+        |               + make_interval(0,0,0,0, CAST(o_orderkey % 24 AS INT)))
+        |              AT TIME ZONE (CASE CAST(o_orderkey % 3 AS INT)
+        |                            WHEN 0 THEN 'America/Phoenix'
+        |                            WHEN 1 THEN 'Asia/Kolkata'
+        |                            ELSE 'Asia/Tokyo' END)) AS rowtz_us,
+        |  CAST(o_orderdate AS TIMESTAMP) AT TIME ZONE 'America/Denver' AS inst_wall
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY k""".stripMargin))
+  }
 }

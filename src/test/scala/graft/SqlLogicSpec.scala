@@ -324,6 +324,9 @@ class SqlLogicSpec extends AnyFunSuite {
     case s if graft.functions.Variables.matches(s) =>
       // SET/RESET VARIABLE (graft.functions.Variables)
       graft.functions.Variables.execute(spark, s)
+    case s if graft.functions.Timezone.matchesSet(s) =>
+      // SET TimeZone / Calendar -> session zone (graft.functions.Timezone)
+      graft.functions.Timezone.executeSet(spark, s)
     case s if graft.functions.Describe.matches(s) =>
       // DESCRIBE / SHOW / SUMMARIZE statements (graft.functions.Describe)
       graft.functions.Describe.execute(spark, s)
