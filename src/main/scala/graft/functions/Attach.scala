@@ -206,10 +206,19 @@ object Attach {
         case a => Array("default", a.last)
       }
       val db = if (db0 == "default") "memory" else db0
+      // 0-based physical column positions (duckdb_constraints
+      // constraint_column_indexes; pg_constraint conkey builds on it)
+      val colPos: Map[String, Int] =
+        try spark.table(s"`${if (db0 == "default") t else db0 + "`.`" + t}`")
+          .schema.fieldNames.zipWithIndex
+          .map { case (n, i) => (n.toLowerCase, i) }.toMap
+        catch { case _: Throwable => Map.empty }
       var idx = 0
       def emit(tpe: String, text: String, cols: Seq[String]): Unit = {
+        val idxs = cols.flatMap(c => colPos.get(c.toLowerCase))
         rows += s"('${esc(db)}', 'main', '${esc(t)}', $idx, '${esc(tpe)}', " +
-          s"'${esc(text)}', array(${cols.map(c => s"'${esc(c)}'").mkString(", ")}))"
+          s"'${esc(text)}', array(${cols.map(c => s"'${esc(c)}'").mkString(", ")}), " +
+          s"array(${idxs.mkString(", ")}))"
         idx += 1
       }
       for (u <- tc.uniques)
@@ -234,11 +243,13 @@ object Attach {
       "(SELECT CAST(NULL AS STRING) AS database_name, CAST(NULL AS STRING) AS schema_name, " +
         "CAST(NULL AS STRING) AS table_name, 0 AS constraint_index, " +
         "CAST(NULL AS STRING) AS constraint_type, CAST(NULL AS STRING) AS constraint_text, " +
-        "CAST(array() AS ARRAY<STRING>) AS constraint_column_names WHERE 1=0)"
+        "CAST(array() AS ARRAY<STRING>) AS constraint_column_names, " +
+        "CAST(array() AS ARRAY<INT>) AS constraint_column_indexes WHERE 1=0)"
     else
       s"(SELECT * FROM (VALUES ${rows.mkString(", ")}) AS duckdb_constraints(" +
         "database_name, schema_name, table_name, constraint_index, " +
-        "constraint_type, constraint_text, constraint_column_names))"
+        "constraint_type, constraint_text, constraint_column_names, " +
+        "constraint_column_indexes))"
   }
 
   /** `duckdb_views()` — view-catalog TVF (duckdb_views.cpp). */

@@ -294,15 +294,17 @@ object Constraints {
     for (item0 <- Dml.splitTop(body)) {
       val item = item0.replaceFirst("(?is)^CONSTRAINT\\s+(\"[^\"]+\"|`[^`]+`|[\\w$]+)\\s+", "")
       val il = item.toLowerCase
-      if (il.startsWith("primary")) {
+      // keyword boundaries matter: a COLUMN named foreign_a / checksum /
+      // unique_id must parse as a column def, not a table constraint
+      if (il.matches("(?s)^primary\\s+key\\b.*")) {
         val pkCols = innerList(item)
         uniques += UniqueSet(pkCols, isPk = true)
         notNull ++= pkCols
-      } else if (il.startsWith("unique")) {
+      } else if (il.matches("(?s)^unique\\s*\\(.*")) {
         uniques += UniqueSet(innerList(item), isPk = false)
-      } else if (il.startsWith("check")) {
+      } else if (il.matches("(?s)^check\\s*\\(.*")) {
         checks += innerParen(item)
-      } else if (il.startsWith("foreign")) {
+      } else if (il.matches("(?s)^foreign\\s+key\\b.*")) {
         // FOREIGN KEY (cols) REFERENCES parent [(cols)]
         val FkRe = ("""(?is)^FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+""" +
           """((?:"[^"]+"|`[^`]+`|[\w$]+)(?:\s*\.\s*(?:"[^"]+"|`[^`]+`|[\w$]+))*)\s*(?:\(([^)]*)\))?\s*""" +

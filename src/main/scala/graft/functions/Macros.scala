@@ -550,7 +550,8 @@ object Macros {
             rewriteDuckdbDatabases(spark, rewriteDuckdbFunctions(spark,
               rewriteDescribeSubqueries(spark,
                 FileTables.rewrite(spark, Timezone.rewriteSettings(spark,
-                  Timezone.rewriteAtTimeZone(rewriteOrdinality(sql))))))))),
+                  Timezone.rewriteAtTimeZone(PgCatalog.rewrite(spark,
+                    rewriteOrdinality(sql)))))))))),
         registry.get(spark), tableRegistry.get(spark), maxDepth)))))))))
 
   /** `duckdb_functions()` — the reference's function-catalog TVF,

@@ -170,4 +170,28 @@ object Ddl extends Pack {
         |WHERE table_name = 'ddl_cat_t'
         |ORDER BY column_index""".stripMargin))
   }
+
+  // pg_catalog compatibility views (reference default_views.cpp:35-160,
+  // test/sql/pg_catalog/pg_attribute.test): the psql-style introspection
+  // join pg_class ⋈ pg_attribute on oid, projected engine-neutral
+  // (OIDs themselves are engine-specific). atttypmod carries the
+  // DECIMAL precision*1000+scale encoding like the reference view.
+  q("q_pg_catalog",
+    """SELECT relname, relkind, attname, attnum, attnotnull, atttypmod
+      |FROM (VALUES ('ddl_pg_t', 'r', 'a', 1, true, -1),
+      |             ('ddl_pg_t', 'r', 'b', 2, false, 6002),
+      |             ('ddl_pg_t', 'r', 'c', 3, false, -1))
+      |  v(relname, relkind, attname, attnum, attnotnull, atttypmod)
+      |ORDER BY attnum""") { (s, dir) =>
+    fresh(s, "ddl_pg_t")
+    run(s, "CREATE TABLE ddl_pg_t(a INT PRIMARY KEY, b DECIMAL(6,2), c STRING)")
+    val out = s.sql(graft.functions.Macros.expandAll(s,
+      """SELECT relname, relkind, attname, attnum, attnotnull, atttypmod
+        |FROM pg_catalog.pg_attribute
+        |JOIN pg_class ON (pg_attribute.attrelid = pg_class.oid)
+        |WHERE relname = 'ddl_pg_t'
+        |ORDER BY attnum""".stripMargin))
+    graft.functions.Constraints.unregister(s, "ddl_pg_t")
+    out
+  }
 }
