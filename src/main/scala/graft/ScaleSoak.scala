@@ -33,7 +33,11 @@ object ScaleSoak {
     "q_qualify", "q_ds11_channel_growth", "q_multimodal_features",
     // r11b: copy-on-write DML (merge = one full-outer join + swap),
     // native sampling, and the end-to-end pipeline composition
-    "q_dml_update_from", "q_dml_merge", "q_sample_rows", "q_pipeline_e2e")
+    "q_dml_update_from", "q_dml_merge", "q_sample_rows", "q_pipeline_e2e",
+    // r14: the DDL control plane — constraint probes (FK anti/semi
+    // joins), ALTER rebuild paths, generated-column recompute — pinned
+    // flat at 10× like everything else
+    "q_ddl_alter", "q_ddl_fk", "q_ddl_generated")
 
   private val facts = Seq("lineitem", "orders", "events", "documents",
     "embeddings")

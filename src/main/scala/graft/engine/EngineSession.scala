@@ -57,6 +57,11 @@ object EngineSession {
       // rejects them before any optimizer hook): int-as-bool CASE/IF
       // conditions (see graft.plans.IntCondToBool)
       .withExtensions(e => e.injectResolutionRule(_ => graft.plans.IntCondToBool))
+      // reference disable_timestamptz_casts setting (one conf probe
+      // per pass while off — see graft.plans.DisableTzCasts)
+      .withExtensions(e => e.injectResolutionRule(_ => graft.plans.DisableTzCasts))
+      // reference STRUCT/LIST/MAP ::VARIANT casts -> to_variant_object
+      .withExtensions(e => e.injectResolutionRule(_ => graft.plans.StructCastToVariant))
       // reference list `+` = list_concat (graft.plans.ListPlusToConcat);
       // SPARK_GRAFT_NOLISTPLUS=1 is the perf A/B handle
       .withExtensions(e =>

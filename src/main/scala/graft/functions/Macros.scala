@@ -543,7 +543,7 @@ object Macros {
   def expandAll(spark: SparkSession, sql: String, maxDepth: Int = 16): String =
     // SampleRewrite runs AFTER macro expansion so sampling clauses
     // produced by macro bodies are lowered too (r11 ADVICE)
-    WindowRelocate(QualifyRewrite(WindowRefs(rewriteDistinctOn(stripBuiltinCatalog(
+    WindowRelocate(QualifyRewrite(WindowRefs(rewriteDistinctOn(rewriteStarExclude(stripBuiltinCatalog(
       FnChain(spark, SampleRewrite(Variables.rewrite(spark, expandLoop(
         Sequences.rewriteDuckdbSequences(spark,
           rewriteDuckdbCatalog(spark,
@@ -552,7 +552,7 @@ object Macros {
                 FileTables.rewrite(spark, Timezone.rewriteSettings(spark,
                   Timezone.rewriteAtTimeZone(PgCatalog.rewrite(spark,
                     rewriteOrdinality(sql)))))))))),
-        registry.get(spark), tableRegistry.get(spark), maxDepth)))))))))
+        registry.get(spark), tableRegistry.get(spark), maxDepth))))))))))
 
   /** `duckdb_functions()` — the reference's function-catalog TVF,
     * inlined as a VALUES relation over the LIVE macro registries (one
@@ -775,6 +775,28 @@ object Macros {
   private def stripBuiltinCatalog(sql: String): String =
     if (sql.indexOf('.') < 0) sql
     else """(?i)\bsystem\.main\.(\w+\s*\()""".r.replaceAllIn(sql, "$1")
+
+  /** Reference star-minus projection `* EXCLUDE (…)` → Spark's
+    * `* EXCEPT (…)` (same binder expansion; window-frame EXCLUDE
+    * CURRENT ROW/GROUP/TIES has no star+paren and stays untouched). */
+  private def rewriteStarExclude(sql: String): String = {
+    val Re = """(?i)(\*\s*)EXCLUDE(\s*\()""".r
+    if (Re.findFirstIn(sql).isEmpty) sql
+    else {
+      val (qch, _) = Dml.scanFull(sql)
+      val sb = new StringBuilder
+      var pos = 0
+      Re.findAllMatchIn(sql).filter(m => qch(m.start) == ' ').foreach { m =>
+        if (m.start >= pos) {
+          sb.append(sql.substring(pos, m.start))
+          sb.append(m.group(1)).append("EXCEPT").append(m.group(2))
+          pos = m.end
+        }
+      }
+      sb.append(sql.substring(pos))
+      sb.toString
+    }
+  }
 
   private def expandLoop(sql: String,
       scalars: java.util.Map[String, Seq[Sig]],

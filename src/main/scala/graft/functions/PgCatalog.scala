@@ -165,9 +165,37 @@ object PgCatalog {
   private val TokenRe =
     ("""(?i)\b(?:pg_catalog\s*\.\s*)?(""" + names.mkString("|") + """)\b(?!\s*\.)""").r
 
+  /** pg_timezone_names() — the session tz database as a relation
+    * (reference icu extension TVF; pg compat). Offsets/DST flags are
+    * evaluated at bind time, like the reference's current-time rows. */
+  private def timezoneNamesRelation(): String = {
+    import scala.jdk.CollectionConverters._
+    val now = java.time.Instant.now()
+    val rows = java.time.ZoneId.getAvailableZoneIds.asScala.toSeq.sorted.map { id =>
+      val z = java.time.ZoneId.of(id)
+      val off = z.getRules.getOffset(now).getTotalSeconds
+      val dst = z.getRules.isDaylightSavings(now)
+      val abbrev = java.util.TimeZone.getTimeZone(id)
+        .getDisplayName(dst, java.util.TimeZone.SHORT)
+      s"('${id.replace("'", "''")}', '${abbrev.replace("'", "''")}', " +
+        s"make_dt_interval(0, 0, 0, $off), $dst)"
+    }
+    s"(SELECT * FROM (VALUES ${rows.mkString(", ")}) AS " +
+      "pg_timezone_names(name, abbrev, utc_offset, is_dst))"
+  }
+
   def rewrite(spark: SparkSession, sql: String): String = {
     val lower = sql.toLowerCase
     if (!lower.contains("pg_")) return sql
+    val TzNamesRe = """(?i)\bpg_timezone_names\s*\(\s*\)""".r
+    val sql1 =
+      if (TzNamesRe.findFirstIn(sql).isEmpty) sql
+      else TzNamesRe.replaceAllIn(sql,
+        java.util.regex.Matcher.quoteReplacement(timezoneNamesRelation()))
+    return rewriteViews(spark, sql1)
+  }
+
+  private def rewriteViews(spark: SparkSession, sql: String): String = {
     val (qch, _) = Dml.scanFull(sql)
     val ms = TokenRe.findAllMatchIn(sql)
       .filter(m => qch(m.start) == ' ').toList

@@ -214,6 +214,28 @@ object Registry {
       NextAfter(Cast(a, org.apache.spark.sql.types.DoubleType),
         Cast(b, org.apache.spark.sql.types.DoubleType)))
     reg.createOrReplaceTempFunction("uuidv7", _ => UuidV7(), "scala_udf")
+    // uuid_extract_version/_timestamp (reference uuid.cpp;
+    // test_uuid_function.test): version = hex nibble 13 of the
+    // canonical text; v7 timestamp = leading 48 bits as epoch millis.
+    // Composed from codegen'd builtins — no custom kernel needed.
+    locally {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType => STR}
+      def ver(e: Expression): Expression =
+        Cast(Conv(Substring(Cast(e, STR), Literal(15), Literal(1)),
+          Literal(16), Literal(10)), IntegerType)
+      f1("uuid_extract_version", ver(_))
+      f1("uuid_extract_timestamp", e => {
+        val s = Cast(e, STR)
+        val ms = Cast(Conv(Concat(Seq(Substring(s, Literal(1), Literal(8)),
+          Substring(s, Literal(10), Literal(4)))),
+          Literal(16), Literal(10)), LongType)
+        If(EqualTo(ver(s), Literal(7)), MillisToTimestamp(ms),
+          Cast(RaiseError(Concat(Seq(
+            Literal("Invalid Input Error: Given UUID is with version "),
+            Cast(ver(s), STR), Literal(", not version 7.")))),
+            org.apache.spark.sql.types.TimestampType))
+      })
+    }
 
     // sequence scalar surface (graft.functions.Sequences) — the name must
     // be a constant, like the reference binder
@@ -685,6 +707,21 @@ object Registry {
       // isodow: Monday=1..Sunday=7 (Spark dayofweek is Sunday=1)
       f1("isodow", e => Cast(Add(Pmod(Add(DayOfWeek(e), Literal(5)),
         Literal(7)), Literal(1)), LT))
+      // local-time functions (icu-current.cpp): wall clock in the
+      // session zone; Spark's LocalTimestamp/CurrentTime are exactly that
+      fn("current_localtimestamp", 0)(_ => LocalTimestamp(None))
+      fn("current_localtime", 0)(_ => CurrentTime())
+      // dayofweek: the reference's dow numbering is Sunday=0..Saturday=6
+      // (date_part.cpp); Spark's builtin is Sunday=1 — shadowed
+      f1("dayofweek", e => Cast(Subtract(DayOfWeek(e), Literal(1)), LT))
+      // dayname/monthname: the reference prints FULL names ("Sunday",
+      // "September"); Spark 4's builtins abbreviate — shadowed here
+      f1("dayname", e => DateFormatClass(
+        Cast(e, org.apache.spark.sql.types.TimestampType),
+        Literal.create("EEEE", org.apache.spark.sql.types.StringType), None))
+      f1("monthname", e => DateFormatClass(
+        Cast(e, org.apache.spark.sql.types.TimestampType),
+        Literal.create("MMMM", org.apache.spark.sql.types.StringType), None))
       // seconds-of-minute including the fractional part, in micro/milli
       // units (reference date_part microseconds/milliseconds)
       def microsOfMinute(e: Expression): Expression =
@@ -1074,6 +1111,10 @@ object Registry {
     // (default_functions.cpp: "(expression) AS lower(typeof(expression))")
     f1("pg_typeof", e => Lower(DuckTypeOf(e)))
     fn("gen_random_uuid", 0)(_ => Uuid())
+    fn("uuidv4", 0)(_ => Uuid()) // reference alias (uuid.cpp)
+    // logical VARIANT ordering key (variant_comparator.cpp) — ORDER BY
+    // v::VARIANT in the reference is exactly ORDER BY this key
+    f1("variant_comparator", VariantComparator(_))
 
     f1("typeof", DuckTypeOf(_))
     reg.createOrReplaceTempFunction("struct_concat",

@@ -83,9 +83,17 @@ object Timezone {
   }
 
   /** Lower duckdb_settings() and current_setting('x') onto the live
-    * session conf. Quote-aware (a data string may contain the text). */
+    * session conf; bare localtimestamp/localtime keywords (the
+    * reference's local-time surface, icu-current.cpp) call the
+    * session-zone wall-clock functions. Quote-aware (a data string may
+    * contain the text). */
   def rewriteSettings(spark: SparkSession, sql: String): String = {
     var out = sql
+    val LocalRe = """(?i)\b(localtimestamp|localtime)\b(?!\s*\()""".r
+    if (LocalRe.findFirstIn(out).isDefined)
+      out = replaceUnquoted(out, LocalRe)(m =>
+        Some(if (m.group(1).equalsIgnoreCase("localtimestamp"))
+          "localtimestamp()" else "current_localtime()"))
     val SettingsRe = """(?i)\bduckdb_settings\s*\(\s*\)""".r
     if (SettingsRe.findFirstIn(out).isDefined)
       out = replaceUnquoted(out, SettingsRe)(_ =>

@@ -210,7 +210,7 @@ object Functions extends Pack {
         col("o_orderkey"),
         year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"),
         month(col("o_orderdate")).as("mo"), dayofmonth(col("o_orderdate")).as("d"),
-        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        dayofweek(col("o_orderdate")).as("dow"), // registry dayofweek = duck 0-based
         dayofyear(col("o_orderdate")).as("doy"),
         weekofyear(col("o_orderdate")).as("wk"),
         date_trunc("month", col("o_orderdate")).as("mstart"),

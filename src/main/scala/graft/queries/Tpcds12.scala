@@ -14,9 +14,10 @@ import Q._
   *  - q43: weekday × group conditional matrix from day-of-week buckets.
   *  - q96: narrow multi-predicate count through two dimension joins.
   *
-  * All gates cross-multiply exact mantissas. Weekday convention: Spark
-  * dayofweek() is Sunday=1..7 while duckdb's is Sunday=0..6, so the
-  * oracle shims +1 to align the buckets.
+  * All gates cross-multiply exact mantissas. Weekday convention: the
+  * graft registry shadows dayofweek() with the reference's Sunday=0..6
+  * numbering (r14), so the Column side shims +1 to match the oracle's
+  * duck-dayofweek+1 buckets.
   */
 object Tpcds12 extends Pack {
 
@@ -68,7 +69,7 @@ object Tpcds12 extends Pack {
       |FROM lineitem WHERE year(l_shipdate) = 1995
       |GROUP BY l_suppkey ORDER BY l_suppkey""") { (s, dir) =>
     val qb = col("l_quantity").cast("bigint")
-    val dow = dayofweek(col("l_shipdate"))
+    val dow = dayofweek(col("l_shipdate")) + 1 // registry dayofweek = duck 0-based
     Tables.lineitem(s, dir)
       .filter(year(col("l_shipdate")) === 1995)
       .groupBy("l_suppkey")

@@ -62,7 +62,7 @@ object Tpcds14 extends Pack {
       .select(col("l_shipdate").as("d"), fx(col("l_extendedprice"), 2).as("m"))
       .unionAll(Tables.orders(s, dir)
         .select(col("o_orderdate").as("d"), fx(col("o_totalprice"), 2).as("m")))
-    def dow(n: Int) = sum(when(dayofweek(col("d")) === (n + 1), col("m")))
+    def dow(n: Int) = sum(when(dayofweek(col("d")) + 1 === (n + 1), col("m")))
     val weekly = sales.filter(year(col("d")).isin(1996, 1997))
       .groupBy(year(col("d")).as("yr"), weekofyear(col("d")).as("wk"))
       .agg(dow(0).as("sun"), dow(1).as("mon"), dow(3).as("wed"), dow(5).as("fri"))

@@ -143,7 +143,7 @@ object Tpcds18 extends Pack {
     perOrder
       .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
         col("ok") === col("o_orderkey"))
-      .filter(dayofweek(col("o_orderdate")) === 2 && year(col("o_orderdate")) === 1996)
+      .filter(dayofweek(col("o_orderdate")) + 1 === 2 && year(col("o_orderdate")) === 1996)
       .join(Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),

@@ -124,7 +124,9 @@ object TzUtil {
     s match {
       case UtcOffRe(sign, hh, mm) if mm == null || mm == "00" =>
         val h = hh.toInt
-        val disp = if (h == 0) "UTC" else s"Etc/GMT${if (sign == "-") "+" else "-"}$h"
+        // h == 0 still displays the POSIX spelling (ICU: UTC+0 -> Etc/GMT+0)
+        val disp = if (h == 0) "Etc/GMT+0"
+                   else s"Etc/GMT${if (sign == "-") "+" else "-"}$h"
         (disp, parse(s))
       case _ =>
         val canon = canonical.get(s.toLowerCase)

@@ -61,7 +61,35 @@ class SqlLogicSpec extends AnyFunSuite {
     } + "'"
   }
 
-  private def cellRef(v: Any, sqliteMode: Boolean, nested: Boolean = false): String = v match {
+  // tz-mode rendering (timezone-area files, MANIFEST "tz:" prefix):
+  // TIMESTAMPTZ values print in the SESSION zone with the reference's
+  // minimal offset suffix (timestamp.cpp ToString with tz: -08, +05:30,
+  // +00:57:56)
+  private def tzSuffix(off: java.time.ZoneOffset): String = {
+    val t = off.getTotalSeconds
+    val sign = if (t < 0) "-" else "+"
+    val a = math.abs(t)
+    val hh = a / 3600; val mm = a % 3600 / 60; val ss = a % 60
+    f"$sign$hh%02d" +
+      (if (mm != 0 || ss != 0) f":$mm%02d" else "") +
+      (if (ss != 0) f":$ss%02d" else "")
+  }
+
+  private def cellTz(t: java.sql.Timestamp): String = {
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone", "UTC"))
+    val zdt = t.toInstant.atZone(zone)
+    val base = zdt.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val micros = zdt.getNano / 1000
+    val frac =
+      if (micros == 0) ""
+      else "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+    base + frac + tzSuffix(zdt.getOffset)
+  }
+
+  private def cellRef(v: Any, sqliteMode: Boolean, nested: Boolean = false,
+      tzMode: Boolean = false): String = v match {
     case null => "NULL"
     case b: Boolean => if (sqliteMode) { if (b) "1" else "0" } else b.toString
     case d: Double =>
@@ -144,6 +172,7 @@ class SqlLogicSpec extends AnyFunSuite {
           sb.append("." + f"$us%06d".reverse.dropWhile(_ == '0').reverse)
       }
       sb.toString
+    case t: java.sql.Timestamp if tzMode => cellTz(t)
     case t: java.sql.Timestamp =>
       // reference timestamp rendering (timestamp.cpp): no fractional
       // part when zero, else micros with trailing zeros trimmed —
@@ -327,6 +356,9 @@ class SqlLogicSpec extends AnyFunSuite {
     case s if graft.functions.Timezone.matchesSet(s) =>
       // SET TimeZone / Calendar -> session zone (graft.functions.Timezone)
       graft.functions.Timezone.executeSet(spark, s)
+    case s if graft.functions.Analyze.matches(s) =>
+      // ANALYZE/VACUUM -> Spark table/column statistics (CBO feed)
+      graft.functions.Analyze.execute(spark, s)
     case s if graft.functions.Describe.matches(s) =>
       // DESCRIBE / SHOW / SUMMARIZE statements (graft.functions.Describe)
       graft.functions.Describe.execute(spark, s)
@@ -343,7 +375,7 @@ class SqlLogicSpec extends AnyFunSuite {
   }
 
   private def runFile(name: String, text0: String, imported: Boolean,
-      sqliteMode: Boolean): Unit = {
+      sqliteMode: Boolean, tzMode: Boolean = false): Unit = {
     // {TEST_DIR}: the reference runner's per-test scratch directory
     // placeholder (sqllogic_test_runner.cpp) — substitute a fresh temp
     // dir per file so COPY TO/FROM roundtrips have somewhere to live
@@ -362,7 +394,7 @@ class SqlLogicSpec extends AnyFunSuite {
     // and sbt executes suites concurrently in this JVM — restore every
     // conf the file touched so it cannot race another suite's plans
     val confBefore = spark.conf.getAll
-    try runFileBody(name, text, imported, sqliteMode)
+    try runFileBody(name, text, imported, sqliteMode, tzMode)
     finally {
       val after = spark.conf.getAll
       for ((k, v) <- confBefore if after.get(k) != Some(v))
@@ -378,7 +410,7 @@ class SqlLogicSpec extends AnyFunSuite {
   }
 
   private def runFileBody(name: String, text: String, imported: Boolean,
-      sqliteMode: Boolean): Unit = {
+      sqliteMode: Boolean, tzMode: Boolean): Unit = {
     val lines = text.linesIterator.toVector
     var i = 0
     var caseNo = 0
@@ -422,7 +454,7 @@ class SqlLogicSpec extends AnyFunSuite {
           }
         val rendered: Vector[Vector[String]] = rows.iterator.map { r =>
           (0 until r.length).map { j =>
-            if (imported) cellRef(r.get(j), sqliteMode) else cellLegacy(r.get(j))
+            if (imported) cellRef(r.get(j), sqliteMode, tzMode = tzMode) else cellLegacy(r.get(j))
           }.toVector
         }.toVector
         // nosort on an ORDER-BY-less query pins the reference's
@@ -518,9 +550,10 @@ class SqlLogicSpec extends AnyFunSuite {
   // "sqlite:" prefix for original-sqlite conversion mode
   private val manifest = scala.util.Try(resource("/sql/ref/MANIFEST")).toOption
   for (m <- manifest.toSeq; raw <- m.linesIterator if raw.trim.nonEmpty) {
-    val (mode, fname) =
-      if (raw.startsWith("sqlite:")) (true, raw.stripPrefix("sqlite:").trim)
-      else (false, raw.trim)
+    val (mode, tzm, fname) =
+      if (raw.startsWith("sqlite:")) (true, false, raw.stripPrefix("sqlite:").trim)
+      else if (raw.startsWith("tz:")) (false, true, raw.stripPrefix("tz:").trim)
+      else (false, false, raw.trim)
     test(s"sqllogic/ref: $fname") {
       // file isolation: the corpus reuses table names (integers, test,
       // t1...) across files; the reference runner starts a fresh DB per
@@ -550,7 +583,7 @@ class SqlLogicSpec extends AnyFunSuite {
       cat.setCurrentDatabase("default")
       cat.listDatabases("*").filterNot(_ == "default").foreach(db =>
         spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE"))
-      runFile(fname, resource(s"/sql/ref/$fname"), imported = true, sqliteMode = mode)
+      runFile(fname, resource(s"/sql/ref/$fname"), imported = true, sqliteMode = mode, tzMode = tzm)
     }
   }
 }

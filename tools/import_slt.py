@@ -98,11 +98,20 @@ KEEP_VIEWS = False
 # runner's true parameter binding (spark.sql(text, args)) instead of the
 # textual inliner below.
 RAW_PREPARE = False
+# --tz: timezone-area mode — SET TimeZone/Calendar records are kept for
+# the runner's session-zone mapping (graft.functions.Timezone), duck
+# TIMESTAMP maps to Spark TIMESTAMP_NTZ (naive) and TIMESTAMPTZ to
+# TIMESTAMP_LTZ (instant), and the MANIFEST entry gets a "tz:" prefix so
+# the Scala runner renders instants with the session-zone offset suffix
+# the way the reference does
+TZ_MODE = False
 
 REJECT = ["mode ", "skipif",
           "onlyif", "hash-threshold", "restart", "load ", "sleep ",
           "<FILE>",
-          "ATTACH", "EXCLUDE", "COLUMNS(", "ASOF", "POSITIONAL",
+          "ATTACH", "COLUMNS(", "ASOF", "POSITIONAL",
+          # * EXCLUDE (...) imports since r14 (Macros.rewriteStarExclude
+          # lowers it onto Spark's * EXCEPT)
           "CREATE INDEX",
           # SUMMARIZE/DESCRIBE/SHOW import since r13
           # (graft.functions.Describe)
@@ -145,7 +154,8 @@ DIRECTIVE_REJECT = ["loop", "endloop", "foreach", "require ", "mode ",
 SAFE_REQUIRE = re.compile(
     r"(?i)^require\s+(64bit|vector_size|strinline|skip_reload|"
     r"noforcestorage|no_force_storage|no_alternative_verify|ram|notwindows|"
-    r"exact_vector_size|longdouble|parquet|json|icu)\b")
+    r"exact_vector_size|longdouble|parquet|json|icu|"
+    r"no_vector_verification)\b")
 # pragmas that change SEMANTICS reject the file; all others are
 # execution tuning (threads, memory_limit, verification, optimizer
 # toggles) and their records are simply dropped
@@ -156,11 +166,19 @@ PRAGMA_DENY = re.compile(
     r"(?i)\b(pragma|set)\s+(default_order|"
     r"default_collation|integer_division|calendar|"
     r"timezone|old_implicit_casting)")
+# under --tz TimeZone/Calendar SETs are the point of the file
+PRAGMA_DENY_TZ = re.compile(
+    r"(?i)\b(pragma|set)\s+(default_order|"
+    r"default_collation|integer_division|old_implicit_casting)")
 # default_null_order='nulls_first' matches Spark's default — harmless;
 # any OTHER value diverges
 NULL_ORDER_SET = re.compile(r"(?i)\b(pragma|set)\s+default_null_order")
 NULL_ORDER_OK = re.compile(
     r"(?i)\b(pragma|set)\s+default_null_order\s*=?\s*'?\s*nulls_first")
+
+
+def pragma_deny_re():
+    return PRAGMA_DENY_TZ if TZ_MODE else PRAGMA_DENY
 
 
 def reject_reason(text: str, sql_only: str):
@@ -180,7 +198,7 @@ def reject_reason(text: str, sql_only: str):
                 if tok == "require " and SAFE_REQUIRE.match(line.strip()):
                     continue
                 return tok
-    if PRAGMA_DENY.search(sql_only):
+    if pragma_deny_re().search(sql_only):
         return "semantic pragma"
     for m in NULL_ORDER_SET.finditer(sql_only):
         if not NULL_ORDER_OK.match(sql_only, m.start()):
@@ -1009,6 +1027,11 @@ ORDER_ALL_NULLS_LAST = True
 def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # duckdb numeric-literal underscores (92_000.0) — no Spark grammar
     sql = re.sub(r"(?<=\d)_(?=\d)", "", sql)
+    # the reference's VARIANT ordering IS its variant_comparator key
+    # (variant_comparator.cpp); Spark's VariantType is unordered, so
+    # ORDER BY x::VARIANT lowers onto the graft comparator expression
+    sql = re.sub(r"(?i)(ORDER\s+BY\s+)([\w.]+(?:::[\w\[\]()0-9,]+)*::VARIANT)\b",
+                 r"\1variant_comparator(\2)", sql)
     # main is the reference's DEFAULT schema — main.t is t (and
     # system.main.t likewise); Spark's default database is `default`
     # ... but NOT in function-call position: system.main.sum(x) pins the
@@ -1205,9 +1228,14 @@ def transform_sql(sql: str, sqlite_mode: bool) -> str:
     out = re.sub(r"(?i)\bINT8\b", "BIGINT", out)
     out = re.sub(r"(?i)\bFLOAT4\b", "FLOAT", out)
     out = re.sub(r"(?i)\bFLOAT8\b", "DOUBLE", out)
-    out = re.sub(r"(?i)\bTIMESTAMPTZ\b", "TIMESTAMP", out)
+    out = re.sub(r"(?i)\bTIMESTAMPTZ\b",
+                 "TIMESTAMP_LTZ" if TZ_MODE else "TIMESTAMP", out)
     out = re.sub(r"(?i)\bDATETIME\b", "TIMESTAMP", out)
     out = re.sub(r"(?i)\bTIMESTAMP_(S|MS|NS|US)\b", "TIMESTAMP", out)
+    if TZ_MODE:
+        # duck TIMESTAMP is NAIVE; only in tz-area files does the
+        # distinction matter (everywhere else the session is UTC-pinned)
+        out = re.sub(r"(?i)\bTIMESTAMP\b(?!_)", "TIMESTAMP_NTZ", out)
     out = re.sub(r"(?i)\bBLOB\b", "BINARY", out)
     # more reference aliases: SIGNED is INTEGER, BYTEA is BLOB
     out = re.sub(r"(?i)\bSIGNED\b", "INTEGER", out)
@@ -1674,6 +1702,10 @@ def main():
     if "--keep-views" in args:
         KEEP_VIEWS = True
         args.remove("--keep-views")
+    global TZ_MODE
+    if "--tz" in args:
+        TZ_MODE = True
+        args.remove("--tz")
     drop_matching = None
     if "--drop-matching" in args:
         k = args.index("--drop-matching")
@@ -1893,7 +1925,7 @@ def main():
         sys.exit(2)
     open(os.path.join(dest_dir, dest_name), "w").write("\n".join(out) + "\n")
     manifest = os.path.join(dest_dir, "MANIFEST")
-    entry = ("sqlite:" if sqlite_mode else "") + dest_name
+    entry = ("sqlite:" if sqlite_mode else "tz:" if TZ_MODE else "") + dest_name
     lines = []
     if os.path.exists(manifest):
         lines = [l for l in open(manifest).read().splitlines() if l.strip()]

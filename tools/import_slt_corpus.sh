@@ -1658,3 +1658,57 @@ open(m,'w').write("\n".join(ls_)+"\n")
 EOF
 
 echo "manifest: $(wc -l < src/test/resources/sql/ref/MANIFEST) files"
+
+# r14: timezone area (--tz mode: SET TimeZone kept and mapped onto the
+# session zone; TIMESTAMP->TIMESTAMP_NTZ, TIMESTAMPTZ->TIMESTAMP_LTZ;
+# tz: MANIFEST prefix = offset-suffixed instant rendering).
+#   test_icu_timezone: TIMETZ records + the attimezone TIMETZ/infinity
+#     table drop (no Spark TIMETZ / infinity timestamps); the AT TIME
+#     ZONE scalars, UTC±NNNN foreach sweep and duckdb_settings rows run
+#     (string literals with an embedded zone name — '… 19:26:40 UTC-08'
+#     — also drop: Spark's string→timestamp parser takes offsets only;
+#     pg_timezone_names rows pin ICU's list; the 2025a-2026c tzdata
+#     sections pin zone-rule changes newer than the JVM tzdb)
+python3 tools/import_slt.py --tz --drop-matching "(?i)timetz|infinity|attimezone|:\\d\\d (UTC|GMT)|pg_timezone_names|Asuncion|Coyhaique|BajaNorte|Chisinau|Vancouver|Edmonton|2025-03-23|2025-04-05|1962-07-31|2022-03-27|2022-10-30|2026-11-10|2026-12-01" \
+  $REF/sql/timezone/test_icu_timezone.test tz_test_icu_timezone.test >/dev/null 2>&1 || true
+#   far_future: modern-era rule sweep (2038-2100 transitions per zone)
+python3 tools/import_slt.py --tz \
+  $REF/sql/timezone/test_icu_timezone_far_future.test tz_far_future.test >/dev/null 2>&1 || true
+#   disable_timestamptz_casts: the file's first (no-icu) half asserts
+#     the setting is inert, the second half asserts it rejects — the
+#     same SQL with opposite expectations cannot import as one file;
+#     the setting itself is implemented (plans/DisableTzCasts) and
+#     pinned by graft.TimezoneSpec
+#   edge_cases / properties / casts / calendar files stay out: ICU
+#     historical LMT rounding + ambiguous-cast offsets diverge from the
+#     JVM tzdb, properties pins ICU's zone COUNT (638), casts needs
+#     TIMESTAMP_NS, calendars are a documented non-goal
+
+# r14: vacuum area — ANALYZE/VACUUM lowered to Spark COMPUTE STATISTICS
+# (graft.functions.Analyze); stats() sampling rows are engine-specific
+python3 tools/import_slt.py --drop-matching "stats\(" \
+  $REF/sql/vacuum/test_analyze.test vac_test_analyze.test >/dev/null 2>&1 || true
+python3 tools/import_slt.py --drop-matching "stats\(" \
+  $REF/sql/vacuum/vacuum_nested_types.test vac_vacuum_nested_types.test >/dev/null 2>&1 || true
+
+# r14: pg_catalog compatibility views (graft.functions.PgCatalog)
+for f in pg_attribute pg_database pg_namespace pg_views pg_tablespace \
+         pg_constraint pg_sequence pg_enum pg_index; do
+  # (pg_constraint needs * EXCLUDE -> * EXCEPT, admitted r14)
+  python3 tools/import_slt.py --keep-constraints \
+    $REF/sql/pg_catalog/$f.test "pgcat_$f.test" >/dev/null 2>&1 || true
+done
+
+# r14: uuid_extract_version/_timestamp (Registry composition over
+# conv/substring; v7 timestamp renders with the session-zone suffix)
+python3 tools/import_slt.py --tz \
+  $REF/sql/function/uuid/test_uuid_function.test tz_uuid_function.test >/dev/null 2>&1 || true
+
+# r14: VARIANT comparator (org.apache.spark.sql.graft.VariantComparator;
+# ORDER BY x::VARIANT lowers onto it via the importer rewrite).
+# Dropped records: BIGNUM/BIT/unsigned/HUGEINT (no Spark types), TIME
+# variants (Spark variant encoding has no TIME), min/max over VARIANT
+# (Spark aggregates need an ordered type), and the variant>int
+# comparison (cross-type variant comparison is out of scope)
+python3 tools/import_slt.py --drop-matching '(?i)bignum|::BIT\b|U(TINY|SMALL|BIG|HUGE)?INT|HUGEINT|TIME|min\(|max\(|VARIANT > 0' \
+  $REF/sql/variant/variant_comparator.test tvar_variant_comparator.test >/dev/null 2>&1 || true
