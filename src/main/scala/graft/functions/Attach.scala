@@ -199,13 +199,26 @@ object Attach {
     * `FOREIGN KEY (zippy_id) REFERENCES freddy.zippy(id)`, parent
     * db-qualified only when it lives outside the current database). */
   def constraintsRelation(spark: SparkSession): String = {
+    // identifiers in constraint TEXT render double-quoted when they
+    // need quoting, like the reference's KeywordHelper (fk "b c")
+    def qid(n: String): String =
+      if (n.matches("[A-Za-z_][A-Za-z0-9_$]*") && !n.exists(_.isUpper)) n
+      else if (n.matches("[\\w$]+")) n
+      else "\"" + n.replace("\"", "\"\"") + "\""
     val rows = scala.collection.mutable.ArrayBuffer[String]()
+    // constraint_index is a GLOBAL running number over the catalog scan
+    // (duckdb_constraints.cpp), not per-table
+    var idx = 0
     for ((resolved, tc) <- Constraints.allOf(spark).toSeq.sortBy(_._1)) {
       val Array(db0, t) = resolved.split('.').slice(0, 2) match {
         case a if a.length == 2 => a
         case a => Array("default", a.last)
       }
       val db = if (db0 == "default") "memory" else db0
+      def oid(kind: String, parts: String*): Int = {
+        val h = (kind +: parts).mkString(" ").hashCode
+        if (h < 0) ~h else h
+      }
       // 0-based physical column positions (duckdb_constraints
       // constraint_column_indexes; pg_constraint conkey builds on it)
       val colPos: Map[String, Int] =
@@ -213,20 +226,35 @@ object Attach {
           .schema.fieldNames.zipWithIndex
           .map { case (n, i) => (n.toLowerCase, i) }.toMap
         catch { case _: Throwable => Map.empty }
-      var idx = 0
-      def emit(tpe: String, text: String, cols: Seq[String]): Unit = {
+      def emit(tpe: String, text: String, cols: Seq[String],
+          expression: Option[String] = None, cname: String = "",
+          refTable: Option[String] = None, refCols: Seq[String] = Nil): Unit = {
         val idxs = cols.flatMap(c => colPos.get(c.toLowerCase))
-        rows += s"('${esc(db)}', 'main', '${esc(t)}', $idx, '${esc(tpe)}', " +
-          s"'${esc(text)}', array(${cols.map(c => s"'${esc(c)}'").mkString(", ")}), " +
-          s"array(${idxs.mkString(", ")}))"
+        val exprSql = expression.map(e => s"'${esc(e)}'").getOrElse("CAST(NULL AS STRING)")
+        val refSql = refTable.map(r => s"'${esc(r)}'").getOrElse("CAST(NULL AS STRING)")
+        rows += s"('${esc(db)}', ${oid("db", db)}, 'main', ${oid("ns", "main")}, " +
+          s"'${esc(t)}', ${oid("rel", db, t)}, $idx, '${esc(tpe)}', " +
+          s"'${esc(text)}', $exprSql, " +
+          s"array(${idxs.mkString(", ")}), " +
+          s"array(${cols.map(c => s"'${esc(c)}'").mkString(", ")}), " +
+          s"'${esc(if (cname.nonEmpty) cname else s"${t}_$idx")}', " +
+          s"$refSql, array(${refCols.map(c => s"'${esc(c)}'").mkString(", ")}))"
         idx += 1
       }
+      // reference ordering (duckdb_constraints.cpp via catalog entry
+      // order): column-level NOT NULLs at their declaration position
+      // (before table constraints), PK-implied NOT NULLs appended LAST
+      val pkCols = tc.uniques.filter(_.isPk)
+        .flatMap(_.cols.map(_.toLowerCase)).toSet
+      for (c <- tc.notNull if !pkCols.contains(c.toLowerCase))
+        emit("NOT NULL", "NOT NULL", Seq(c))
       for (u <- tc.uniques)
         emit(if (u.isPk) "PRIMARY KEY" else "UNIQUE",
-          (if (u.isPk) "PRIMARY KEY(" else "UNIQUE(") + u.cols.mkString(", ") + ")",
+          (if (u.isPk) "PRIMARY KEY(" else "UNIQUE(") +
+            u.cols.map(qid).mkString(", ") + ")",
           u.cols)
-      for (c <- tc.notNull) emit("NOT NULL", "NOT NULL", Seq(c))
-      for (ck <- tc.checks) emit("CHECK", s"CHECK(($ck))", Nil)
+      for (ck <- tc.checks) emit("CHECK", s"CHECK(($ck))", Nil,
+        expression = Some(ck))
       for (fk <- tc.foreignKeys) {
         val pparts = fk.parentTable.split('.')
         val pdb = pparts.dropRight(1).lastOption.getOrElse("default")
@@ -235,21 +263,31 @@ object Attach {
         // qualified, zippy_main bare)
         val pname = if (pdb == "default") pparts.last else fk.parentTable
         emit("FOREIGN KEY",
-          s"FOREIGN KEY (${fk.cols.mkString(", ")}) REFERENCES $pname(${fk.parentCols.mkString(", ")})",
-          fk.cols)
+          s"FOREIGN KEY (${fk.cols.map(qid).mkString(", ")}) " +
+            s"REFERENCES $pname(${fk.parentCols.map(qid).mkString(", ")})",
+          fk.cols, refTable = Some(pparts.last), refCols = fk.parentCols)
       }
+      for (c <- tc.notNull if pkCols.contains(c.toLowerCase))
+        emit("NOT NULL", "NOT NULL", Seq(c))
     }
     if (rows.isEmpty)
-      "(SELECT CAST(NULL AS STRING) AS database_name, CAST(NULL AS STRING) AS schema_name, " +
-        "CAST(NULL AS STRING) AS table_name, 0 AS constraint_index, " +
+      "(SELECT CAST(NULL AS STRING) AS database_name, CAST(NULL AS BIGINT) AS database_oid, " +
+        "CAST(NULL AS STRING) AS schema_name, CAST(NULL AS BIGINT) AS schema_oid, " +
+        "CAST(NULL AS STRING) AS table_name, CAST(NULL AS BIGINT) AS table_oid, " +
+        "0 AS constraint_index, " +
         "CAST(NULL AS STRING) AS constraint_type, CAST(NULL AS STRING) AS constraint_text, " +
+        "CAST(NULL AS STRING) AS expression, " +
+        "CAST(array() AS ARRAY<INT>) AS constraint_column_indexes, " +
         "CAST(array() AS ARRAY<STRING>) AS constraint_column_names, " +
-        "CAST(array() AS ARRAY<INT>) AS constraint_column_indexes WHERE 1=0)"
+        "CAST(NULL AS STRING) AS constraint_name, " +
+        "CAST(NULL AS STRING) AS referenced_table, " +
+        "CAST(array() AS ARRAY<STRING>) AS referenced_column_names WHERE 1=0)"
     else
       s"(SELECT * FROM (VALUES ${rows.mkString(", ")}) AS duckdb_constraints(" +
-        "database_name, schema_name, table_name, constraint_index, " +
-        "constraint_type, constraint_text, constraint_column_names, " +
-        "constraint_column_indexes))"
+        "database_name, database_oid, schema_name, schema_oid, table_name, " +
+        "table_oid, constraint_index, constraint_type, constraint_text, " +
+        "expression, constraint_column_indexes, constraint_column_names, " +
+        "constraint_name, referenced_table, referenced_column_names))"
   }
 
   /** `duckdb_views()` — view-catalog TVF (duckdb_views.cpp). */

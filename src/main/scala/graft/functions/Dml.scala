@@ -369,6 +369,15 @@ object Dml {
     "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor", "product",
     "first", "last", "arg_min", "arg_max", "any_value")
 
+
+  /** A RETURNING projection resolving to NO columns is a binder error —
+    * raised before any mutation (no_crash_when_no_returning_columns). */
+  private def checkRetSchema(ret: DataFrame): DataFrame = {
+    if (ret != null && ret.schema.isEmpty) throw new IllegalArgumentException(
+      "Binder Error: RETURNING clause projects no columns")
+    ret
+  }
+
   /** RETURNING projects per-affected-row values; aggregate calls are a
     * binder error (reference bind_function_expression.cpp:555 via the
     * returning binder, test/sql/returning/returning_update.test). */
@@ -519,6 +528,7 @@ object Dml {
           s"SELECT $retText FROM (SELECT ${cols.mkString(", ")} FROM $rel" +
             (if (whereText.isEmpty) "" else s" WHERE $whereText") +
             s") AS ${q(tr.alias)}")))
+      checkRetSchema(ret)
       swapIn(spark, tr.name, newSql)
       if (ret != null) ret else countDf(spark, cnt)
     } else {
@@ -565,6 +575,7 @@ object Dml {
                |  FROM $base AS ${G}t JOIN ($matches) AS ${G}m
                |    ON ${G}t.${G}gid = ${G}m.${G}mgid) AS ${q(tr.alias)}""".stripMargin)))
         }
+      checkRetSchema(ret)
       swapIn(spark, tr.name, newSql)
       if (ret != null) ret else countDf(spark, cnt)
     }
@@ -613,6 +624,7 @@ object Dml {
           s"SELECT $retText FROM (SELECT $colList FROM $rel" +
             (if (whereText.isEmpty) "" else s" WHERE ($whereText) IS TRUE") +
             s") AS ${q(tr.alias)}")))
+      checkRetSchema(ret)
       swapIn(spark, tr.name, newSql)
       if (ret != null) ret else countDf(spark, cnt)
     } else {
@@ -634,6 +646,7 @@ object Dml {
              |  SELECT $tcols FROM $base AS ${G}t
              |  LEFT SEMI JOIN ($matched) AS ${G}m ON ${G}t.${G}gid = ${G}m.${G}mgid
              |) AS ${q(tr.alias)}""".stripMargin)))
+      checkRetSchema(ret)
       swapIn(spark, tr.name, newSql)
       if (ret != null) ret else countDf(spark, cnt)
     }
@@ -887,12 +900,24 @@ object Dml {
       freeze(spark, gsql(spark,
         s"SELECT $retText FROM (SELECT $colList FROM $rel) AS ${q(tr.alias)}"))
 
+    // the reference BINDS the RETURNING projection before any write —
+    // a bad projection (or one that excludes every column) must reject
+    // without touching the table (no_crash_when_no_returning_columns)
+    def validateReturning(): Unit = if (retText.nonEmpty) {
+      val probe = gsql(spark,
+        s"SELECT $retText FROM (SELECT $colList FROM $insV) AS ${q(tr.alias)} LIMIT 0")
+      if (probe.schema.isEmpty) throw new IllegalArgumentException(
+        "Binder Error: RETURNING clause projects no columns")
+    }
+
     if (conflictOpt.isEmpty && orMode.isEmpty) {
       // constraint-verified / RETURNING append
+      validateReturning()
       tc.foreach(c => Constraints.verifyAppend(spark, c, insV, tr.name))
       appendRows(spark, tr.name, fields, insV)
       return if (retText.isEmpty) countDf(spark, ins.count()) else returning(insV)
     }
+    validateReturning()
 
     // ---- ON CONFLICT upsert ----
     if (tr.alias.equalsIgnoreCase("excluded"))

@@ -776,26 +776,63 @@ object Macros {
     if (sql.indexOf('.') < 0) sql
     else """(?i)\bsystem\.main\.(\w+\s*\()""".r.replaceAllIn(sql, "$1")
 
-  /** Reference star-minus projection `* EXCLUDE (…)` → Spark's
-    * `* EXCEPT (…)` (same binder expansion; window-frame EXCLUDE
-    * CURRENT ROW/GROUP/TIES has no star+paren and stays untouched). */
+  /** Reference star-minus projection `* EXCLUDE (…)` / parenless
+    * `* EXCLUDE col` → Spark's `* EXCEPT (…)` (same binder expansion;
+    * window-frame EXCLUDE CURRENT ROW/GROUP/TIES has no star prefix
+    * and stays untouched). */
   private def rewriteStarExclude(sql: String): String = {
-    val Re = """(?i)(\*\s*)EXCLUDE(\s*\()""".r
-    if (Re.findFirstIn(sql).isEmpty) sql
-    else {
-      val (qch, _) = Dml.scanFull(sql)
-      val sb = new StringBuilder
-      var pos = 0
-      Re.findAllMatchIn(sql).filter(m => qch(m.start) == ' ').foreach { m =>
-        if (m.start >= pos) {
-          sb.append(sql.substring(pos, m.start))
-          sb.append(m.group(1)).append("EXCEPT").append(m.group(2))
-          pos = m.end
+    // parenless form, both spellings (the reference accepts * EXCEPT i
+    // too); the lookahead keeps the EXCEPT set operator out (next token
+    // would be SELECT/VALUES/TABLE/ALL/DISTINCT/()
+    val BareRe =
+      ("""(?i)(\*\s*)(?:EXCLUDE|EXCEPT)\s+""" +
+        """(?!(?:SELECT|VALUES|TABLE|ALL|DISTINCT|FROM)\b)""" +
+        """((?:"[^"]+"|`[^`]+`|[\w$]+)(?:\.(?:"[^"]+"|`[^`]+`|[\w$]+))*)(?![\w$(])""").r
+    val sql1 =
+      if (BareRe.findFirstIn(sql).isEmpty) sql
+      else {
+        val (qch, _) = Dml.scanFull(sql)
+        val sb = new StringBuilder
+        var pos = 0
+        BareRe.findAllMatchIn(sql).filter(m => qch(m.start) == ' ').foreach { m =>
+          if (m.start >= pos) {
+            sb.append(sql.substring(pos, m.start))
+            sb.append(m.group(1)).append("EXCEPT (").append(m.group(2)).append(")")
+            pos = m.end
+          }
         }
+        sb.append(sql.substring(pos))
+        sb.toString
       }
-      sb.append(sql.substring(pos))
-      sb.toString
-    }
+    val Re = """(?i)(\*\s*)EXCLUDE(\s*\()""".r
+    val sql2 =
+      if (Re.findFirstIn(sql1).isEmpty) sql1
+      else {
+        val (qch, _) = Dml.scanFull(sql1)
+        val sb = new StringBuilder
+        var pos = 0
+        Re.findAllMatchIn(sql1).filter(m => qch(m.start) == ' ').foreach { m =>
+          if (m.start >= pos) {
+            sb.append(sql1.substring(pos, m.start))
+            sb.append(m.group(1)).append("EXCEPT").append(m.group(2))
+            pos = m.end
+          }
+        }
+        sb.append(sql1.substring(pos))
+        sb.toString
+      }
+    // the reference accepts STRING-literal entries in the exclusion
+    // list (`* EXCLUDE ('i')`, select_star_exclude.test) — normalize
+    // to quoted identifiers
+    val LitRe = """(?i)(\*\s*EXCEPT\s*\()([^()]*)(\))""".r
+    if (LitRe.findFirstIn(sql2).isEmpty) sql2
+    else LitRe.replaceAllIn(sql2, m => java.util.regex.Matcher.quoteReplacement(
+      m.group(1) + Dml.splitTop(m.group(2)).map { e =>
+        val t = e.trim
+        if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+          "`" + t.substring(1, t.length - 1).replace("''", "'") + "`"
+        else t
+      }.mkString(", ") + m.group(3)))
   }
 
   private def expandLoop(sql: String,

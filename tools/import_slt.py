@@ -1027,6 +1027,10 @@ ORDER_ALL_NULLS_LAST = True
 def transform_sql(sql: str, sqlite_mode: bool) -> str:
     # duckdb numeric-literal underscores (92_000.0) — no Spark grammar
     sql = re.sub(r"(?<=\d)_(?=\d)", "", sql)
+    # `PIVOT (...) AS alias` (SQL-Server spelling, test_pivot.test):
+    # Spark's PIVOT clause takes no alias — drop it
+    sql = re.sub(r"(?is)(PIVOT\s*\((?:[^()]|\([^()]*\))*\))\s+AS\s+[\w$]+",
+                 r"\1", sql)
     # the reference's VARIANT ordering IS its variant_comparator key
     # (variant_comparator.cpp); Spark's VariantType is unordered, so
     # ORDER BY x::VARIANT lowers onto the graft comparator expression
@@ -1631,8 +1635,17 @@ def merge_tables(records):
                     tuples = ", ".join(
                         "(" + tup + (", 0" if pad else "") + ")"
                         for tup in split_tuples(mi.group(3)))
+                    # duckdb's numeric->integral cast ROUNDS half-even
+                    # (nearbyint); Spark's ANSI cast truncates — shim
+                    # with bround so fused fractional literals land on
+                    # the reference value (pivot test_pivot AVG rows)
+                    def int_cast(src, ty):
+                        if re.match(r"(?i)^\s*(TINYINT|SMALLINT|INT(EGER)?|BIGINT)\s*$",
+                                    ty or ""):
+                            return f"CAST(bround({src}, 0) AS {ty})"
+                        return f"CAST({src} AS {ty})"
                     casted = ", ".join(
-                        f"CAST(_c{i} AS {types[c]}) AS {c}"
+                        f"{int_cast(f'_c{i}', types[c])} AS {c}"
                         for i, c in enumerate(cols))
                     vcols = ", ".join(f"_c{i}" for i in range(len(cols)))
                     if pad:
@@ -1652,7 +1665,11 @@ def merge_tables(records):
         tuples = ", ".join(
             "(" + ", ".join(r.get(c, "NULL") for c in names) + ")"
             for r in rows[t])
-        casted = ", ".join(f"CAST({n} AS {ty}) AS {n}" for n, ty in cols)
+        def view_cast(n, ty):
+            if re.match(r"(?i)^\s*(TINYINT|SMALLINT|INT(EGER)?|BIGINT)\s*$", ty or ""):
+                return f"CAST(bround({n}, 0) AS {ty}) AS {n}"
+            return f"CAST({n} AS {ty}) AS {n}"
+        casted = ", ".join(view_cast(n, ty) for n, ty in cols)
         views.append(
             f"statement ok\nCREATE OR REPLACE TEMPORARY VIEW {t} AS "
             f"SELECT {casted} FROM (VALUES {tuples}) AS {t}({', '.join(names)})\n")

@@ -1699,10 +1699,38 @@ for f in pg_attribute pg_database pg_namespace pg_views pg_tablespace \
     $REF/sql/pg_catalog/$f.test "pgcat_$f.test" >/dev/null 2>&1 || true
 done
 
+# r14 star-exclusion admission wave (the EXCLUDE token left the REJECT
+# list: Macros.rewriteStarExclude lowers * EXCLUDE/(parenless) EXCEPT
+# onto Spark's * EXCEPT; RejectEmptyProject supplies the all-columns-
+# excluded binder error; Dml validates RETURNING before any write).
+# Admitted: projection_select_star_exclude (dropping the two
+# duplicate-name/USING exclusion records — Spark's star expansion
+# treats post-USING qualified duplicates differently),
+# ret_no_crash_when_no_returning_columns, select_test_multi_column_
+# reference, tfn_duckdb_constraints_fk (full 15-column
+# duckdb_constraints schema). Still evicted:
+#   piv_test_pivot: SQL-Server PIVOT spellings (GROUP BY inside the
+#     clause, post-clause column-rename lists) with no Spark grammar
+#   projection_select_star_replace / select_struct_star: * REPLACE has
+#     no Spark equivalent and no schema-free static rewrite
+#   window_test_window_rows: SQL-text frame EXCLUDE modes (the
+#     operator surface is the Column-API q_window_exclude* rows)
+# (the EXCLUDE-every-column binder error also drops: Spark's star
+# expansion legitimately permits zero-column projections — our own
+# operators use df.select() — so only the RETURNING path rejects it,
+# via Dml.validateReturning)
+python3 tools/import_slt.py --drop-matching 'integers i1, integers i2|USING|EXCLUDE \(i, j, k\)' \
+  $REF/sql/projection/select_star_exclude.test projection_select_star_exclude.test >/dev/null 2>&1 || true
+
 # r14: uuid_extract_version/_timestamp (Registry composition over
 # conv/substring; v7 timestamp renders with the session-zone suffix)
 python3 tools/import_slt.py --tz \
   $REF/sql/function/uuid/test_uuid_function.test tz_uuid_function.test >/dev/null 2>&1 || true
+
+# r14: duckdb_constraints full reference schema + FK listing — needs
+# --keep-constraints so the parent's inline PK/UNIQUE survive
+python3 tools/import_slt.py --keep-constraints \
+  $REF/sql/table_function/duckdb_constraints_fk.test tfn_duckdb_constraints_fk.test >/dev/null 2>&1 || true
 
 # r14: VARIANT comparator (org.apache.spark.sql.graft.VariantComparator;
 # ORDER BY x::VARIANT lowers onto it via the importer rewrite).
