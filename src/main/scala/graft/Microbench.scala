@@ -45,6 +45,14 @@ object Microbench {
         val Array(k, v) = arg.stripPrefix("set:").split("=", 2)
         spark.conf.set(k, v)
         println(s"[micro] set $k=$v")
+      } else if (arg.startsWith("stats:")) {
+        // print per-node size estimates of the optimized plan (smallsort gate)
+        val df = SparkEntry.queries(arg.stripPrefix("stats:"))(spark, sfDir)
+        val opt = df.queryExecution.optimizedPlan
+        println(s"==== ${arg} ====")
+        opt.foreach { n =>
+          println(f"${n.stats.sizeInBytes}%12s  ${n.nodeName}")
+        }
       } else if (arg.startsWith("explain:")) {
         val df = SparkEntry.queries(arg.stripPrefix("explain:"))(spark, sfDir)
         println(s"==== ${arg} ====")

@@ -152,6 +152,13 @@ object EngineSession {
         catch { case _: Throwable => () } // static confs on a live session
       }
       graft.functions.Registry.registerAll(spark)
+      // terminal-ORDER-BY single-partition rewrite (graft.plans.SmallTopSort,
+      // stats-gated): registered post-hoc so driver-created sessions (Verify/
+      // Bench build their own) get it too; SPARK_GRAFT_NOSMALLSORT=1 is the
+      // perf A/B handle
+      if (!sys.env.contains("SPARK_GRAFT_NOSMALLSORT"))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.SmallTopSort
       spark.conf.set(MARKER, "true")
     }
     spark

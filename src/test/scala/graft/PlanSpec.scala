@@ -116,8 +116,14 @@ class PlanSpec extends AnyFunSuite {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("hashpartitioning(_chunk"),
         s"$name window not partitioned by chunk:\n$p")
-      assert(!p.contains("Exchange SinglePartition"),
-        s"$name still funnels rows through one task:\n$p")
+      // at most ONE single-partition exchange: the terminal small-sort
+      // funnel (graft.plans.SmallTopSort) over the tiny RESULT — the
+      // window evaluation itself stays chunk-partitioned (assert above).
+      // (AQE's toString repeats the plan as "== Initial Plan ==" — count
+      // inside the final section only.)
+      val finalP = p.split("== Initial Plan ==").head
+      assert("Exchange SinglePartition".r.findAllIn(finalP).size <= 1,
+        s"$name still funnels data rows through one task:\n$p")
     }
     // q_pack_sequences on a SINGLE-language corpus (the adversarial case:
     // a real pretraining corpus is ~90% one language) — keyedRunningSum
@@ -490,6 +496,33 @@ class PlanSpec extends AnyFunSuite {
     val jb = planOf("q_jb1")
     assert("Exchange".r.findAllIn(jb).size <= 2, // partial->final agg + sort
       s"q_jb1 shuffles more than the one aggregation:\n$jb")
+  }
+
+  test("terminal ORDER BY single-partitions when the input is provably small") {
+    // graft.plans.SmallTopSort: the final sort's range exchange (whose
+    // partitioner SAMPLES the child — a whole extra job re-running the
+    // last stage) collapses to one single-partition exchange + in-task
+    // sort when the stats gate says the query is small
+    val df = SparkEntry.queries("q1_agg")(spark, GraftTest.sf)
+    val fast = df.collect().toSeq
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"),
+      s"terminal sort kept the range exchange:\n$p")
+    assert(p.contains("SinglePartition"),
+      s"no single-partition exchange for the terminal sort:\n$p")
+    // ORDER BY + LIMIT is untouched: TakeOrderedAndProject keeps planning
+    assert(planOf("q_topn").contains("TakeOrderedAndProject"))
+    // row multiset AND total order identical to the range-sort plan
+    val key = "spark.graft.smallsort.maxBytes"
+    val saved = spark.conf.get(key, (128L << 20).toString)
+    try {
+      spark.conf.set(key, "0") // gate off -> classic global sort
+      val refDf = SparkEntry.queries("q1_agg")(spark, GraftTest.sf)
+      assert(refDf.queryExecution.executedPlan.toString
+        .contains("rangepartitioning"), "gate=0 should keep the range sort")
+      assert(refDf.collect().toSeq == fast,
+        "single-partition sort changed the result")
+    } finally spark.conf.set(key, saved)
   }
 
   test("whole-stage codegen covers the Q1 hot path") {
