@@ -53,6 +53,17 @@ object Microbench {
         opt.foreach { n =>
           println(f"${n.stats.sizeInBytes}%12s  ${n.nodeName}")
         }
+      } else if (arg.startsWith("plantime:")) {
+        // driver-side cost only: DataFrame build + analysis + optimization
+        // + physical planning, no execution (11 reps, median of last 10)
+        val name = arg.stripPrefix("plantime:")
+        val ts = (1 to 11).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+          (System.nanoTime() - t0) / 1e9
+        }
+        val med = ts.drop(1).sorted.apply(5)
+        println(f"[micro] plan $med%.3f s (first ${ts.head}%.3f)  $name")
       } else if (arg.startsWith("explain:")) {
         val df = SparkEntry.queries(arg.stripPrefix("explain:"))(spark, sfDir)
         println(s"==== ${arg} ====")

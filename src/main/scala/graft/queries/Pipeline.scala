@@ -517,10 +517,11 @@ object Pipeline extends Pack {
         col("sample_rate"), col("n_units"),
         round(col("mean_val"), 6).as("mean_val"),
         round(col("std_val"), 6).as("std_val"))
-      // materialize the (tiny) feature rows before the sort: orderBy's
-      // range partitioner SAMPLES its child, which would execute the
-      // whole codec pipeline a second time (measured +1.1 s at sf0.1)
-      .localCheckpoint(true)
+      // terminal sort: graft.plans.SmallTopSort single-partitions it
+      // (documents leaf ≪ gate), so the codec pipeline runs ONCE — the
+      // r12 localCheckpoint that dodged the range-sampler's double codec
+      // run (+1.1 s) is no longer needed and its materialization job +
+      // block write are gone (measured A/B in OPTIMIZATION_r14.md)
       .orderBy("media_id")
   }
 
@@ -538,7 +539,8 @@ object Pipeline extends Pack {
       .where(col("modality") === "image")
     Multimodal.resizeImages(media, maxW = 8, maxH = 8)
       .select(col("media_id"), col("width"), col("height"))
-      .localCheckpoint(true) // avoid the sort-sampling double codec run
+      // SmallTopSort single-partitions the terminal sort — no sampling
+      // double codec run, checkpoint removed (see q_multimodal_features)
       .orderBy("media_id")
   }
 
@@ -565,7 +567,8 @@ object Pipeline extends Pack {
       .select(col("media_id"), col("frame_no"), col("frame_bytes"),
         round(col("mean_byte"), 6).as("mean_byte"),
         round(col("std_byte"), 6).as("std_byte"))
-      .localCheckpoint(true) // avoid the sort-sampling double slicing run
+      // SmallTopSort single-partitions the terminal sort — no sampling
+      // double slicing run, checkpoint removed (see q_multimodal_features)
       .orderBy("media_id", "frame_no")
   }
 
