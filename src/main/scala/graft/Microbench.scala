@@ -53,6 +53,27 @@ object Microbench {
         opt.foreach { n =>
           println(f"${n.stats.sizeInBytes}%12s  ${n.nodeName}")
         }
+      } else if (arg.startsWith("jobs:")) {
+        // count Spark jobs/stages/tasks for ONE noop-sink run (fixed
+        // per-query overhead: broadcast builds, sampling passes, writes)
+        val name = arg.stripPrefix("jobs:")
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val stages = new java.util.concurrent.atomic.AtomicInteger
+        val tasks = new java.util.concurrent.atomic.AtomicInteger
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+            tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+          }
+        }
+        // warm once so codegen/broadcast caches don't inflate the count
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        spark.sparkContext.addSparkListener(l)
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        spark.sparkContext.removeSparkListener(l)
+        println(s"[micro] jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}  $name")
       } else if (arg.startsWith("plantime:")) {
         // driver-side cost only: DataFrame build + analysis + optimization
         // + physical planning, no execution (11 reps, median of last 10)
