@@ -85,6 +85,33 @@ object Microbench {
         }
         val med = ts.drop(1).sorted.apply(5)
         println(f"[micro] plan $med%.3f s (first ${ts.head}%.3f)  $name")
+      } else if (arg.startsWith("phases:")) {
+        // split the driver-side cost: Dataset BUILD (eager per-step
+        // analysis) vs the final QueryExecution's analysis/optimization/
+        // physical-planning phases (QueryPlanningTracker, 11 reps,
+        // median of last 10 per phase)
+        // optional rep count: "phases:<q>:<n>" (default 11)
+        val spec = arg.stripPrefix("phases:")
+        val (name, nrep) = spec.split(":") match {
+          case Array(n, r) => (n, r.toInt)
+          case _ => (spec, 11)
+        }
+        val reps = (1 to nrep).map { _ =>
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          val tBuild = (System.nanoTime() - t0) / 1e9
+          val qe = df.queryExecution
+          qe.executedPlan
+          val ph = qe.tracker.phases.map { case (k, v) =>
+            k -> (v.endTimeMs - v.startTimeMs) / 1e3 }
+          (tBuild, ph)
+        }.drop(nrep / 2)
+        def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+        val build = med(reps.map(_._1))
+        val keys = reps.flatMap(_._2.keys).distinct.sorted
+        val phases = keys.map(k =>
+          f"$k=${med(reps.map(_._2.getOrElse(k, 0.0)))}%.3f").mkString(" ")
+        println(f"[micro] build $build%.3f s  $phases  $name")
       } else if (arg.startsWith("explain:")) {
         val df = SparkEntry.queries(arg.stripPrefix("explain:"))(spark, sfDir)
         println(s"==== ${arg} ====")
