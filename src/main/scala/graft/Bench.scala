@@ -201,7 +201,38 @@ object Bench {
     val codecJson = codecResults
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_extended":$extTotal$duckJson,"queries":$qJson,"multimodal":$codecJson,"multimodal_note":"real PNG/WAV decode; its oracle is a closed-form SQL analog, so it is reported outside total_extended","totals":$totals,"sf":"$sfDir"}""")
+    // Cold pass (r14 verdict item 7): one un-warmed pass of the core set
+    // AFTER every timed pass, so the artifact carries both numbers of the
+    // load-then-query protocol — the warmed steady state (`value`, the
+    // round-over-round metric since r5) and the scan-per-run cold total
+    // (`value_cold`). Runs LAST so it cannot perturb the timed region;
+    // when the whole bench is already cold (SPARK_GRAFT_COLD=1) the two
+    // are the same measurement.
+    val coldTotal: Double =
+      if (sys.env.contains("SPARK_GRAFT_COLD")) total
+      else {
+        graft.engine.Tables.invalidate(spark) // drop warmed plan-cache entries
+        spark.catalog.clearCache()            // unpin the columnar cache
+        settle()
+        totalOf(onePass())
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$coldTotal,"total_extended":$extTotal$duckJson,"queries":$qJson,"multimodal":$codecJson,"multimodal_note":"real PNG/WAV decode; its oracle is a closed-form SQL analog, so it is reported outside total_extended","totals":$totals,"sf":"$sfDir"}""")
+
+    // Compact artifact line (r14 verdict item 2): the full line above
+    // embeds duck_queries and overflows the driver's 2000-char tail
+    // capture, so no round's artifact has ever parsed. This LAST stdout
+    // line carries the same protocol numbers — value, cold total, duck
+    // pair totals, per-query medians at 3 decimals — in well under the
+    // capture window. Additions-only: the full line keeps every key it
+    // always had.
+    def f3(d: Double): String = f"$d%.3f"
+    val qCompact = (results ++ extraResults ++ codecResults)
+      .map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
+    val duckCompact = duckPair
+      .map { case (k, v) => s""","$k":${f3(v)}""" }.mkString
+    val totalsCompact = passes.map(p => f3(totalOf(p))).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","value_cold":${f3(coldTotal)},"total_extended":${f3(extTotal)}$duckCompact,"queries":$qCompact,"totals":$totalsCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,6 +40,14 @@ object Microbench {
       } else if (arg == "warm") {
         graft.engine.Tables.warm(spark, sfDir)
         println("[micro] fixtures warmed")
+      } else if (arg.startsWith("amplify:")) {
+        // "amplify:<n>" — ScaleSoak-amplify THIS sfDir ×n into
+        // /tmp/graft_scale_x<n>; point a second Microbench run at that
+        // dir for larger-scale A/Bs
+        val n = arg.stripPrefix("amplify:").toInt
+        val dst = s"/tmp/graft_scale_x$n"
+        ScaleSoak.amplify(spark, sfDir, dst, n)
+        println(s"[micro] amplified $sfDir x$n -> $dst")
       } else if (arg.startsWith("set:")) {
         // "set:key=value" — flip a runtime conf between timed args (A/B)
         val Array(k, v) = arg.stripPrefix("set:").split("=", 2)
@@ -88,12 +96,14 @@ object Microbench {
       } else if (arg.startsWith("phases:")) {
         // split the driver-side cost: Dataset BUILD (eager per-step
         // analysis) vs the final QueryExecution's analysis/optimization/
-        // physical-planning phases (QueryPlanningTracker, 11 reps,
-        // median of last 10 per phase)
-        // optional rep count: "phases:<q>:<n>" (default 11)
+        // physical-planning phases (QueryPlanningTracker; the first
+        // floor(n/2) reps are discarded as JIT warmup, median of the
+        // remaining ceil(n/2))
+        // optional rep count: "phases:<q>:<n>" (default 11); a spec whose
+        // tail is not a number is treated as a plain query name
         val spec = arg.stripPrefix("phases:")
         val (name, nrep) = spec.split(":") match {
-          case Array(n, r) => (n, r.toInt)
+          case Array(n, r) if r.toIntOption.isDefined => (n, r.toInt)
           case _ => (spec, 11)
         }
         val reps = (1 to nrep).map { _ =>
@@ -109,8 +119,12 @@ object Microbench {
         def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
         val build = med(reps.map(_._1))
         val keys = reps.flatMap(_._2.keys).distinct.sorted
-        val phases = keys.map(k =>
-          f"$k=${med(reps.map(_._2.getOrElse(k, 0.0)))}%.3f").mkString(" ")
+        // median over only the reps that recorded the phase — a missing
+        // phase must not deflate the timing toward zero
+        val phases = keys.map { k =>
+          val xs = reps.flatMap(_._2.get(k))
+          f"$k=${if (xs.isEmpty) Double.NaN else med(xs)}%.3f"
+        }.mkString(" ")
         println(f"[micro] build $build%.3f s  $phases  $name")
       } else if (arg.startsWith("explain:")) {
         val df = SparkEntry.queries(arg.stripPrefix("explain:"))(spark, sfDir)

@@ -159,6 +159,12 @@ object EngineSession {
       if (!sys.env.contains("SPARK_GRAFT_NOSMALLSORT"))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.SmallTopSort
+      // stats-driven shuffled-hash dispatch for equi joins above the
+      // broadcast threshold (graft.plans.AutoHashJoin, bounded build);
+      // SPARK_GRAFT_NOAUTOSHJ=1 is the perf A/B handle
+      if (!sys.env.contains("SPARK_GRAFT_NOAUTOSHJ"))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.AutoHashJoin
       spark.conf.set(MARKER, "true")
     }
     spark

@@ -105,6 +105,38 @@ object RangeJoin {
       else cuts.map(cut =>
         when(c.cast("double") >= cut, 1).otherwise(0)).reduce(_ + _)
 
+    // auto: the quantile pass already revealed whether banding held up —
+    // heavy duplicates collapse cut points, one band swallows both sides,
+    // and in-band NLJ goes quadratic. Sweep exactly then.
+    val useSweep = sweep.getOrElse(nBands < math.max(2, bands / 2))
+
+    // Probe-side parallelism (r15, guide §2.6): the NLJ-in-band probe
+    // pipeline (band project → in-band join → residual → partial agg) is
+    // COMPUTE-bound — ~|L| × |R|/B candidate evaluations — and it runs
+    // entirely in the probe side's scan tasks. The fixtures arrive in ONE
+    // partition (single-row-group parquet / single-partition dim cache),
+    // so before this change every candidate was evaluated by one task
+    // (measured at sf0.1: the whole 7.7M-candidate probe single-threaded).
+    // One tiny round-robin shuffle of the probe rows buys fanout-way
+    // parallel evaluation. Gate = partition count, which is the honest
+    // scale signal: a cluster-scale probe side is already partitioned
+    // wider than the fanout and never pays the extra exchange. The sweep
+    // path repartitions by band anyway and needs no scatter.
+    // spark.graft.rangejoin.scatterProbe=false is the A/B kill switch.
+    // compute-bound stage → target CORES, not the data-sized shuffle
+    // fanout (Tables.scatter's contract): the per-candidate evaluation,
+    // not the row bytes, is what needs spreading
+    val fanout = math.max(
+      left.sparkSession.sessionState.conf.numShufflePartitions,
+      left.sparkSession.sparkContext.defaultParallelism)
+    val scatterOn =
+      left.sparkSession.conf
+        .get("spark.graft.rangejoin.scatterProbe", "true") != "false"
+    val lp =
+      if (!useSweep && scatterOn && l.rdd.getNumPartitions < fanout)
+        l.repartition(fanout)
+      else l
+
     // Replication direction: the RIGHT side replicates DOWN to bands
     // 0..band(r) (a right row matches left rows in every band ≤ its
     // own); the LEFT side keeps exactly its own band. Each qualifying
@@ -121,7 +153,7 @@ object RangeJoin {
     // with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. Nondeterministic outputs
     // are not alias-substitutable, which blocks the bad inference
     // without the codegen-breaking one-element explode used before.
-    val lb = l.withColumn(
+    val lb = lp.withColumn(
       "__graft_band",
       org.apache.spark.sql.graft.OpaqueBarrier(bandOf(col(leftCol))))
     val rb = r.withColumn(
@@ -133,10 +165,6 @@ object RangeJoin {
       else col(leftCol) <= col(rightCol)
     val cond = residual.map(ineq && _).getOrElse(ineq)
 
-    // auto: the quantile pass already revealed whether banding held up —
-    // heavy duplicates collapse cut points, one band swallows both sides,
-    // and in-band NLJ goes quadratic. Sweep exactly then.
-    val useSweep = sweep.getOrElse(nBands < math.max(2, bands / 2))
     if (!useSweep)
       lb.join(rb, Seq("__graft_band")).where(cond).drop("__graft_band")
     else {

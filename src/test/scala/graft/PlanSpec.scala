@@ -525,6 +525,93 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("large-result terminal sorts keep the parallel range sort (row gate)") {
+    // r15: the byte gate alone admitted q_h2o_g10's ~98k-row all-keys
+    // grouping into one sort task (the one real r14 regression). The row
+    // gate blocks the rewrite when a PROVABLE output bound exceeds
+    // spark.graft.smallsort.maxRows.
+    import org.apache.spark.sql.functions._
+    // (a) grouped aggregate whose key NDV bound is derivable from the key
+    // expression itself (x % n): product 200001 > 65536 default
+    val agg = graft.engine.Tables.orders(spark, GraftTest.sf)
+      .groupBy((col("o_orderkey") % 100000).as("k"))
+      .agg(count(lit(1)).as("n")).orderBy("k")
+    val withGate = agg.queryExecution.executedPlan.toString
+    assert(withGate.contains("rangepartitioning"),
+      s"NDV-bounded large aggregate should keep the range sort:\n$withGate")
+    // (b) cardinality-preserving spine over a known row count (Range
+    // defines maxRows): window output == input
+    val rowsKey = "spark.graft.smallsort.maxRows"
+    val saved = spark.conf.get(rowsKey, "65536")
+    try {
+      spark.conf.set(rowsKey, "100")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(expr("id % 4")).orderBy("id")
+      val win = spark.range(200).select(col("id"),
+        sum("id").over(w).as("s")).orderBy("id", "s")
+      val p = win.queryExecution.executedPlan.toString
+      assert(p.contains("rangepartitioning"),
+        s"window over 200 known rows must not single-partition at maxRows=100:\n$p")
+      // row gate off -> the r14 byte-gate behavior returns
+      spark.conf.set(rowsKey, "0")
+      val agg2 = graft.engine.Tables.orders(spark, GraftTest.sf)
+        .groupBy((col("o_orderkey") % 100000).as("k"))
+        .agg(count(lit(1)).as("n")).orderBy("k")
+      assert(agg2.queryExecution.executedPlan.toString.contains("SinglePartition"))
+      // result equality across both routes
+      spark.conf.set(rowsKey, saved)
+      assert(agg.collect().toSeq == agg2.collect().toSeq,
+        "row-gate route changed the result")
+    } finally spark.conf.set(rowsKey, saved)
+  }
+
+  test("AutoHashJoin: bounded build flips SMJ to shuffled-hash, results equal") {
+    // r15 (guide §3.1): equi joins whose smaller JOIN-FREE side is above
+    // the broadcast threshold but under maxBuildBytes plan ShuffledHashJoin
+    // instead of SortMergeJoin; bound=0 restores sort-merge; a
+    // broadcastable side is never downgraded.
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val buildKey = "spark.graft.shufflehash.maxBuildBytes"
+    val savedB = spark.conf.get(bcastKey)
+    val savedM = spark.conf.get(buildKey, (128L << 20).toString)
+    val o = graft.engine.Tables.orders(spark, GraftTest.sf)
+      .select("o_orderkey", "o_custkey")
+    val l = graft.engine.Tables.lineitem(spark, GraftTest.sf)
+      .select("l_orderkey", "l_quantity")
+    def planOfJoin(): String = {
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      j.queryExecution.executedPlan.toString
+    }
+    try {
+      spark.conf.set(bcastKey, "-1") // nothing broadcasts
+      spark.conf.set(buildKey, (128L << 20).toString)
+      val shj = planOfJoin()
+      assert(shj.contains("ShuffledHashJoin"),
+        s"bounded build should plan shuffled-hash:\n$shj")
+      spark.conf.set(buildKey, "0")
+      val smj = planOfJoin()
+      assert(smj.contains("SortMergeJoin"),
+        s"bound=0 should keep sort-merge:\n$smj")
+      // same rows either route (order-insensitive compare)
+      spark.conf.set(buildKey, (128L << 20).toString)
+      val a = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .collect().map(_.toString).sorted.toSeq
+      spark.conf.set(buildKey, "0")
+      val b = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, "join route changed the result multiset")
+      // broadcastable side is never downgraded to SHJ
+      spark.conf.set(bcastKey, (64L * 1024 * 1024).toString)
+      spark.conf.set(buildKey, (128L << 20).toString)
+      val bhj = planOfJoin()
+      assert(bhj.contains("BroadcastHashJoin"),
+        s"broadcastable side must stay broadcast:\n$bhj")
+    } finally {
+      spark.conf.set(bcastKey, savedB)
+      spark.conf.set(buildKey, savedM)
+    }
+  }
+
   test("whole-stage codegen covers the Q1 hot path") {
     // under AQE codegen stages exist only in the FINAL executed plan,
     // rendered as "*(n)" span markers

@@ -449,8 +449,19 @@ class SqlLogicSpec extends AnyFunSuite {
         val rows =
           try exec(sql).collect()
           catch {
-            case e: Throwable => throw new RuntimeException(
-              s"$name #$caseNo failed: ${sql.linesIterator.mkString(" ").take(300)}", e)
+            case e: Throwable =>
+              // the root cause goes FIRST in the message: harness log
+              // captures keep only a tail/head window, and the wrapper's
+              // stack can push the interesting line out of it
+              var root: Throwable = e
+              while (root.getCause != null && (root.getCause ne root))
+                root = root.getCause
+              val why = s"${root.getClass.getSimpleName}: " +
+                Option(root.getMessage).getOrElse("")
+                  .linesIterator.mkString(" ").take(240)
+              throw new RuntimeException(
+                s"$name #$caseNo [$why] failed: " +
+                  sql.linesIterator.mkString(" ").take(300), e)
           }
         val rendered: Vector[Vector[String]] = rows.iterator.map { r =>
           (0 until r.length).map { j =>

@@ -8,6 +8,18 @@ import graft.streaming.EventStream
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = GraftTest.spark
 
+  /** awaitTermination(timeout) returns false and leaves the query RUNNING
+    * on timeout — a leaked micro-batch thread then races every later suite
+    * on the shared session (conf/current-database/temp-view mutation).
+    * Always stop on timeout and fail the test explicitly.
+    */
+  private def awaitDone(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 120000): Unit = {
+    val done = q.awaitTermination(timeoutMs)
+    if (!done) q.stop()
+    assert(done, s"streaming query ${q.name} did not finish in ${timeoutMs} ms")
+  }
+
   /** The streaming file source wants a directory — stage the fixture file. */
   lazy val eventsDir: String = {
     val dir = java.nio.file.Paths.get("/tmp/graft_stream/events")
@@ -29,7 +41,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("complete")
       .format("memory").queryName("tumbling_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q)
     val got = spark.table("tumbling_out").collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(got == expected)
@@ -57,7 +69,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append")
       .format("memory").queryName("join_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q)
     val got = spark.table("join_out").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(got == expected)
@@ -75,7 +87,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append")
       .format("memory").queryName("lojoin_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q)
     val got = spark.table("lojoin_out").collect()
       .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString))).toSet
     val gotInner = got.filter(_._2.isDefined)
@@ -98,7 +110,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append")
       .format("memory").queryName("dedup_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q)
     val got = spark.table("dedup_out").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
     assert(got.toSet == expectedKeys)
@@ -124,7 +136,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("complete")
       .format("memory").queryName("enrich_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q)
     val got = spark.table("enrich_out").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == expected && got.nonEmpty)
@@ -136,7 +148,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("complete")
       .format("memory").queryName("sliding_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q)
     val got = spark.table("sliding_out")
     assert(got.count() > 0)
     // each event lands in exactly width/slide = 2 windows
